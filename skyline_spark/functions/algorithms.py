@@ -1,0 +1,265 @@
+"""The reference's 9-algorithm three-sigma suite as pure numpy/pandas
+functions of ``(ts, values)`` float64 arrays.
+
+Semantic source: skyline/analyzer/algorithms.py (non-numba paths — the
+reference only takes numba paths when numba is importable; semantics match
+to float rounding either way except mean_subtraction_cumulation where the
+numba path uses population std — we implement the pandas sample-std path,
+skyline/analyzer/algorithms.py:433-466).
+
+Each function mirrors its reference twin's exact formula, including:
+- pandas *sample* standard deviation (ddof=1) where the reference uses
+  ``series.std()`` (PR #124 change, skyline/analyzer/algorithms.py:291-301);
+- ``tail_avg`` = mean of last 3 values, falling back to the last value for
+  series shorter than 3 (skyline/analyzer/algorithms.py:180-191);
+- histogram first/last-bin edge cases of ``np.histogram`` semantics
+  (skyline/analyzer/algorithms.py:655-704);
+- the deterministic last-ts-relative form of ks_test (the analyzer form
+  uses wall-clock ``time()``, skyline/analyzer/algorithms.py:716-717; we
+  use the mirage last-ts-relative form incl. the daily-resolution rule,
+  skyline/mirage/mirage_algorithms.py:491-520) so results are a pure
+  function of the input.
+
+Errors inside an algorithm yield ``None`` (tri-state ensemble,
+skyline/analyzer/algorithms.py:1785-1794).
+
+All functions take pre-sorted, deduplicated arrays — ordering is the
+caller's invariant (stable (conv_id, turn_idx) sort upstream).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from skyline_spark.functions.stats import adfuller_pvalue, ks_2samp, t_isf
+
+FULL_DURATION_DEFAULT = 86400
+
+
+def tail_avg(values: np.ndarray) -> float:
+    """Mean of the last three datapoints; the last value if fewer than 3.
+
+    Ref: skyline/analyzer/algorithms.py:180-191 (IndexError fallback).
+    """
+    n = values.size
+    if n >= 3:
+        return float((values[-1] + values[-2] + values[-3]) / 3.0)
+    return float(values[-1])
+
+
+def median_absolute_deviation(ts: np.ndarray, values: np.ndarray,
+                              full_duration: int = FULL_DURATION_DEFAULT) -> bool | None:
+    """|last deviation from median| / median-deviation > 6.
+
+    Ref: skyline/analyzer/algorithms.py:221-282 (trigger on the *last*
+    datapoint's demedianed value, not tail_avg; False when MAD == 0).
+    """
+    median = float(np.median(values))
+    demedianed = np.abs(values - median)
+    median_deviation = float(np.median(demedianed))
+    if median_deviation == 0:
+        return False
+    return bool(demedianed[-1] / median_deviation > 6)
+
+
+def grubbs(ts: np.ndarray, values: np.ndarray,
+           full_duration: int = FULL_DURATION_DEFAULT) -> bool | None:
+    """One-sided Grubbs test on tail_avg with sample std.
+
+    Ref: skyline/analyzer/algorithms.py:285-324. Threshold via
+    ``t.isf(.05 / (2N), N-2)`` (here our pure-numpy t_isf).
+    """
+    n = values.size
+    if n < 3:
+        return None  # reference: t.isf with df<1 raises -> recorded error -> None
+    std_dev = float(pd.Series(values).std())  # sample std (ddof=1)
+    if std_dev == 0 or math.isnan(std_dev):
+        return False
+    mean = float(np.mean(values))
+    z_score = (tail_avg(values) - mean) / std_dev
+    threshold = t_isf(0.05 / (2 * n), n - 2)
+    threshold_squared = threshold * threshold
+    grubbs_score = ((n - 1) / math.sqrt(n)) * math.sqrt(
+        threshold_squared / (n - 2 + threshold_squared))
+    return bool(z_score > grubbs_score)
+
+
+def first_hour_average(ts: np.ndarray, values: np.ndarray,
+                       full_duration: int = FULL_DURATION_DEFAULT) -> bool | None:
+    """tail_avg outside 3 sample-std of the first hour of the window.
+
+    Ref: skyline/analyzer/algorithms.py:327-351 — window is
+    ``(last_ts - FULL_DURATION, last_ts - FULL_DURATION + 3600)`` with
+    *exclusive* bounds. Empty window -> NaN comparison -> False (matching
+    pandas NaN semantics in the reference).
+    """
+    last_hour_threshold = ts[-1] - full_duration
+    end = last_hour_threshold + 3600
+    mask = (ts > last_hour_threshold) & (ts < end)
+    window = values[mask]
+    if window.size == 0:
+        return False
+    mean = float(np.mean(window))
+    std_dev = float(pd.Series(window).std())
+    t = tail_avg(values)
+    if math.isnan(std_dev):
+        return False
+    return bool(abs(t - mean) > 3 * std_dev)
+
+
+def stddev_from_average(ts: np.ndarray, values: np.ndarray,
+                        full_duration: int = FULL_DURATION_DEFAULT) -> bool | None:
+    """|tail_avg - mean| > 3 * sample std of the whole series.
+
+    Ref: skyline/analyzer/algorithms.py:363-383.
+    """
+    mean = float(np.mean(values))
+    std_dev = float(pd.Series(values).std())
+    if math.isnan(std_dev):
+        return False
+    return bool(abs(tail_avg(values) - mean) > 3 * std_dev)
+
+
+def stddev_from_moving_average(ts: np.ndarray, values: np.ndarray,
+                               full_duration: int = FULL_DURATION_DEFAULT) -> bool | None:
+    """|v_last - ewm_mean_last| > 3 * ewm_std_last, com=50.
+
+    Ref: skyline/analyzer/algorithms.py:386-416 — pandas
+    ``ewm(ignore_na=False, min_periods=0, adjust=True, com=50)``,
+    ``.std(bias=False)``. Uses pandas for bit-exactness (no native ewm).
+    """
+    s = pd.Series(values)
+    ewm = s.ewm(ignore_na=False, min_periods=0, adjust=True, com=50)
+    exp_average = ewm.mean().iat[-1]
+    std_dev = ewm.std(bias=False).iat[-1]
+    if math.isnan(std_dev):
+        return False
+    return bool(abs(values[-1] - exp_average) > 3 * std_dev)
+
+
+def mean_subtraction_cumulation(ts: np.ndarray, values: np.ndarray,
+                                full_duration: int = FULL_DURATION_DEFAULT) -> bool | None:
+    """|v_last - mean(v[:-1])| > 3 * sample std of demeaned v[:-1].
+
+    Ref: skyline/analyzer/algorithms.py:433-466 (pandas path): zero/None
+    values replaced with 0 (``x[1] if x[1] else 0``); demean by mean of
+    all-but-last; sample std of demeaned all-but-last.
+    """
+    v = np.where(np.isnan(values), 0.0, values)
+    head = v[:-1]
+    if head.size == 0:
+        return False
+    mean = float(np.mean(head))
+    demeaned_last = v[-1] - mean
+    std_dev = float(pd.Series(head - mean).std())
+    if math.isnan(std_dev):
+        return False
+    return bool(abs(demeaned_last) > 3 * std_dev)
+
+
+def least_squares(ts: np.ndarray, values: np.ndarray,
+                  full_duration: int = FULL_DURATION_DEFAULT) -> bool | None:
+    """Mean of last-3 OLS residuals beyond 3 sample-std of all residuals.
+
+    Ref: skyline/analyzer/algorithms.py:490-573 — ``np.linalg.lstsq(A, y,
+    rcond=-1)``, errors = y - (m*x + c), sample std (PR #124), plus the
+    ``round(std) != 0 and round(t) != 0`` guards.
+    """
+    x = ts.astype(np.float64)
+    y = values
+    A = np.vstack([x, np.ones(len(x))]).T
+    m, c = np.linalg.lstsq(A, y, rcond=-1)[0]
+    errors = y - (m * x + c)
+    if errors.size < 3:
+        return False
+    std_dev = float(pd.Series(errors).std())
+    t = float((errors[-1] + errors[-2] + errors[-3]) / 3.0)
+    if math.isnan(std_dev):
+        return False
+    return bool(abs(t) > std_dev * 3 and round(std_dev) != 0 and round(t) != 0)
+
+
+def histogram_bins(ts: np.ndarray, values: np.ndarray,
+                   full_duration: int = FULL_DURATION_DEFAULT) -> bool | None:
+    """tail_avg falls in a 15-bin histogram bin with <= 20 members.
+
+    Ref: skyline/analyzer/algorithms.py:655-704 — np.histogram(bins=15)
+    semantics; first-bin edge case ``t <= bins[0]``; inner bins
+    ``bins[i] <= t < bins[i+1]`` (the last bin is right-inclusive in
+    np.histogram but the reference's explicit loop uses a half-open check
+    for every non-first bin — we replicate the loop, not np.digitize).
+    NaN values dropped first (:674).
+    """
+    series = values[~np.isnan(values)]
+    if series.size == 0:
+        return None
+    t = tail_avg(values)
+    hist, bins = np.histogram(series, bins=15)
+    for index, bin_size in enumerate(hist):
+        if bin_size <= 20:
+            if index == 0:
+                if t <= bins[0]:
+                    return True
+            elif bins[index] <= t < bins[index + 1]:
+                return True
+    return False
+
+
+def ks_test(ts: np.ndarray, values: np.ndarray,
+            full_duration: int = FULL_DURATION_DEFAULT) -> bool | None:
+    """Two-sample KS between the last-hour-minus-10-min and last-10-min
+    distributions, gated by ADF stationarity of the reference window.
+
+    Deterministic last-ts-relative form (mirage variant,
+    skyline/mirage/mirage_algorithms.py:491-556), incl. the
+    daily-resolution widening (resolution in (80000, 90000) -> 90/30-day
+    windows) and the constant-reference guard
+    (skyline/analyzer/algorithms.py:728-733).
+    """
+    if ts.size < 2:
+        return False
+    last_ts = ts[-1]
+    hour_ago = last_ts - 3600
+    ten_minutes_ago = last_ts - 600
+    resolution = ts[-1] - ts[-2]
+    if 80000 < resolution < 90000:
+        hour_ago = last_ts - (86400 * 90)
+        ten_minutes_ago = last_ts - (86400 * 30)
+    reference = values[(ts >= hour_ago) & (ts < ten_minutes_ago)]
+    probe = values[ts >= ten_minutes_ago]
+    if reference.size < 20 or probe.size < 20:
+        return False
+    if np.all(reference == reference[0]):
+        return False
+    ks_d, ks_p_value = ks_2samp(reference, probe)
+    if ks_p_value < 0.05 and ks_d > 0.5:
+        adf_p = adfuller_pvalue(reference, 10)
+        if adf_p < 0.05:
+            return True
+    return False
+
+
+def negatives_present(ts: np.ndarray, values: np.ndarray) -> bool:
+    """Whether the series contains negative values (untrainable-metric
+    flag). Ref: skyline/analyzer/algorithms.py:1083-1110 (min < 0)."""
+    if values.size == 0:
+        return False
+    return bool(np.min(values) < 0)
+
+
+#: name -> callable, in no particular order; ordering lives in
+#: config.ALGORITHMS (skyline/settings.py:820-836).
+ALGORITHM_FUNCS = {
+    "histogram_bins": histogram_bins,
+    "first_hour_average": first_hour_average,
+    "stddev_from_average": stddev_from_average,
+    "grubbs": grubbs,
+    "ks_test": ks_test,
+    "mean_subtraction_cumulation": mean_subtraction_cumulation,
+    "median_absolute_deviation": median_absolute_deviation,
+    "stddev_from_moving_average": stddev_from_moving_average,
+    "least_squares": least_squares,
+}

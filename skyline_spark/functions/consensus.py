@@ -1,0 +1,157 @@
+"""Exception filters + ensemble loop + consensus vote — the core
+per-series reduction of the reference analyzer.
+
+Ref: skyline/analyzer/algorithms.py:1168 (run_selected_algorithm):
+- exception filters: EmptyTimeseries / TooShort (:1289-1334), Stale
+  (:1338-1343), Boring (:1346-1347) — evaluated before any algorithm and
+  producing routing outputs, not errors;
+- ensemble loop with tri-state results and the RUN_OPTIMIZED_WORKFLOW
+  early exit: stop running algorithms once
+  ``count(False) >= len(ALGORITHMS) - CONSENSUS + 1``; skipped algorithms
+  contribute None (:1472, 1751-1815);
+- vote: not anomalous if the ensemble is all-None; otherwise anomalous iff
+  ``ensemble.count(False) <= len(ensemble) - CONSENSUS`` (:2000-2047);
+- returned datapoint is the last value (:2047).
+
+Wall-clock independence: ``now`` must be supplied by the caller (batch
+max(ts)); the reference uses ``time()`` for the Stale check (:1338).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from skyline_spark.config import PipelineConfig
+from skyline_spark.functions.algorithms import (
+    ALGORITHM_FUNCS,
+    negatives_present,
+    tail_avg,
+)
+
+
+@dataclass
+class Verdict:
+    anomalous: bool
+    ensemble: list[bool | None]
+    algorithms_run: list[str]
+    triggered: list[str]
+    datapoint: float | None
+    exception: str | None  # EmptyTimeseries | TooShort | Stale | Boring | None
+    negatives_found: bool
+    n_points: int
+    last_ts: float | None
+
+
+def classify_exception(ts: np.ndarray, values: np.ndarray, now: float,
+                       cfg: PipelineConfig,
+                       custom_stale_period: float | None = None) -> str | None:
+    """E1-E4 exception filters, in the reference's evaluation order.
+
+    Ref: skyline/analyzer/algorithms.py:1289-1347. Order matters:
+    Empty/TooShort, then Stale, then Boring.
+    """
+    n = values.size
+    if n < cfg.min_tolerable_length:
+        if n == 0:
+            return "EmptyTimeseries"
+        return "TooShort"
+    stale_period = custom_stale_period if custom_stale_period else cfg.stale_period
+    if now - ts[-1] > stale_period:
+        return "Stale"
+    tail = values[-cfg.max_tolerable_boredom:]
+    if np.unique(tail).size == cfg.boredom_set_size:
+        return "Boring"
+    return None
+
+
+def run_selected_algorithm(ts: np.ndarray, values: np.ndarray, now: float,
+                           cfg: PipelineConfig,
+                           custom_stale_period: float | None = None,
+                           full_duration: int | None = None) -> Verdict:
+    """Run the exception filters, the 9-algorithm suite with early exit,
+    and the consensus vote for one (pre-sorted, deduplicated) series."""
+    exc = classify_exception(ts, values, now, cfg, custom_stale_period)
+    if exc is not None:
+        return Verdict(
+            anomalous=False, ensemble=[], algorithms_run=[], triggered=[],
+            datapoint=float(values[-1]) if values.size else None,
+            exception=exc, negatives_found=False, n_points=int(values.size),
+            last_ts=float(ts[-1]) if ts.size else None,
+        )
+
+    fd = full_duration if full_duration is not None else cfg.full_duration
+    ensemble: list[bool | None] = []
+    algorithms_run: list[str] = []
+    consensus_possible = True
+    for name in cfg.algorithms:
+        if consensus_possible:
+            try:
+                result = ALGORITHM_FUNCS[name](ts, values, full_duration=fd)
+            except Exception:
+                # per-algorithm error swallowed -> None
+                # (skyline/analyzer/algorithms.py:768-803, 1766)
+                result = None
+        else:
+            result = None  # skipped, padded (:1781)
+        algorithms_run.append(name)
+        if result is True:
+            ensemble.append(True)
+        elif result is False:
+            ensemble.append(False)
+        else:
+            ensemble.append(None)
+        if cfg.run_optimized_workflow:
+            if ensemble.count(False) >= cfg.maximum_false_count:
+                consensus_possible = False
+
+    datapoint = float(values[-1])
+    if ensemble.count(None) == len(ensemble):
+        anomalous = False  # all-None guard (:2014-2016)
+    else:
+        threshold = len(ensemble) - cfg.consensus
+        anomalous = ensemble.count(False) <= threshold
+
+    negatives_found = False
+    if anomalous and cfg.run_negatives_present:
+        negatives_found = negatives_present(ts, values)
+
+    triggered = [n for n, r in zip(algorithms_run, ensemble) if r is True]
+    return Verdict(
+        anomalous=anomalous, ensemble=ensemble, algorithms_run=algorithms_run,
+        triggered=triggered, datapoint=datapoint, exception=None,
+        negatives_found=negatives_found, n_points=int(values.size),
+        last_ts=float(ts[-1]),
+    )
+
+
+def preprocess_series(ts: np.ndarray, values: np.ndarray, now: float,
+                      cfg: PipelineConfig, is_derivative: bool = False
+                      ) -> tuple[np.ndarray, np.ndarray]:
+    """Per-series deterministic transforms T1-T4 in reference order:
+    sort by ts (stable), dedup first-per-ts, retention trim to
+    full_duration before `now`, then nonNegativeDerivative for counter
+    metrics.
+
+    Refs: sort skyline/skyline_functions.py:2631 (applied analyzer.py:2281);
+    dedup-first-per-ts skyline/analyzer/analyzer.py:575-581, 2476-2481;
+    trim skyline/horizon/roomba.py:300-307; nonNegativeDerivative
+    skyline/skyline_functions.py:1643-1671 (delta per point, negative
+    deltas dropped — counter resets).
+    """
+    order = np.argsort(ts, kind="stable")
+    ts, values = ts[order], values[order]
+    keep = np.ones(ts.size, dtype=bool)
+    if ts.size > 1:
+        keep[1:] = ts[1:] != ts[:-1]  # first point per timestamp wins
+    ts, values = ts[keep], values[keep]
+    window = ts > (now - cfg.full_duration)
+    ts, values = ts[window], values[window]
+    if is_derivative and ts.size > 1:
+        deltas = np.diff(values)
+        keep = deltas >= 0
+        ts, values = ts[1:][keep], deltas[keep]
+    elif is_derivative:
+        ts, values = ts[:0], values[:0]
+    return ts, values
