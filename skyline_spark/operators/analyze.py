@@ -1,0 +1,143 @@
+"""Analyze stage — the per-series 9-algorithm CONSENSUS vote as ONE
+``groupBy(conv_id, metric).applyInPandas`` pass.
+
+Design (SURVEY.md §2.6, §4):
+- Input projection is minimal — (conv_id, metric, ts_epoch, value,
+  is_derivative, custom_stale_period) — so Catalyst prunes ``text`` and
+  every other wide column *before* the shuffle; the bulky turn payload
+  never crosses the Python boundary. Verdicts (one row per series) are
+  joined back to the turn rows by the router.
+- Group size is bounded: the retention trim (``ts > now - full_duration``,
+  skyline/horizon/roomba.py:300-307) is applied NATIVELY before the
+  shuffle, so it is pushed to the parquet/Iceberg scan and hot
+  conversations cannot exceed full_duration worth of turns per group.
+  This is the same bound roomba enforces in the reference, and it is what
+  makes the non-algebraic per-series statistics safe at 10^12-turn scale
+  (SURVEY.md §7 milestone 2).
+- Inside the group: sort → dedup → derivative (order-dependent, per-row
+  invariant) → exception filters → algorithm suite with early exit →
+  vote, all vectorized numpy/pandas — this is the analogue of
+  skyline/analyzer/analyzer.py:2281-4243 + algorithms.py:1168.
+- Per-series wall time is recorded (analyze_ms) for the G2
+  algorithm-timing telemetry (skyline/analyzer/analyzer.py:8301-8306).
+"""
+
+from __future__ import annotations
+
+import time
+import warnings
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from skyline_spark.config import PipelineConfig
+from skyline_spark.functions.consensus import preprocess_series, run_selected_algorithm
+from skyline_spark.schema import VERDICT_SCHEMA
+
+
+def _make_analyze_fn(cfg: PipelineConfig, now: float):
+    def analyze_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        start = time.perf_counter()
+        conv_id = pdf["conv_id"].iloc[0]
+        metric = pdf["metric"].iloc[0] if pdf["metric"].notna().any() else None
+        is_derivative = bool(pdf["is_derivative"].iloc[0]) if "is_derivative" in pdf else False
+        csp = None
+        if "custom_stale_period" in pdf and pd.notna(pdf["custom_stale_period"].iloc[0]):
+            csp = float(pdf["custom_stale_period"].iloc[0])
+
+        valid = pdf["value"].notna().to_numpy()
+        ts = pdf["ts_epoch"].to_numpy(dtype=np.float64)[valid]
+        values = pdf["value"].to_numpy(dtype=np.float64)[valid]
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore", RuntimeWarning)
+            ts, values = preprocess_series(ts, values, now, cfg,
+                                           is_derivative=is_derivative)
+            v = run_selected_algorithm(ts, values, now, cfg,
+                                       custom_stale_period=csp)
+        elapsed_ms = (time.perf_counter() - start) * 1000.0
+        return pd.DataFrame([{
+            "conv_id": conv_id,
+            "metric": metric,
+            "anomalous": v.anomalous,
+            "ensemble": v.ensemble,
+            "triggered": v.triggered,
+            "algorithms_run": v.algorithms_run,
+            "datapoint": v.datapoint,
+            "exception": v.exception,
+            "negatives_found": v.negatives_found,
+            "n_points": v.n_points,
+            "last_ts": v.last_ts,
+            "analyze_ms": elapsed_ms,
+        }])
+
+    return analyze_group
+
+
+def analyze(enriched: DataFrame, cfg: PipelineConfig, now: float) -> DataFrame:
+    """enriched facts -> one verdict row per (conv_id, metric) series.
+
+    ``now`` is the batch watermark (max ts of the input) — supplied by the
+    caller so the whole job is a pure function of its input.
+    """
+    projected = (
+        enriched
+        .select(
+            "conv_id", "metric",
+            F.col("ts").cast("double").alias("ts_epoch"),
+            "value",
+            F.coalesce(F.col("is_derivative"), F.lit(False)).alias("is_derivative"),
+            F.col("custom_stale_period").cast("double").alias("custom_stale_period"),
+        )
+        # native pre-filters: drop non-event rows (EmptyTimeseries is
+        # computed natively, see empty_series_verdicts) and retention
+        # pre-trim — bounds group size AND pushes both predicates into
+        # the scan (exact same window the UDF would trim)
+        .filter(F.col("value").isNotNull()
+                & (F.col("ts_epoch") > F.lit(now - cfg.full_duration)))
+    )
+    return projected.groupBy("conv_id", "metric").applyInPandas(
+        _make_analyze_fn(cfg, now), schema=VERDICT_SCHEMA)
+
+
+def empty_series_verdicts(transcripts: DataFrame, parsed: DataFrame,
+                          cfg: PipelineConfig, now: float) -> DataFrame:
+    """Series that produce no verdict from the analyze group-by:
+
+    - E4/EmptyTimeseries — conv_ids whose turns parsed to zero valid
+      metric events (skyline/analyzer/analyzer.py:4884-4893);
+    - DeletedByRoomba — conv_ids with events but none inside the
+      retention window (the analogue of the series roomba vacuumed away
+      between listing and analysis, analyzer.py exceptions counter
+      'DeletedByRoomba', skyline/horizon/roomba.py:293-298).
+
+    Computed natively (anti-join on the in-window valid-event conv set);
+    unioned with the UDF verdicts so garbage rows never enter the Python
+    stage."""
+    valid = parsed.where(F.col("value").isNotNull())
+    have_any = valid.select("conv_id").distinct()
+    have_in_window = (
+        valid.where(F.col("ts").cast("double") > F.lit(now - cfg.full_duration))
+        .select("conv_id").distinct())
+    all_convs = transcripts.select("conv_id").distinct()
+    empties = (
+        all_convs.join(have_in_window, "conv_id", "left_anti")
+        .join(have_any.withColumn("__has_any", F.lit(True)), "conv_id", "left")
+        .select("conv_id",
+                F.when(F.col("__has_any").isNotNull(), F.lit("DeletedByRoomba"))
+                .otherwise(F.lit("EmptyTimeseries")).alias("__exc")))
+    return empties.select(
+        "conv_id",
+        F.lit(None).cast("string").alias("metric"),
+        F.lit(False).alias("anomalous"),
+        F.lit(None).cast("array<boolean>").alias("ensemble"),
+        F.lit(None).cast("array<string>").alias("triggered"),
+        F.lit(None).cast("array<string>").alias("algorithms_run"),
+        F.lit(None).cast("double").alias("datapoint"),
+        F.col("__exc").alias("exception"),
+        F.lit(False).alias("negatives_found"),
+        F.lit(0).cast("long").alias("n_points"),
+        F.lit(None).cast("double").alias("last_ts"),
+        F.lit(0.0).alias("analyze_ms"),
+    )

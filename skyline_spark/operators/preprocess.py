@@ -1,0 +1,107 @@
+"""Standalone native (JVM-side) variants of the per-series deterministic
+transforms T1-T8 (SURVEY.md §2.3).
+
+The production pipeline performs these *inside* the analyze group (one
+shuffle total); these DataFrame forms exist because each is a first-class
+operator of the reference and each is independently oracle-checkable
+against ANSI SQL. All are pure window/groupBy expressions — no Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sort_dedup(df: DataFrame, key: str = "conv_id", ts_col: str = "ts",
+               order_col: str = "turn_idx") -> DataFrame:
+    """T1+T2 — stable sort by (key, ts) keeping the FIRST point per
+    (key, ts) by the stable order column.
+
+    Refs: sort skyline/skyline_functions.py:2631; dedup-first-per-ts
+    skyline/analyzer/analyzer.py:575-581 (uniq_datapoints keeps first),
+    roomba variant skyline/horizon/roomba.py:300-307.
+    """
+    w = Window.partitionBy(key, ts_col).orderBy(F.col(order_col).asc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1).drop("__rn"))
+
+
+def retention_trim(df: DataFrame, full_duration: int, now_epoch: float,
+                   ts_col: str = "ts") -> DataFrame:
+    """T3 — keep points with ``ts > now - full_duration``
+    (skyline/horizon/roomba.py:300-307). A plain predicate: Catalyst
+    pushes it into the scan (partition pruning on a ts-partitioned
+    table)."""
+    return df.filter(F.col(ts_col).cast("double") > F.lit(now_epoch - full_duration))
+
+
+def non_negative_derivative(df: DataFrame, key: str = "conv_id",
+                            ts_col: str = "ts", value_col: str = "value"
+                            ) -> DataFrame:
+    """T4 — counter -> rate with Graphite nonNegativeDerivative semantics
+    (skyline/skyline_functions.py:1643-1671): per-point delta vs the
+    previous point; negative deltas (counter resets) are DROPPED, and the
+    first point has no delta. Window lag + filter, no Python."""
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc())
+    delta = F.col(value_col) - F.lag(value_col).over(w)
+    return (df.withColumn("__delta", delta)
+            .filter(F.col("__delta").isNotNull() & (F.col("__delta") >= 0))
+            .withColumn(value_col, F.col("__delta")).drop("__delta"))
+
+
+def monotonicity_flags(df: DataFrame, key: str = "conv_id",
+                       ts_col: str = "ts", value_col: str = "value"
+                       ) -> DataFrame:
+    """T5 — flag strictly-increasing non-negative series as derivative
+    metrics (skyline/skyline_functions.py:1673-1708): needs >= 90 points,
+    no negatives, not constant, nonzero sum of the tail, and
+    all diffs >= 0. Pure aggregates over a lag column."""
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc())
+    with_diff = df.withColumn("__diff", F.col(value_col) - F.lag(value_col).over(w))
+    # note: the reference's sum(tail)==0 exclusion is implied by the
+    # other three conditions for non-negative monotone series, so it
+    # needs no order-dependent aggregate here
+    return (with_diff.groupBy(key).agg(
+        F.count("*").alias("__n"),
+        F.min(value_col).alias("__minv"),
+        F.count_distinct(value_col).alias("__nd"),
+        F.min(F.when(F.col("__diff") < 0, 0).otherwise(1)).alias("__all_nonneg"),
+    ).select(
+        F.col(key),
+        ((F.col("__n") >= 90) & (F.col("__minv") >= 0) & (F.col("__nd") > 1)
+         & (F.col("__all_nonneg") == 1)).alias("is_strictly_increasing"),
+    ))
+
+
+def downsample(df: DataFrame, resolution_seconds: int,
+               method: str = "mean", key: str = "conv_id",
+               ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """T7 — re-bucket each series to a fixed resolution with mean (gauge)
+    or sum (derivative) aggregation
+    (skyline/functions/timeseries/downsample.py:19-70). Tumbling
+    F.window — map-side partial aggregation, single shuffle."""
+    fn = F.avg if method == "mean" else F.sum
+    return (df.groupBy(key, F.window(ts_col, f"{resolution_seconds} seconds"))
+            .agg(fn(value_col).alias(value_col))
+            .select(key, F.col("window.start").alias("bucket_start"),
+                    F.col(value_col)))
+
+
+def fill_zero(df: DataFrame, resolution_seconds: int, key: str = "conv_id",
+              ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """T6 — zero-fill gaps to a dense per-series lattice
+    (skyline/analyzer/analyzer.py:3595-3628
+    full_duration_timeseries_fill): native sequence + left join."""
+    spans = df.groupBy(key).agg(
+        F.min(F.col(ts_col).cast("long")).alias("t0"),
+        F.max(F.col(ts_col).cast("long")).alias("t1"))
+    lattice = spans.select(
+        key, F.explode(F.sequence("t0", "t1", F.lit(resolution_seconds))
+                       ).alias("__epoch"))
+    pts = df.select(key, F.col(ts_col).cast("long").alias("__epoch"),
+                    F.col(value_col))
+    out = lattice.join(pts, [key, "__epoch"], "left")
+    return out.select(
+        key, F.col("__epoch").cast("timestamp").alias(ts_col),
+        F.coalesce(F.col(value_col), F.lit(0.0)).alias(value_col))

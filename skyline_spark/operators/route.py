@@ -1,0 +1,97 @@
+"""Route stage — fan the per-turn rows out to per-sink tables based on
+the verdicts, in a single pass.
+
+Reference decision tree (skyline/analyzer/analyzer.py §2.7 of SURVEY.md):
+- exception                      -> 'exception' sink (E1-E4 counters,
+  analyzer.py:4884-5051)
+- not anomalous                  -> 'normal'
+  (analyzer.not_anomalous_metrics, analyzer.py:4042-4074)
+- anomalous and mirage metric    -> 'deferred'
+  (analyzer.sent_to_mirage + check file, analyzer.py:4340-4344, 4496-4538)
+- anomalous otherwise            -> 'anomalous'
+  (analyzer.real_anomalous_metrics, analyzer.py:4092-4105)
+- MIRAGE_ALWAYS metrics force-route to 'deferred' even when not
+  anomalous (analyzer.py:4144-4158)
+
+Per-turn ``text`` passes through UNMODIFIED (per-row invariant). The
+deferred sink carries a deterministic idempotence key mirroring
+``analyzer.mirage_check_sent.<ts>.<metric>`` (analyzer.py:4578-4583) and
+the waterfall-alert payload fields (analyzer.py:3958-3980).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from skyline_spark.schema import SINKS
+
+
+def sink_expr(mirage_always: list[str] | None = None):
+    base = (
+        F.when(F.col("exception").isNotNull(), F.lit("exception"))
+        .when(~F.col("anomalous"), F.lit("normal"))
+        .when(F.coalesce(F.col("is_mirage"), F.lit(False)), F.lit("deferred"))
+        .otherwise(F.lit("anomalous"))
+    )
+    if mirage_always:
+        force = F.col("metric").isin(mirage_always) & F.col("exception").isNull()
+        return F.when(force, F.lit("deferred")).otherwise(base)
+    return base
+
+
+def route_verdicts(verdicts: DataFrame, dim: DataFrame,
+                   mirage_always: list[str] | None = None) -> DataFrame:
+    """Attach sink + deferred-check metadata to verdict rows."""
+    v = verdicts.join(
+        F.broadcast(dim.select("metric", "is_mirage", "is_smtp_alerter",
+                               "second_order_resolution_hours",
+                               "expiration_time")),
+        "metric", "left")
+    v = v.withColumn("sink", sink_expr(mirage_always))
+    # mirage check-file analogue: idempotence key + hours_to_resolve
+    # (analyzer.py:4496-4538, 4578-4583)
+    return v.withColumn(
+        "check_id",
+        F.when(F.col("sink") == "deferred",
+               F.concat_ws(".", F.lit("mirage_check"),
+                           F.col("last_ts").cast("long").cast("string"),
+                           F.col("metric"))),
+    ).withColumn(
+        "hours_to_resolve",
+        F.when(F.col("sink") == "deferred",
+               F.col("second_order_resolution_hours")),
+    )
+
+
+def route_turns(transcripts: DataFrame, routed_verdicts: DataFrame) -> DataFrame:
+    """Join the full turn rows to their series verdict -> routed per-turn
+    rows for the sink tables.
+
+    The verdict side is one row per conv; Spark broadcasts it when small,
+    else AQE handles the conv_id shuffle (skew-join enabled for hot
+    conversations). ``text`` and all other turn columns pass through
+    untouched.
+    """
+    vcols = routed_verdicts.select(
+        "conv_id", "metric", "sink", "anomalous", "ensemble", "triggered",
+        "algorithms_run", "datapoint", "exception", "negatives_found",
+        "last_ts", "check_id", "hours_to_resolve")
+    return transcripts.join(vcols, "conv_id", "left") \
+        .withColumn("sink", F.coalesce(F.col("sink"), F.lit("exception")))
+
+
+def write_sinks(routed: DataFrame, base_path: str, fmt: str = "parquet") -> None:
+    """Single partitioned write — one pass, one file-set per sink.
+
+    Production target is Iceberg (``df.writeTo(table).append()`` per sink,
+    partitioned by days(ts) + bucket(conv_id)); this container has no
+    Iceberg runtime jar, so the layout is parquet partitioned by sink,
+    which exercises the same single-pass partitioned-write plan.
+    """
+    (routed.write.mode("overwrite").partitionBy("sink").format(fmt)
+     .save(base_path))
+
+
+def split_sinks(routed: DataFrame) -> dict[str, DataFrame]:
+    return {s: routed.filter(F.col("sink") == s) for s in SINKS}

@@ -1,0 +1,107 @@
+"""End-to-end routing tests on the deterministic fixture transcripts
+(FIXTURES.md §4): per-sink membership, text passthrough equality,
+order-invariance under shuffle+dup, derivative handling.
+
+Verdicts are collected ONCE per module (each Spark action re-executes
+the whole DAG); assertions run on the collected frame.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from skyline_spark.config import PipelineConfig
+from skyline_spark.plans.pipeline import run_pipeline
+from skyline_spark.schema import ALERT_CONFIG_SCHEMA
+from skyline_spark.sources.transcripts import synthetic_transcripts
+from skyline_spark.synth import fixture_alert_config
+
+
+@pytest.fixture(scope="module")
+def result(spark):
+    tdf = synthetic_transcripts(spark)
+    adf = spark.createDataFrame(
+        fixture_alert_config(),
+        schema=ALERT_CONFIG_SCHEMA).withColumn(
+        "priority", F.monotonically_increasing_id())
+    res = run_pipeline(spark, tdf, adf, PipelineConfig())
+    verdicts = res.routed_verdicts.toPandas().set_index("conv_id")
+    return res, tdf, verdicts
+
+
+def test_routing_membership(result):
+    _, _, v = result
+    assert v.loc["conv-app.server-0001", "sink"] == "anomalous"
+    assert bool(v.loc["conv-app.server-0001", "anomalous"])
+    assert v.loc["conv-stats.statsd-0002", "sink"] == "deferred"
+    assert v.loc["conv-app.server-0003", "sink"] == "normal"
+    assert v.loc["conv-app.server-0004", "exception"] == "TooShort"
+    assert v.loc["conv-app.server-0005", "exception"] == "Boring"
+    assert v.loc["conv-app.server-0006", "exception"] == "Stale"
+    assert v.loc["conv-app.server-0007", "exception"] == "EmptyTimeseries"
+    # exactly one verdict per conv
+    assert v.index.is_unique
+
+
+def test_deferred_check_metadata(result):
+    _, _, v = result
+    row = v.loc["conv-stats.statsd-0002"]
+    assert row.check_id.startswith("mirage_check.")
+    assert row.check_id.endswith(".stats.statsd.turns.rate")
+    assert row.hours_to_resolve == 168
+
+
+def test_unordered_dup_equals_sorted_twin(result):
+    _, _, v = result
+    twin = v.loc["conv-app.server-0009"]
+    messy = v.loc["conv-app.server-0010"]
+    # dedup keeps first-per-ts -> the injected 9999 dupes are dropped and
+    # the verdict equals the clean twin's
+    assert (messy.sink, messy.anomalous) == (twin.sink, twin.anomalous)
+    assert list(messy.ensemble) == list(twin.ensemble)
+    assert messy.n_points == twin.n_points == 3000
+
+
+def test_derivative_metric(result):
+    _, _, v = result
+    row = v.loc["conv-net.counters-0008"]
+    # counter series is transformed (derivative), analyzed without error;
+    # 5000 points -> 4999 deltas, minus the dropped negative reset delta
+    assert row.exception is None
+    assert row.n_points == 4998
+    assert row.sink == "normal"
+
+
+def test_negatives_flag(result):
+    _, _, v = result
+    row = v.loc["conv-app.server-0011"]
+    assert row.anomalous and row.negatives_found
+
+
+def test_text_passthrough_equality(result):
+    """Per-row invariant: routed turn text equals input text under stable
+    (conv_id, turn_idx) ordering."""
+    res, tdf, _ = result
+    orig = tdf.select("conv_id", "turn_idx", "text")
+    routed = res.routed_turns.select("conv_id", "turn_idx",
+                                     F.col("text").alias("routed_text"))
+    diff = orig.join(routed, ["conv_id", "turn_idx"], "full") \
+        .where((F.col("text") != F.col("routed_text"))
+               | F.col("text").isNull() | F.col("routed_text").isNull())
+    assert diff.count() == 0
+
+
+def test_sink_counts(result):
+    _, _, v = result
+    counts = v.groupby("sink").size().to_dict()
+    assert counts == {"anomalous": 2, "deferred": 1, "normal": 4,
+                      "exception": 4}
+
+
+def test_golden_verdict_values(result):
+    _, _, v = result
+    row = v.loc["conv-app.server-0001"]
+    assert row.datapoint == 1000.0
+    assert sum(1 for x in row.ensemble if x is True) >= 6
+    assert row.metric == "app.server.turns.rate"
