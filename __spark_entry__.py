@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship parse -> enrich -> analyze -> route
+pipeline over transcripts derived deterministically from the sf0.001
+events table. ``queries()``/``oracle_sql()`` expose the operator registry
+(skyline_spark.queries.REGISTRY): every ANSI-SQL-expressible operator
+carries a DuckDB oracle; the consensus vote (grubbs needs Student-t ISF,
+ks_test needs KS+ADF) is rows-only and covered by the golden-fixture
+pytest suite instead.
 """
 
 from __future__ import annotations
@@ -16,23 +18,18 @@ from pyspark.sql import DataFrame, SparkSession
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from skyline_spark.queries import q_consensus_verdicts
+    return q_consensus_verdicts(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    from skyline_spark.queries import REGISTRY
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each SQL-expressible query."""
+    from skyline_spark.queries import REGISTRY
+    return {name: sql for name, (_fn, sql) in REGISTRY.items()
+            if sql is not None}

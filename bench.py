@@ -1,0 +1,117 @@
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric", "value" (total seconds), "unit": "sec",
+"queries": {name: sec}, "sf", plus throughput extras}.
+
+The headline is the end-to-end parse->enrich->analyze->route pipeline
+(BASELINE.json metric: parse->route throughput in turns/sec).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    from pyspark.sql import functions as F
+
+    from skyline_spark import queries as Q
+    from skyline_spark.session import get_spark
+    spark = get_spark(app_name="skyline_spark_bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+
+    timings: dict[str, float] = {}
+    n_turns = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+
+    fast = os.environ.get("SPARK_GRAFT_BENCH_FAST", "") == "1"
+
+    def timed(name: str, make_df, runs: int = 2) -> None:
+        # the sandbox host has noisy multi-second stalls: take min of 2
+        # runs, and a 3rd when the first two disagree > 50%
+        samples: list[float] = []
+        for i in range(1 if fast else runs + 1):
+            if i == runs:
+                if min(samples) < 1e-9 or (max(samples) / min(samples)) < 1.5:
+                    break
+                if sum(samples) > 150:
+                    break
+            spark.catalog.clearCache()  # fresh run, no leaked persists
+            t0 = time.perf_counter()
+            df = make_df()
+            # force full materialization without collecting payloads
+            df.write.mode("overwrite").format("noop").save()
+            samples.append(time.perf_counter() - t0)
+            if samples[-1] > 60:  # stay within the harness budget
+                break
+        timings[name] = round(min(samples), 3)
+
+    # Input materialization (NOT timed): the pipeline's contract input is
+    # a transcripts *table* (Iceberg/parquet); the events->transcripts
+    # derivation is test-harness scaffolding. The replicated variant
+    # fans the series population out R× (same lengths) so sustained
+    # throughput is measured where fixed job overhead amortizes.
+    replicas = int(os.environ.get("SPARK_GRAFT_REPLICAS", "20"))
+    from skyline_spark.sources.transcripts import transcripts_from_events
+    base = transcripts_from_events(spark, sf_dir)
+    rep = spark.range(replicas).select(F.col("id").cast("int").alias("replica"))
+    replicated = base.crossJoin(rep).withColumn(
+        "conv_id", F.concat_ws("-", "conv_id", F.col("replica").cast("string"))
+    ).drop("replica")
+    import tempfile
+    tdir = tempfile.mkdtemp(prefix="skyline_bench_")
+    base.write.mode("overwrite").parquet(f"{tdir}/t1")
+    replicated.write.mode("overwrite").parquet(f"{tdir}/tR")
+    t1 = spark.read.parquet(f"{tdir}/t1")
+    tR = spark.read.parquet(f"{tdir}/tR")
+
+    def pipeline_turns(tdf):
+        from skyline_spark.plans.pipeline import run_pipeline
+        from skyline_spark.queries import _events_alert_config, _events_cfg
+        res = run_pipeline(spark, tdf, _events_alert_config(spark),
+                           _events_cfg())
+        return res.routed_turns
+
+    # untimed warmup: spin up python workers, JIT codegen, shuffle dirs
+    pipeline_turns(t1.limit(2000)).write.mode("overwrite").format("noop").save()
+
+    timed("q1_pipeline_end_to_end", lambda: pipeline_turns(t1))
+    timed(f"q1r_pipeline_replicated_{replicas}x",
+          lambda: pipeline_turns(tR))
+    timed("q2_parse_events", lambda: Q.q_parse(spark, sf_dir))
+    timed("q3_exception_filters", lambda: Q.q_exceptions(spark, sf_dir))
+    timed("q4_downsample_1h", lambda: Q.q_downsample_1h(spark, sf_dir))
+    timed("q5_flux_aggregate_1h", lambda: Q.q_flux_aggregate_1h(spark, sf_dir))
+    timed("q6_least_squares", lambda: Q.q_least_squares(spark, sf_dir))
+    timed("q7_correlate_pearson", lambda: Q.q_correlate(spark, sf_dir))
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "end-to-end parse->route pipeline + headline operators, total wall seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "turns": n_turns,
+        "pipeline_turns_per_sec": round(n_turns / timings["q1_pipeline_end_to_end"], 1),
+        "sustained_turns_per_sec": round(
+            n_turns * replicas / timings[f"q1r_pipeline_replicated_{replicas}x"], 1),
+        "replicas": replicas,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,95 @@
+"""Local stand-in for the driver's correctness gate: run every REGISTRY
+query in Spark AND its DuckDB oracle on the same sf dir, compare row
+count, column set, and order-insensitive values.
+
+Usage: python scripts/check_oracles.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, ".")
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            # decode any decimal/bytes-likes to canonical types
+            try:
+                df[c] = pd.to_numeric(df[c])
+            except (ValueError, TypeError):
+                pass
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].dt.tz_localize(None) if getattr(df[c].dt, "tz", None) else df[c]
+        if pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].round(6)
+        if pd.api.types.is_bool_dtype(df[c]) or str(df[c].dtype) == "boolean":
+            df[c] = df[c].astype("boolean")
+    df = df.sort_values(by=list(df.columns), ignore_index=True,
+                        na_position="last")
+    return df
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    from skyline_spark.queries import REGISTRY
+    from skyline_spark.session import get_spark
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{sf_dir}/{t}.parquet')")
+
+    failures = 0
+    for name, (fn, sql) in REGISTRY.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        if sql is None:
+            print(f"ok    {name}: rows-only ({len(sdf)} rows)")
+            continue
+        try:
+            odf = con.sql(sql).df()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error {type(e).__name__}: {e}")
+            failures += 1
+            continue
+        a, b = normalize(sdf), normalize(odf)
+        if list(a.columns) != list(b.columns):
+            print(f"FAIL  {name}: columns {list(a.columns)} vs {list(b.columns)}")
+            failures += 1
+            continue
+        if len(a) != len(b):
+            print(f"FAIL  {name}: rows {len(a)} vs {len(b)}")
+            failures += 1
+            continue
+        try:
+            pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                          check_exact=False, atol=2e-6, rtol=1e-6)
+            print(f"OK    {name}: {len(a)} rows match")
+        except AssertionError as e:
+            print(f"FAIL  {name}: value mismatch\n{str(e)[:600]}")
+            failures += 1
+    print(f"\n{failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

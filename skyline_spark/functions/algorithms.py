@@ -30,11 +30,22 @@ caller's invariant (stable (conv_id, turn_idx) sort upstream).
 from __future__ import annotations
 
 import math
+from functools import lru_cache
 
 import numpy as np
 import pandas as pd
 
 from skyline_spark.functions.stats import adfuller_pvalue, ks_2samp, t_isf
+
+
+@lru_cache(maxsize=65536)
+def _grubbs_threshold(n: int) -> float:
+    """Grubbs critical score for series length n — depends only on n, and
+    real series populations repeat lengths heavily, so memoize the
+    t-ISF bisection (pure-python, ~ms each)."""
+    threshold = t_isf(0.05 / (2 * n), n - 2)
+    t2 = threshold * threshold
+    return ((n - 1) / math.sqrt(n)) * math.sqrt(t2 / (n - 2 + t2))
 
 FULL_DURATION_DEFAULT = 86400
 
@@ -80,11 +91,7 @@ def grubbs(ts: np.ndarray, values: np.ndarray,
         return False
     mean = float(np.mean(values))
     z_score = (tail_avg(values) - mean) / std_dev
-    threshold = t_isf(0.05 / (2 * n), n - 2)
-    threshold_squared = threshold * threshold
-    grubbs_score = ((n - 1) / math.sqrt(n)) * math.sqrt(
-        threshold_squared / (n - 2 + threshold_squared))
-    return bool(z_score > grubbs_score)
+    return bool(z_score > _grubbs_threshold(n))
 
 
 def first_hour_average(ts: np.ndarray, values: np.ndarray,

@@ -32,6 +32,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from skyline_spark.functions.spark_utils import epoch_seconds
+
 from skyline_spark.config import PipelineConfig
 from skyline_spark.functions.consensus import preprocess_series, run_selected_algorithm
 from skyline_spark.schema import VERDICT_SCHEMA
@@ -85,7 +87,7 @@ def analyze(enriched: DataFrame, cfg: PipelineConfig, now: float) -> DataFrame:
         enriched
         .select(
             "conv_id", "metric",
-            F.col("ts").cast("double").alias("ts_epoch"),
+            epoch_seconds(F.col("ts")).alias("ts_epoch"),
             "value",
             F.coalesce(F.col("is_derivative"), F.lit(False)).alias("is_derivative"),
             F.col("custom_stale_period").cast("double").alias("custom_stale_period"),
@@ -112,20 +114,19 @@ def empty_series_verdicts(transcripts: DataFrame, parsed: DataFrame,
       between listing and analysis, analyzer.py exceptions counter
       'DeletedByRoomba', skyline/horizon/roomba.py:293-298).
 
-    Computed natively (anti-join on the in-window valid-event conv set);
-    unioned with the UDF verdicts so garbage rows never enter the Python
-    stage."""
-    valid = parsed.where(F.col("value").isNotNull())
-    have_any = valid.select("conv_id").distinct()
-    have_in_window = (
-        valid.where(F.col("ts").cast("double") > F.lit(now - cfg.full_duration))
-        .select("conv_id").distinct())
-    all_convs = transcripts.select("conv_id").distinct()
+    Computed natively in a SINGLE aggregation pass over the parsed rows
+    (one scan, map-side partial agg); unioned with the UDF verdicts so
+    garbage rows never enter the Python stage."""
+    valid = F.col("value").isNotNull()
+    in_window = valid & (epoch_seconds(F.col("ts"))
+                         > F.lit(now - cfg.full_duration))
+    flags = parsed.groupBy("conv_id").agg(
+        F.max(valid.cast("int")).alias("__has_any"),
+        F.max(in_window.cast("int")).alias("__has_window"))
     empties = (
-        all_convs.join(have_in_window, "conv_id", "left_anti")
-        .join(have_any.withColumn("__has_any", F.lit(True)), "conv_id", "left")
+        flags.where(F.col("__has_window") == 0)
         .select("conv_id",
-                F.when(F.col("__has_any").isNotNull(), F.lit("DeletedByRoomba"))
+                F.when(F.col("__has_any") == 1, F.lit("DeletedByRoomba"))
                 .otherwise(F.lit("EmptyTimeseries")).alias("__exc")))
     return empties.select(
         "conv_id",

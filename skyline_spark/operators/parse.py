@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from skyline_spark.functions.spark_utils import epoch_seconds
+
 #: the metric-event grammar (FIXTURES.md §1)
 EVENT_RE = r"metric=([A-Za-z0-9_.]+)\s+value=(-?\d+(?:\.\d+)?)(?:\s+err=([A-Z]\d{3}))?"
 
@@ -82,7 +84,7 @@ def validate_events(parsed: DataFrame, now_epoch: float | None = None,
     """
     df = parsed.filter(F.col("metric").isNotNull() & valid_metric_name())
     if now_epoch is not None:
-        ts_epoch = F.col("ts").cast("double")
+        ts_epoch = epoch_seconds(F.col("ts"))
         df = df.filter(ts_epoch <= F.lit(now_epoch + max_future_seconds))
         if max_age_seconds is not None:
             df = df.filter(ts_epoch >= F.lit(now_epoch - max_age_seconds))

@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from skyline_spark.functions.spark_utils import epoch_seconds
+
 
 def sort_dedup(df: DataFrame, key: str = "conv_id", ts_col: str = "ts",
                order_col: str = "turn_idx") -> DataFrame:
@@ -33,7 +35,7 @@ def retention_trim(df: DataFrame, full_duration: int, now_epoch: float,
     (skyline/horizon/roomba.py:300-307). A plain predicate: Catalyst
     pushes it into the scan (partition pruning on a ts-partitioned
     table)."""
-    return df.filter(F.col(ts_col).cast("double") > F.lit(now_epoch - full_duration))
+    return df.filter(epoch_seconds(F.col(ts_col)) > F.lit(now_epoch - full_duration))
 
 
 def non_negative_derivative(df: DataFrame, key: str = "conv_id",

@@ -64,19 +64,24 @@ def route_verdicts(verdicts: DataFrame, dim: DataFrame,
     )
 
 
-def route_turns(transcripts: DataFrame, routed_verdicts: DataFrame) -> DataFrame:
+def route_turns(transcripts: DataFrame, routed_verdicts: DataFrame,
+                broadcast_verdicts: bool = True) -> DataFrame:
     """Join the full turn rows to their series verdict -> routed per-turn
     rows for the sink tables.
 
-    The verdict side is one row per conv; Spark broadcasts it when small,
-    else AQE handles the conv_id shuffle (skew-join enabled for hot
-    conversations). ``text`` and all other turn columns pass through
-    untouched.
+    The verdict side is one row per conversation — dimension-sized
+    relative to the turn facts — so it is broadcast by default (no
+    shuffle of the wide turn rows). For extreme conv cardinality pass
+    ``broadcast_verdicts=False`` and AQE handles the conv_id shuffle
+    (skew-join enabled for hot conversations). ``text`` and all other
+    turn columns pass through untouched.
     """
     vcols = routed_verdicts.select(
         "conv_id", "metric", "sink", "anomalous", "ensemble", "triggered",
         "algorithms_run", "datapoint", "exception", "negatives_found",
         "last_ts", "check_id", "hours_to_resolve")
+    if broadcast_verdicts:
+        vcols = F.broadcast(vcols)
     return transcripts.join(vcols, "conv_id", "left") \
         .withColumn("sink", F.coalesce(F.col("sink"), F.lit("exception")))
 

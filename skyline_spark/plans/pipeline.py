@@ -13,6 +13,8 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from skyline_spark.functions.spark_utils import epoch_seconds
+
 from skyline_spark.config import PipelineConfig
 from skyline_spark.operators.analyze import analyze, empty_series_verdicts
 from skyline_spark.operators.enrich import enrich
@@ -34,24 +36,35 @@ class PipelineResult:
 def batch_now(transcripts: DataFrame) -> float:
     """The batch watermark: max(ts). The only driver-side scalar the
     plan needs (replaces every wall-clock read in the reference)."""
-    row = transcripts.agg(F.max(F.col("ts").cast("double"))).first()
+    row = transcripts.agg(F.max(epoch_seconds(F.col("ts")))).first()
     return float(row[0])
 
 
 def run_pipeline(spark: SparkSession, transcripts: DataFrame,
                  alert_config: DataFrame, cfg: PipelineConfig | None = None,
                  now: float | None = None,
-                 mirage_always: list[str] | None = None) -> PipelineResult:
+                 mirage_always: list[str] | None = None,
+                 persist_intermediates: bool = True) -> PipelineResult:
     cfg = cfg or PipelineConfig()
     if now is None:
         now = batch_now(transcripts)
 
     parsed = parse_events(transcripts)
     enriched, dim = enrich(parsed, alert_config)
+    if persist_intermediates:
+        # dim and verdicts are SERIES-cardinality (#distinct metrics /
+        # #conversations), orders of magnitude smaller than the fact
+        # table at any scale — persisting them stops every downstream
+        # action from re-running the parse scan + the analyze shuffle.
+        # The fact table itself is never cached (rescans are pruned
+        # columnar reads).
+        dim = dim.persist()
 
     verdicts = analyze(enriched, cfg, now)
     empties = empty_series_verdicts(transcripts, parsed, cfg, now)
     all_verdicts = verdicts.unionByName(empties)
+    if persist_intermediates:
+        all_verdicts = all_verdicts.persist()
 
     routed_v = route_verdicts(all_verdicts, dim, mirage_always)
     routed_t = route_turns(transcripts, routed_v)

@@ -1,0 +1,534 @@
+"""The oracle-checked query registry backing ``__spark_entry__``.
+
+Every operator from SURVEY.md §2 that is ANSI-SQL-expressible gets BOTH a
+Spark builder (DataFrame API, reusing the real operator code) and a
+DuckDB oracle SQL string over the same parquet tables. The input for the
+pipeline operators is the deterministic events->transcripts derivation
+(skyline_spark.sources.transcripts), reproduced verbatim in the oracle's
+``transcripts`` CTE, so the whole parse -> enrich -> route surface is
+value-checked end to end.
+
+Float outputs are rounded to 6 decimals on BOTH sides (engine summation
+order differs in low-order bits). Column names are identical on both
+sides (the driver hashes values after sorting columns by name).
+
+Window parameters for the events-derived data (its native cadence is
+minutes-per-conv over ~30 days, vs the reference's 1 Hz over 1 day):
+FULL_DURATION -> 21 days, STALE_PERIOD -> 7 days, first-hour window ->
+1 day. Same operator semantics, rescaled constants
+(cfg is the PipelineConfig contract, skyline/settings.py:102,497).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from skyline_spark.functions.spark_utils import epoch_seconds
+
+from skyline_spark.config import PipelineConfig
+from skyline_spark.operators import preprocess
+from skyline_spark.operators.parse import EVENT_RE, parse_events
+from skyline_spark.sources.transcripts import (
+    DUCKDB_TRANSCRIPTS_SQL,
+    transcripts_from_events,
+)
+
+FD = 21 * 86400          # full_duration for events-derived series
+STALE = 7 * 86400        # stale_period
+FH_WINDOW = 86400        # "first hour" window, rescaled to the data cadence
+MIN_LEN = 100
+BOREDOM_N = 100
+
+# ---------------------------------------------------------------------------
+# oracle SQL scaffolding
+# ---------------------------------------------------------------------------
+
+_PROLOGUE = """
+WITH transcripts AS (__TRANSCRIPTS__),
+parsed AS (
+    SELECT conv_id, turn_idx, role, text, tool, ts,
+           nullif(regexp_extract(text, '__EVENT_RE__', 1), '') AS metric,
+           CAST(nullif(regexp_extract(text, '__EVENT_RE__', 2), '') AS DOUBLE) AS value,
+           nullif(regexp_extract(text, '__EVENT_RE__', 3), '') AS err
+    FROM transcripts),
+valid AS (SELECT * FROM parsed WHERE value IS NOT NULL),
+batch AS (SELECT max(epoch(ts)) AS now FROM transcripts)
+"""
+
+
+def _sql(body: str) -> str:
+    return (_PROLOGUE
+            .replace("__TRANSCRIPTS__", DUCKDB_TRANSCRIPTS_SQL)
+            .replace("__EVENT_RE__", EVENT_RE)) + body
+
+
+# ---------------------------------------------------------------------------
+# shared Spark helpers
+# ---------------------------------------------------------------------------
+
+def _parsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return parse_events(transcripts_from_events(spark, sf_dir))
+
+
+def _valid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _parsed(spark, sf_dir).where(F.col("value").isNotNull())
+
+
+def _now_col(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """Attach the batch watermark as a column via a broadcast scalar —
+    no driver-side collect, no single-partition window."""
+    scalar = df.agg(F.max(epoch_seconds(F.col(ts_col))).alias("now"))
+    return df.crossJoin(F.broadcast(scalar))
+
+
+_R6 = lambda c: F.round(c, 6)  # noqa: E731
+
+
+# ---------------------------------------------------------------------------
+# queries — parse / preprocess (P/T operators)
+# ---------------------------------------------------------------------------
+
+def q_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P7/S3 — the grok parse stage (SURVEY.md §2.2)."""
+    return _parsed(spark, sf_dir).select(
+        "conv_id", "turn_idx", "role", "tool", "metric", "value", "err",
+        "has_err")
+
+
+SQL_PARSE = _sql("""
+SELECT conv_id, turn_idx, role, tool, metric, value, err,
+       err IS NOT NULL AS has_err
+FROM parsed
+""")
+
+
+def q_sort_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1+T2 — stable sort + first-per-timestamp dedup, on minute
+    granularity (events are sub-minute unique)."""
+    df = _valid(spark, sf_dir).withColumn(
+        "minute", F.date_trunc("minute", F.col("ts")))
+    out = preprocess.sort_dedup(df, key="conv_id", ts_col="minute",
+                                order_col="turn_idx")
+    return out.select("conv_id", "turn_idx", "value")
+
+
+SQL_SORT_DEDUP = _sql("""
+SELECT conv_id, turn_idx, value FROM (
+    SELECT conv_id, turn_idx, value,
+           ROW_NUMBER() OVER (PARTITION BY conv_id, date_trunc('minute', ts)
+                              ORDER BY turn_idx) AS rn
+    FROM valid) WHERE rn = 1
+""")
+
+
+def q_retention_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T3 — keep ts > now - FULL_DURATION (roomba.py:300-307)."""
+    df = _now_col(_valid(spark, sf_dir))
+    return (df.where(epoch_seconds(F.col("ts")) > F.col("now") - FD)
+            .select("conv_id", "turn_idx", "value"))
+
+
+SQL_RETENTION_TRIM = _sql(f"""
+SELECT conv_id, turn_idx, value
+FROM valid, batch WHERE epoch(ts) > now - {FD}
+""")
+
+
+def q_derivative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4 — nonNegativeDerivative (skyline_functions.py:1643-1671)."""
+    out = preprocess.non_negative_derivative(
+        _valid(spark, sf_dir), key="conv_id", ts_col="ts", value_col="value")
+    return out.select("conv_id", "turn_idx", _R6(F.col("value")).alias("delta"))
+
+
+SQL_DERIVATIVE = _sql("""
+SELECT conv_id, turn_idx, round(delta, 6) AS delta FROM (
+    SELECT conv_id, turn_idx,
+           value - lag(value) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+               AS delta
+    FROM valid) WHERE delta IS NOT NULL AND delta >= 0
+""")
+
+
+def q_downsample_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 — downsample to 1 h buckets, mean
+    (functions/timeseries/downsample.py:19-70)."""
+    out = preprocess.downsample(_valid(spark, sf_dir), 3600, method="mean")
+    return out.select("conv_id", "bucket_start", _R6("value").alias("value"))
+
+
+SQL_DOWNSAMPLE_1H = _sql("""
+SELECT conv_id, date_trunc('hour', ts) AS bucket_start,
+       round(avg(value), 6) AS value
+FROM valid GROUP BY 1, 2
+""")
+
+
+def q_exceptions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1-E4 — the exception-filter routing predicates
+    (algorithms.py:1289-1347), computed natively per series."""
+    df = _now_col(_valid(spark, sf_dir))
+    df = df.where(epoch_seconds(F.col("ts")) > F.col("now") - FD)
+    w = Window.partitionBy("conv_id").orderBy(F.col("ts").desc(),
+                                              F.col("turn_idx").desc())
+    df = df.withColumn("rn_desc", F.row_number().over(w))
+    per_conv = df.groupBy("conv_id").agg(
+        F.count("*").alias("n"),
+        F.max(epoch_seconds(F.col("ts"))).alias("last_ts"),
+        F.max("now").alias("now"),
+        F.count_distinct(F.when(F.col("rn_desc") <= BOREDOM_N,
+                                F.col("value"))).alias("tail_distinct"),
+    )
+    return per_conv.select(
+        "conv_id",
+        F.when(F.col("n") < MIN_LEN, "TooShort")
+        .when(F.col("now") - F.col("last_ts") > STALE, "Stale")
+        .when(F.col("tail_distinct") == 1, "Boring")
+        .otherwise("OK").alias("exception"),
+    )
+
+
+SQL_EXCEPTIONS = _sql(f"""
+SELECT conv_id,
+       CASE WHEN n < {MIN_LEN} THEN 'TooShort'
+            WHEN now - last_ts > {STALE} THEN 'Stale'
+            WHEN tail_distinct = 1 THEN 'Boring'
+            ELSE 'OK' END AS exception
+FROM (
+    SELECT conv_id, count(*) AS n, max(epoch(ts)) AS last_ts,
+           max(now) AS now,
+           count(DISTINCT CASE WHEN rn_desc <= {BOREDOM_N} THEN value END)
+               AS tail_distinct
+    FROM (
+        SELECT v.*, now,
+               ROW_NUMBER() OVER (PARTITION BY conv_id
+                                  ORDER BY ts DESC, turn_idx DESC) AS rn_desc
+        FROM valid v, batch WHERE epoch(ts) > now - {FD})
+    GROUP BY conv_id)
+""")
+
+
+# ---------------------------------------------------------------------------
+# queries — SQL-expressible algorithms (A0, A1, A3, A4, A6, A7)
+# ---------------------------------------------------------------------------
+
+def q_tail_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A0 — mean of last three values (algorithms.py:180-191)."""
+    df = _valid(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy(F.col("ts").desc(),
+                                              F.col("turn_idx").desc())
+    tail = df.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+    return tail.groupBy("conv_id").agg(
+        _R6(F.avg("value")).alias("tail_avg"))
+
+
+SQL_TAIL_AVG = _sql("""
+SELECT conv_id, round(avg(value), 6) AS tail_avg FROM (
+    SELECT conv_id, value,
+           ROW_NUMBER() OVER (PARTITION BY conv_id
+                              ORDER BY ts DESC, turn_idx DESC) AS rn
+    FROM valid) WHERE rn <= 3 GROUP BY conv_id
+""")
+
+
+def _tail_avg_df(df: DataFrame) -> DataFrame:
+    w = Window.partitionBy("conv_id").orderBy(F.col("ts").desc(),
+                                              F.col("turn_idx").desc())
+    return (df.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 3)
+            .groupBy("conv_id").agg(F.avg("value").alias("tail_avg")))
+
+
+def q_stddev_from_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4 — |tail_avg - mean| > 3 * sample std (algorithms.py:363-383),
+    expressed natively (SURVEY.md §2.5 'native-capable')."""
+    df = _valid(spark, sf_dir)
+    stats = df.groupBy("conv_id").agg(
+        F.avg("value").alias("mean"), F.stddev_samp("value").alias("std"))
+    out = _tail_avg_df(df).join(stats, "conv_id")
+    return out.select(
+        "conv_id", _R6("tail_avg").alias("tail_avg"), _R6("mean").alias("mean"),
+        _R6("std").alias("std"),
+        (F.abs(F.col("tail_avg") - F.col("mean")) > 3 * F.col("std"))
+        .alias("anomalous"))
+
+
+SQL_STDDEV_FROM_AVERAGE = _sql("""
+SELECT s.conv_id, round(t.tail_avg, 6) AS tail_avg, round(s.mean, 6) AS mean,
+       round(s.std, 6) AS std, abs(t.tail_avg - s.mean) > 3 * s.std AS anomalous
+FROM (SELECT conv_id, avg(value) AS mean, stddev_samp(value) AS std
+      FROM valid GROUP BY conv_id) s
+JOIN (SELECT conv_id, avg(value) AS tail_avg FROM (
+          SELECT conv_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY conv_id
+                                    ORDER BY ts DESC, turn_idx DESC) AS rn
+          FROM valid) WHERE rn <= 3 GROUP BY conv_id) t
+  ON s.conv_id = t.conv_id
+""")
+
+
+def q_median_absolute_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 — exact-median MAD test (algorithms.py:221-282): statistic is
+    the LAST point's deviation over the median deviation, > 6."""
+    df = _valid(spark, sf_dir)
+    med = df.groupBy("conv_id").agg(F.median("value").alias("med"))
+    dev = df.join(med, "conv_id").withColumn(
+        "dev", F.abs(F.col("value") - F.col("med")))
+    w = Window.partitionBy("conv_id").orderBy(F.col("ts").desc(),
+                                              F.col("turn_idx").desc())
+    dev = dev.withColumn("rn", F.row_number().over(w))
+    agg = dev.groupBy("conv_id").agg(
+        F.median("dev").alias("mad"),
+        F.max(F.when(F.col("rn") == 1, F.col("dev"))).alias("last_dev"))
+    return agg.select(
+        "conv_id", _R6("mad").alias("mad"),
+        F.when(F.col("mad") == 0, F.lit(False))
+        .otherwise(F.col("last_dev") / F.col("mad") > 6).alias("anomalous"))
+
+
+SQL_MAD = _sql("""
+SELECT conv_id, round(mad, 6) AS mad,
+       CASE WHEN mad = 0 THEN FALSE ELSE last_dev / mad > 6 END AS anomalous
+FROM (
+    SELECT conv_id, median(dev) AS mad,
+           max(CASE WHEN rn = 1 THEN dev END) AS last_dev
+    FROM (
+        SELECT v.conv_id, abs(v.value - m.med) AS dev,
+               ROW_NUMBER() OVER (PARTITION BY v.conv_id
+                                  ORDER BY ts DESC, turn_idx DESC) AS rn
+        FROM valid v
+        JOIN (SELECT conv_id, median(value) AS med FROM valid
+              GROUP BY conv_id) m ON v.conv_id = m.conv_id)
+    GROUP BY conv_id)
+""")
+
+
+def q_mean_subtraction_cumulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — |v_last - mean(head)| > 3 * sample std(head)
+    (algorithms.py:433-466; demeaning does not change the std)."""
+    df = _valid(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy(F.col("ts").desc(),
+                                              F.col("turn_idx").desc())
+    df = df.withColumn("rn", F.row_number().over(w))
+    agg = df.groupBy("conv_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("value"))).alias("v_last"),
+        F.avg(F.when(F.col("rn") > 1, F.col("value"))).alias("head_mean"),
+        F.stddev_samp(F.when(F.col("rn") > 1, F.col("value"))).alias("head_std"))
+    return agg.select(
+        "conv_id", _R6("head_mean").alias("head_mean"),
+        _R6("head_std").alias("head_std"),
+        (F.abs(F.col("v_last") - F.col("head_mean")) > 3 * F.col("head_std"))
+        .alias("anomalous"))
+
+
+SQL_MSC = _sql("""
+SELECT conv_id, round(head_mean, 6) AS head_mean,
+       round(head_std, 6) AS head_std,
+       abs(v_last - head_mean) > 3 * head_std AS anomalous
+FROM (
+    SELECT conv_id, max(CASE WHEN rn = 1 THEN value END) AS v_last,
+           avg(CASE WHEN rn > 1 THEN value END) AS head_mean,
+           stddev_samp(CASE WHEN rn > 1 THEN value END) AS head_std
+    FROM (SELECT conv_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY conv_id
+                                    ORDER BY ts DESC, turn_idx DESC) AS rn
+          FROM valid)
+    GROUP BY conv_id)
+""")
+
+
+def q_least_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7 — closed-form OLS residual test (algorithms.py:490-573) via
+    native regr_slope/regr_intercept aggregates."""
+    df = _valid(spark, sf_dir).withColumn(
+        "x", epoch_seconds(F.col("ts")))
+    fit = df.groupBy("conv_id").agg(
+        F.regr_slope("value", "x").alias("m"),
+        F.regr_intercept("value", "x").alias("c"))
+    res = df.join(fit, "conv_id").withColumn(
+        "err_", F.col("value") - (F.col("m") * F.col("x") + F.col("c")))
+    w = Window.partitionBy("conv_id").orderBy(F.col("ts").desc(),
+                                              F.col("turn_idx").desc())
+    res = res.withColumn("rn", F.row_number().over(w))
+    agg = res.groupBy("conv_id").agg(
+        F.stddev_samp("err_").alias("std"),
+        F.avg(F.when(F.col("rn") <= 3, F.col("err_"))).alias("t3"))
+    return agg.select(
+        "conv_id", _R6("std").alias("resid_std"), _R6("t3").alias("t3"),
+        ((F.abs(F.col("t3")) > 3 * F.col("std"))
+         & (F.round("std", 0) != 0) & (F.round("t3", 0) != 0))
+        .alias("anomalous"))
+
+
+SQL_LEAST_SQUARES = _sql("""
+SELECT conv_id, round(std, 6) AS resid_std, round(t3, 6) AS t3,
+       (abs(t3) > 3 * std AND round(std, 0) <> 0 AND round(t3, 0) <> 0)
+           AS anomalous
+FROM (
+    SELECT conv_id, stddev_samp(err_) AS std,
+           avg(CASE WHEN rn <= 3 THEN err_ END) AS t3
+    FROM (
+        SELECT v.conv_id, v.value - (f.m * epoch(v.ts) + f.c) AS err_,
+               ROW_NUMBER() OVER (PARTITION BY v.conv_id
+                                  ORDER BY v.ts DESC, v.turn_idx DESC) AS rn
+        FROM valid v
+        JOIN (SELECT conv_id, regr_slope(value, epoch(ts)) AS m,
+                     regr_intercept(value, epoch(ts)) AS c
+              FROM valid GROUP BY conv_id) f ON v.conv_id = f.conv_id)
+    GROUP BY conv_id)
+""")
+
+
+def q_first_hour_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 — tail_avg vs the first window of the analysis period
+    (algorithms.py:327-351), window rescaled to the data cadence."""
+    df = _valid(spark, sf_dir)
+    last = df.groupBy("conv_id").agg(
+        F.max(epoch_seconds(F.col("ts"))).alias("last_ts"))
+    j = df.join(last, "conv_id").withColumn("x", epoch_seconds(F.col("ts")))
+    start = F.col("last_ts") - FD
+    fh = j.where((F.col("x") > start) & (F.col("x") < start + FH_WINDOW))
+    stats = fh.groupBy("conv_id").agg(
+        F.avg("value").alias("fh_mean"), F.stddev_samp("value").alias("fh_std"))
+    out = _tail_avg_df(df).join(stats, "conv_id")
+    return out.select(
+        "conv_id", _R6("fh_mean").alias("fh_mean"), _R6("fh_std").alias("fh_std"),
+        (F.abs(F.col("tail_avg") - F.col("fh_mean")) > 3 * F.col("fh_std"))
+        .alias("anomalous"))
+
+
+SQL_FIRST_HOUR_AVERAGE = _sql(f"""
+SELECT s.conv_id, round(s.fh_mean, 6) AS fh_mean, round(s.fh_std, 6) AS fh_std,
+       abs(t.tail_avg - s.fh_mean) > 3 * s.fh_std AS anomalous
+FROM (
+    SELECT v.conv_id, avg(value) AS fh_mean, stddev_samp(value) AS fh_std
+    FROM valid v
+    JOIN (SELECT conv_id, max(epoch(ts)) AS last_ts FROM valid
+          GROUP BY conv_id) l ON v.conv_id = l.conv_id
+    WHERE epoch(v.ts) > l.last_ts - {FD}
+      AND epoch(v.ts) < l.last_ts - {FD} + {FH_WINDOW}
+    GROUP BY v.conv_id) s
+JOIN (SELECT conv_id, avg(value) AS tail_avg FROM (
+          SELECT conv_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY conv_id
+                                    ORDER BY ts DESC, turn_idx DESC) AS rn
+          FROM valid) WHERE rn <= 3 GROUP BY conv_id) t
+  ON s.conv_id = t.conv_id
+""")
+
+
+# ---------------------------------------------------------------------------
+# queries — aggregations / cross-series
+# ---------------------------------------------------------------------------
+
+def q_flux_aggregate_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 — flux tumbling-window aggregator (flux/aggregator.py:591-606)
+    over the raw events stream table."""
+    from skyline_spark.operators.aggregate import flux_aggregate
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = flux_aggregate(ev, 3600, namespace_col="event_type")
+    return out.select(
+        "namespace", "bucket_start", _R6("avg").alias("avg"),
+        _R6("sum").alias("sum"), _R6("min").alias("min"),
+        _R6("max").alias("max"))
+
+
+SQL_FLUX_AGGREGATE_1H = """
+SELECT event_type AS namespace, date_trunc('hour', ts) AS bucket_start,
+       round(avg(value), 6) AS avg, round(sum(value), 6) AS sum,
+       round(min(value), 6) AS min, round(max(value), 6) AS max
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_correlate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 — luminosity-style cross-series Pearson correlation
+    (luminosity/process_correlations.py:1073-1521, F.corr variant) on
+    hourly-downsampled series pairs sharing >= 20 buckets."""
+    b = preprocess.downsample(_valid(spark, sf_dir), 3600, method="mean")
+    left = b.select(F.col("conv_id").alias("conv_a"), "bucket_start",
+                    F.col("value").alias("va"))
+    right = b.select(F.col("conv_id").alias("conv_b"), "bucket_start",
+                     F.col("value").alias("vb"))
+    pairs = left.join(right, "bucket_start").where(
+        F.col("conv_a") < F.col("conv_b"))
+    out = pairs.groupBy("conv_a", "conv_b").agg(
+        F.count("*").alias("n"), F.corr("va", "vb").alias("r"))
+    return (out.where(F.col("n") >= 20)
+            .select("conv_a", "conv_b", "n", F.round("r", 4).alias("r")))
+
+
+SQL_CORRELATE = _sql("""
+, buckets AS (
+    SELECT conv_id, date_trunc('hour', ts) AS bucket_start,
+           avg(value) AS value
+    FROM valid GROUP BY 1, 2)
+SELECT a.conv_id AS conv_a, b.conv_id AS conv_b, count(*) AS n,
+       round(corr(a.value, b.value), 4) AS r
+FROM buckets a JOIN buckets b
+  ON a.bucket_start = b.bucket_start AND a.conv_id < b.conv_id
+GROUP BY 1, 2 HAVING count(*) >= 20
+""")
+
+
+# ---------------------------------------------------------------------------
+# consensus pipeline (non-SQL-expressible -> rows-only check)
+# ---------------------------------------------------------------------------
+
+def _events_cfg() -> PipelineConfig:
+    return PipelineConfig(full_duration=FD, stale_period=STALE)
+
+
+def q_consensus_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5/2.6 — the full 9-algorithm consensus vote per series. grubbs
+    (Student-t ISF) and ks_test (KS + ADF) are not ANSI-SQL-expressible,
+    so this is a rows-only check; the statistical semantics are covered
+    by the golden-fixture pytest suite instead."""
+    from skyline_spark.plans.pipeline import run_pipeline
+    tdf = transcripts_from_events(spark, sf_dir)
+    adf = _events_alert_config(spark)
+    res = run_pipeline(spark, tdf, adf, _events_cfg())
+    return res.routed_verdicts.select(
+        "conv_id", "metric", "anomalous", "exception", "sink",
+        _R6("datapoint").alias("datapoint"), "n_points")
+
+
+def _events_alert_config(spark: SparkSession) -> DataFrame:
+    from skyline_spark.schema import ALERT_CONFIG_SCHEMA
+    rows = [
+        ("click", "smtp", 3600, None, False, None),
+        ("error", "smtp", 1800, 168, False, None),     # mirage namespace
+        ("purchase", "slack", 3600, None, False, None),
+        ("signup", "smtp", 3600, None, False, None),
+        # 'view' left unmatched -> low-priority metric
+    ]
+    df = spark.createDataFrame(rows, schema=ALERT_CONFIG_SCHEMA)
+    return df.withColumn("priority", F.monotonically_increasing_id())
+
+
+def q_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7/G1 — per-sink routed-series counts (rows-only; downstream of
+    the consensus vote)."""
+    v = q_consensus_verdicts(spark, sf_dir)
+    return v.groupBy("sink").count().orderBy("sink")
+
+
+REGISTRY: dict[str, tuple] = {
+    "parse_events": (q_parse, SQL_PARSE),
+    "sort_dedup": (q_sort_dedup, SQL_SORT_DEDUP),
+    "retention_trim": (q_retention_trim, SQL_RETENTION_TRIM),
+    "non_negative_derivative": (q_derivative, SQL_DERIVATIVE),
+    "downsample_1h": (q_downsample_1h, SQL_DOWNSAMPLE_1H),
+    "exception_filters": (q_exceptions, SQL_EXCEPTIONS),
+    "tail_avg": (q_tail_avg, SQL_TAIL_AVG),
+    "stddev_from_average": (q_stddev_from_average, SQL_STDDEV_FROM_AVERAGE),
+    "median_absolute_deviation": (q_median_absolute_deviation, SQL_MAD),
+    "mean_subtraction_cumulation": (q_mean_subtraction_cumulation, SQL_MSC),
+    "least_squares": (q_least_squares, SQL_LEAST_SQUARES),
+    "first_hour_average": (q_first_hour_average, SQL_FIRST_HOUR_AVERAGE),
+    "flux_aggregate_1h": (q_flux_aggregate_1h, SQL_FLUX_AGGREGATE_1H),
+    "correlate_pearson": (q_correlate, SQL_CORRELATE),
+    "consensus_verdicts": (q_consensus_verdicts, None),
+    "sink_counts": (q_sink_counts, None),
+}
