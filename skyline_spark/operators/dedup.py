@@ -1,0 +1,212 @@
+"""Document deduplication operators for large-scale training-data
+pipelines: exact (hash group-by), MinHash+LSH, SimHash, and n-gram
+Jaccard near-dup.
+
+Everything is native Spark expressions (no Python UDFs): shingling via
+split/transform/sequence, hashing via xxhash64/md5, LSH banding via
+group-by on band signatures. All operators are deterministic (fixed
+hash seeds, no RNG).
+
+Scale design: each stage is one shuffle on a bounded key; candidate
+pairs come from LSH band buckets (never an all-pairs join); verification
+joins fetch shingle sets only for candidates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# tokenization / shingling (shared)
+# ---------------------------------------------------------------------------
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("tokens", F.split(F.col(text_col), " "))
+
+
+def with_shingles(df: DataFrame, k: int = 3,
+                  text_col: str = "text") -> DataFrame:
+    """k-token shingles as an array<string> column — pure native:
+    transform over an index sequence, slice + concat."""
+    df = with_tokens(df, text_col)
+    n = F.size("tokens")
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    shingle = lambda i: F.array_join(F.slice("tokens", i, k), " ")  # noqa: E731
+    return df.withColumn(
+        "shingles",
+        F.when(n >= k, F.array_distinct(F.transform(idx, shingle)))
+        .otherwise(F.array(F.array_join("tokens", " "))))
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Exact dedup via content-hash group-by: emits (doc_id, keep_id,
+    content_hash) for every duplicate row, keep_id = min doc_id of the
+    group. One shuffle on the hash."""
+    h = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
+    groups = h.groupBy("content_hash").agg(
+        F.min(id_col).alias("keep_id"), F.count("*").alias("n"))
+    dups = h.join(F.broadcast(groups.where(F.col("n") > 1)), "content_hash")
+    return (dups.where(F.col(id_col) != F.col("keep_id"))
+            .select(id_col, "keep_id", "content_hash"))
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Keep one row per distinct text (min id wins)."""
+    w_hash = docs.withColumn("content_hash", F.md5(F.col(text_col)))
+    from pyspark.sql import Window
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col).asc())
+    return (w_hash.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn", "content_hash"))
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+def with_minhash(df: DataFrame, num_hashes: int = 32,
+                 shingle_k: int = 3, text_col: str = "text") -> DataFrame:
+    """MinHash signature (array<long>, length num_hashes) per doc:
+    signature[i] = min over shingles of xxhash64(shingle, i). Fully
+    native; deterministic."""
+    df = with_shingles(df, k=shingle_k, text_col=text_col)
+    sig = F.array(*[
+        F.array_min(F.transform(
+            "shingles", lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        for i in range(num_hashes)
+    ])
+    return df.withColumn("minhash", sig).drop("tokens", "shingles")
+
+
+def lsh_candidate_pairs(with_sig: DataFrame, num_hashes: int = 32,
+                        bands: int = 8, id_col: str = "doc_id") -> DataFrame:
+    """Band the signature (bands × rows), bucket-join on (band, band
+    hash): docs sharing any band bucket become candidate pairs
+    (id_a < id_b). Shuffle key = band signature -> no all-pairs join."""
+    rows_per_band = num_hashes // bands
+    band_sigs = F.array(*[
+        F.xxhash64(F.array_join(
+            F.transform(F.slice("minhash", b * rows_per_band + 1,
+                                rows_per_band),
+                        lambda x: x.cast("string")), ","))
+        for b in range(bands)
+    ])
+    banded = with_sig.select(
+        F.col(id_col),
+        F.posexplode(band_sigs).alias("band", "band_sig"))
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "band_sig")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "band_sig")
+    pairs = left.join(right, ["band", "band_sig"]).where(
+        F.col("id_a") < F.col("id_b"))
+    return pairs.select("id_a", "id_b").distinct()
+
+
+def minhash_near_duplicates(docs: DataFrame, num_hashes: int = 32,
+                            bands: int = 8, shingle_k: int = 3,
+                            threshold: float = 0.6,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """shingle -> minhash -> band -> bucket-join -> verify with exact
+    Jaccard over shingle sets. Returns (id_a, id_b, jaccard) pairs with
+    jaccard >= threshold."""
+    sigs = with_minhash(docs, num_hashes, shingle_k, text_col)
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands, id_col)
+    sh = with_shingles(docs, k=shingle_k, text_col=text_col) \
+        .select(F.col(id_col), "shingles")
+    j = (cands
+         .join(sh.select(F.col(id_col).alias("id_a"),
+                         F.col("shingles").alias("sh_a")), "id_a")
+         .join(sh.select(F.col(id_col).alias("id_b"),
+                         F.col("shingles").alias("sh_b")), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    return (j.withColumn("jaccard", F.round(inter / union, 6))
+            .where(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def with_simhash(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over token hashes: per bit, vote +1/-1 weighted by
+    token count; bit set iff the sum is positive. Implemented as
+    explode -> 64 conditional sums (all JVM-side aggregates)."""
+    toks = (with_tokens(docs, text_col)
+            .select(F.col(id_col), F.explode("tokens").alias("tok")))
+    weighted = (toks.groupBy(id_col, "tok").agg(F.count("*").alias("w"))
+                .withColumn("h", F.xxhash64("tok")))
+    votes = [
+        F.sum(F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1,
+                     F.col("w")).otherwise(-F.col("w"))).alias(f"b{b}")
+        for b in range(64)
+    ]
+    agg = weighted.groupBy(id_col).agg(*votes)
+    sim = None
+    for b in range(64):
+        bit = F.when(F.col(f"b{b}") > 0,
+                     F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+        sim = bit if sim is None else sim.bitwiseXOR(bit)
+    return agg.select(F.col(id_col), sim.alias("simhash"))
+
+
+def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
+                            id_col: str = "doc_id",
+                            text_col: str = "text") -> DataFrame:
+    """Near-dups by Hamming distance <= max_hamming via 4×16-bit chunk
+    banding (pigeonhole: distance <= 3 -> at least one of 4 chunks
+    equal), then exact popcount verification via bit_count."""
+    sh = with_simhash(docs, id_col, text_col)
+    chunks = sh.select(
+        F.col(id_col), "simhash",
+        F.posexplode(F.array(*[
+            F.shiftright("simhash", 16 * c).bitwiseAND(F.lit(0xFFFF))
+            for c in range(4)
+        ])).alias("chunk", "chunk_val"))
+    left = chunks.select(F.col(id_col).alias("id_a"),
+                         F.col("simhash").alias("sim_a"), "chunk", "chunk_val")
+    right = chunks.select(F.col(id_col).alias("id_b"),
+                          F.col("simhash").alias("sim_b"), "chunk", "chunk_val")
+    pairs = (left.join(right, ["chunk", "chunk_val"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "sim_a", "sim_b").distinct())
+    ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return (pairs.withColumn("hamming", ham)
+            .where(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (blocked all-candidates variant, oracle-checkable)
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 1,
+                        min_jaccard: float = 0.5,
+                        block_col: str = "lang",
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Token-set Jaccard over candidate pairs blocked by ``block_col``
+    (same-language docs only). Exact and SQL-expressible — the oracle
+    twin for the MinHash path."""
+    toks = (with_tokens(docs, text_col)
+            .select(F.col(id_col), F.col(block_col),
+                    F.array_distinct("tokens").alias("tset")))
+    a = toks.select(F.col(id_col).alias("id_a"), F.col(block_col),
+                    F.col("tset").alias("t_a"))
+    b = toks.select(F.col(id_col).alias("id_b"), F.col(block_col),
+                    F.col("tset").alias("t_b"))
+    pairs = a.join(b, block_col).where(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("t_a", "t_b")).cast("double")
+    union = F.size(F.array_union("t_a", "t_b")).cast("double")
+    return (pairs.withColumn("jaccard", F.round(inter / union, 6))
+            .where(F.col("jaccard") >= min_jaccard)
+            .select("id_a", "id_b", "jaccard"))

@@ -1,0 +1,141 @@
+"""Similarity search over an embedding column (array<float>).
+
+- brute_force_topk: exact cosine top-k per query — the correctness
+  baseline. Dot products via native F.zip_with + F.aggregate (JVM-side,
+  no Python); queries are broadcast.
+- lsh_topk: random-hyperplane LSH bucketing as the scale path —
+  hyperplanes are a deterministic (seeded) literal matrix; bucket join
+  restricts candidates, then exact cosine re-ranks within buckets.
+
+Scale notes: brute force is O(N·Q) — fine when Q (queries) is small and
+broadcastable; the LSH variant's shuffle key is the bucket signature, so
+candidate generation is one bucket-join, not a cross join. For very
+large N, IVF-style partition pruning falls out of bucketing the table by
+signature prefix.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm(col):
+    return F.sqrt(F.aggregate(col, F.lit(0.0),
+                              lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+                       F.lit(0.0), lambda acc, x: acc + x)
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
+                     id_col: str = "vec_id", vec_col: str = "embedding"
+                     ) -> DataFrame:
+    """Exact cosine top-k: for each query row, the k nearest other
+    vectors. queries is broadcast (small); rank ties broken by id."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec"))
+    c = embeddings.select(F.col(id_col).alias("cand_id"),
+                          F.col(vec_col).alias("cvec"))
+    scored = (c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
+              .withColumn("sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col("cand_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "cand_id", "sim", "rank"))
+
+
+def hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.normal(0, 1, (n_planes, dim)).round(6).tolist()
+
+
+def with_lsh_signature(embeddings: DataFrame, planes: list[list[float]],
+                       vec_col: str = "embedding") -> DataFrame:
+    """Sign-of-dot-product bucket signature (one long) per vector —
+    native expressions only; the hyperplane matrix rides along as
+    literals (dimension-sized, tiny)."""
+    bits = []
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(x)) for x in p])
+        bit = F.when(_dot(F.col(vec_col), plane) > 0,
+                     F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        bits.append(bit)
+    sig = bits[0]
+    for b in bits[1:]:
+        sig = sig.bitwiseXOR(b)
+    return embeddings.withColumn("lsh_sig", sig)
+
+
+def with_lsh_signatures(df: DataFrame, dim: int, n_planes: int,
+                        n_tables: int, seed: int,
+                        vec_col: str = "embedding") -> DataFrame:
+    """(table, signature) pairs per vector — OR-amplified LSH: a
+    candidate matches if it shares a bucket in ANY of the n_tables
+    independent hyperplane sets (standard recall amplification)."""
+    out = df
+    sig_cols = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + 1000 * t)
+        out = with_lsh_signature(out, planes, vec_col) \
+            .withColumnRenamed("lsh_sig", f"__sig{t}")
+        sig_cols.append(f"__sig{t}")
+    return out.withColumn(
+        "table_sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(t).alias("tbl"), F.col(c).alias("sig"))
+            for t, c in enumerate(sig_cols)]))
+    ).drop(*sig_cols).withColumn("tbl", F.col("table_sig.tbl")) \
+        .withColumn("sig", F.col("table_sig.sig")).drop("table_sig")
+
+
+def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
+             n_planes: int = 6, n_tables: int = 4, dim: int = 64,
+             seed: int = 42, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """ANN: bucket-join on (table, hyperplane signature) across
+    n_tables OR-amplified tables, exact cosine re-rank on the candidate
+    union. Recall < 1 by design; pytest checks recall@1 against brute
+    force plus a planted exact neighbor."""
+    c = with_lsh_signatures(
+        embeddings.select(F.col(id_col).alias("cand_id"),
+                          F.col(vec_col).alias("cvec")),
+        dim, n_planes, n_tables, seed, "cvec")
+    q = with_lsh_signatures(
+        queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qvec")),
+        dim, n_planes, n_tables, seed, "qvec")
+    cands = (c.join(F.broadcast(q), ["tbl", "sig"])
+             .where(F.col("cand_id") != F.col("query_id"))
+             .select("query_id", "qvec", "cand_id", "cvec").distinct())
+    scored = cands.withColumn(
+        "sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col("cand_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "cand_id", "sim", "rank"))
+
+
+def pairwise_label_centroids(embeddings: DataFrame,
+                             vec_col: str = "embedding",
+                             label_col: str = "label") -> DataFrame:
+    """Per-label centroid vectors (posexplode + avg per position) — the
+    building block for IVF coarse quantization; one shuffle on
+    (label, position)."""
+    pos = embeddings.select(
+        F.col(label_col),
+        F.posexplode(F.col(vec_col)).alias("pos", "v"))
+    cent = pos.groupBy(label_col, "pos").agg(F.avg("v").alias("v"))
+    return (cent.groupBy(label_col)
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "v"))).alias("pv"))
+            .select(label_col,
+                    F.transform("pv", lambda s: F.round(s["v"], 6)).alias("centroid")))

@@ -532,3 +532,208 @@ REGISTRY: dict[str, tuple] = {
     "consensus_verdicts": (q_consensus_verdicts, None),
     "sink_counts": (q_sink_counts, None),
 }
+
+
+# ---------------------------------------------------------------------------
+# queries — training-data pipeline ops (documents / embeddings tables)
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: content hash -> keeper id + group size for
+    every text with > 1 occurrence."""
+    from skyline_spark.operators.dedup import exact_duplicates
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_duplicates(docs).orderBy("doc_id")
+
+
+SQL_DEDUP_EXACT = """
+SELECT d.doc_id, g.keep_id, g.content_hash
+FROM (SELECT doc_id, md5(text) AS content_hash FROM documents) d
+JOIN (SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+             count(*) AS n
+      FROM documents GROUP BY 1) g USING (content_hash)
+WHERE g.n > 1 AND d.doc_id <> g.keep_id
+"""
+
+
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + quality features per document (native exprs)."""
+    from skyline_spark.functions.text import quality_columns, token_count
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = quality_columns(docs.withColumn("n_tok", token_count()))
+    return out.select("doc_id", "n_tok", "punct_ratio", "stopword_hits",
+                      "avg_token_len", "quality_score")
+
+
+SQL_TOKEN_STATS = """
+WITH t AS (
+    SELECT doc_id, text, string_split(text, ' ') AS toks,
+           length(text) AS n_chars
+    FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tok,
+       round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+             / greatest(n_chars, 1), 6) AS punct_ratio,
+       len(list_intersect(list_distinct([lower(x) for x in toks]),
+           ['the','and','of','to','a','in','is','it','that','for']))
+           AS stopword_hits,
+       round((n_chars - (len(toks) - 1)) / len(toks), 6) AS avg_token_len,
+       round(least(len(toks) / 64.0, 1.0) * 0.4
+             + least(len(list_intersect(list_distinct([lower(x) for x in toks]),
+                 ['the','and','of','to','a','in','is','it','that','for'])) / 5.0,
+                 1.0) * 0.3
+             + CASE WHEN (n_chars - (len(toks) - 1)) / len(toks) BETWEEN 3 AND 8
+                    THEN 0.3 ELSE 0.0 END, 6) AS quality_score
+FROM t
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language voting with deterministic tie-break."""
+    from skyline_spark.functions.text import lang_id_columns
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lang_id_columns(docs).select("doc_id", "lang_guess", "lang_score")
+
+
+def _lang_markers_sql() -> str:
+    from skyline_spark.functions.text import LANG_MARKERS
+    rows = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        lst = ",".join(f"'{m}'" for m in markers)
+        rows.append(f"SELECT '{lang}' AS lang, [{lst}] AS markers")
+    return " UNION ALL ".join(rows)
+
+
+SQL_LANG_ID = f"""
+WITH marks AS ({_lang_markers_sql()}),
+scored AS (
+    SELECT d.doc_id, m.lang,
+           len(list_intersect(
+               list_distinct([lower(x) for x in string_split(d.text, ' ')]),
+               m.markers)) AS score
+    FROM documents d CROSS JOIN marks m),
+best AS (
+    SELECT doc_id, lang, score,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, lang ASC) AS rn
+    FROM scored)
+SELECT doc_id,
+       CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_guess,
+       score AS lang_score
+FROM best WHERE rn = 1
+"""
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-shingle-md5 document fingerprint + full-text hash."""
+    from skyline_spark.functions.text import fingerprint_columns
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fingerprint_columns(docs).select("doc_id", "fingerprint",
+                                            "content_hash")
+
+
+SQL_FINGERPRINT = """
+WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents)
+SELECT doc_id,
+       list_min([md5(array_to_string(toks[i:i+4], ' '))
+                 for i in range(1, greatest(len(toks) - 4, 1) + 1)])
+           AS fingerprint,
+       md5(text) AS content_hash
+FROM t
+"""
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked token-set Jaccard near-dup pairs (exact oracle twin of
+    the MinHash path)."""
+    from skyline_spark.operators.dedup import ngram_jaccard_pairs
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(docs, min_jaccard=0.4)
+
+
+SQL_NGRAM_JACCARD = """
+WITH t AS (
+    SELECT doc_id, lang,
+           list_distinct(string_split(text, ' ')) AS tset
+    FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
+             / (len(a.tset) + len(b.tset)
+                - len(list_intersect(a.tset, b.tset))), 6) AS jaccard
+FROM t a JOIN t b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
+      / (len(a.tset) + len(b.tset) - len(list_intersect(a.tset, b.tset)))
+      >= 0.4
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-3 for the first 5 vec_ids (exact ANN
+    baseline; native zip_with/aggregate dot products)."""
+    from skyline_spark.operators.similarity import brute_force_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    return brute_force_topk(emb, q, k=3)
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+           WHERE vec_id < 5),
+scored AS (
+    SELECT q.query_id, e.vec_id AS cand_id,
+           round(list_cosine_similarity(q.qvec, e.embedding), 6) AS sim
+    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, cand_id ASC) AS rank
+    FROM scored)
+SELECT query_id, cand_id, sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (rows-only: hash functions are not
+    reproducible in ANSI SQL; verified against planted dups in pytest
+    and against the exact n-gram Jaccard twin)."""
+    from skyline_spark.operators.dedup import minhash_near_duplicates
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_near_duplicates(docs, threshold=0.4)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash per document (rows-only)."""
+    from skyline_spark.operators.dedup import with_simhash
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_simhash(docs)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OR-amplified hyperplane-LSH ANN top-3 (rows-only; recall measured
+    against the brute-force baseline in pytest)."""
+    from skyline_spark.operators.similarity import lsh_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    return lsh_topk(emb, q, k=3)
+
+
+def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary payload synth + mapInPandas metadata
+    decode (rows-only; decode kernel is a deterministic stub)."""
+    from skyline_spark.operators.multimodal import decode_metadata, synth_media
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return decode_metadata(synth_media(spark, docs))
+
+
+REGISTRY.update({
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "embedding_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
+    "minhash_near_dups": (q_minhash_near_dups, None),
+    "simhash": (q_simhash, None),
+    "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "media_metadata": (q_media_metadata, None),
+})

@@ -1,0 +1,161 @@
+"""Tests for the training-data pipeline operators: dedup (exact, MinHash
+LSH, SimHash, n-gram Jaccard), similarity search, text analysis, and
+multimodal plumbing — with planted duplicates / near-duplicates /
+nearest neighbors."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF}/documents.parquet")
+    # plant: 9000/9001 exact dup of doc 0; 9002 near-dup of doc 1 (one
+    # token changed); 9003 unrelated tiny doc
+    rows = base.where(F.col("doc_id").isin([0, 1])).collect()
+    d0, d1 = (r for r in sorted(rows, key=lambda r: r.doc_id))
+    near = d1.text.split(" ")
+    near[len(near) // 2] = "zzz"
+    extra = spark.createDataFrame(
+        [(9000, d0.text, d0.lang, "planted", len(d0.text)),
+         (9001, d0.text, d0.lang, "planted", len(d0.text)),
+         (9002, " ".join(near), d1.lang, "planted", len(d1.text)),
+         (9003, "tiny doc", "en", "planted", 8)],
+        schema=base.schema)
+    return base.unionByName(extra)
+
+
+def test_exact_duplicates(spark, docs):
+    from skyline_spark.operators.dedup import dedup_exact, exact_duplicates
+    dups = exact_duplicates(docs).toPandas()
+    pairs = set(map(tuple, dups[["doc_id", "keep_id"]].values))
+    assert (9000, 0) in pairs and (9001, 0) in pairs
+    assert len(pairs) == 2
+    kept = dedup_exact(docs)
+    assert kept.count() == docs.count() - 2
+    assert kept.where(F.col("doc_id").isin([9000, 9001])).count() == 0
+
+
+def test_minhash_lsh_near_duplicates(spark, docs):
+    from skyline_spark.operators.dedup import minhash_near_duplicates
+    nd = minhash_near_duplicates(docs, threshold=0.5).toPandas()
+    pairs = set(map(tuple, nd[["id_a", "id_b"]].values))
+    # exact dups must be found (jaccard 1.0), near-dup of doc 1 too
+    assert (0, 9000) in pairs and (0, 9001) in pairs and (9000, 9001) in pairs
+    assert (1, 9002) in pairs
+    ja = {tuple(r[:2]): r[2] for r in nd.values}
+    assert ja[(0, 9000)] == 1.0
+    assert 0.5 <= ja[(1, 9002)] < 1.0
+
+
+def test_simhash_near_duplicates(spark, docs):
+    from skyline_spark.operators.dedup import simhash_near_duplicates, with_simhash
+    sh = with_simhash(docs).toPandas().set_index("doc_id")["simhash"]
+    assert sh[0] == sh[9000] == sh[9001]  # identical text -> identical hash
+    nd = simhash_near_duplicates(docs, max_hamming=8).toPandas()
+    pairs = set(map(tuple, nd[["id_a", "id_b"]].values))
+    assert (0, 9000) in pairs and (1, 9002) in pairs
+
+
+def test_ngram_jaccard_pairs(spark, docs):
+    from skyline_spark.operators.dedup import ngram_jaccard_pairs
+    nd = ngram_jaccard_pairs(docs, min_jaccard=0.5).toPandas()
+    pairs = set(map(tuple, nd[["id_a", "id_b"]].values))
+    assert (0, 9000) in pairs and (1, 9002) in pairs
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    base = spark.read.parquet(f"{SF}/embeddings.parquet")
+    row = base.where(F.col("vec_id") == 7).first()
+    near = (np.array(row.embedding) + 0.001).astype(np.float32).tolist()
+    extra = spark.createDataFrame([(9000, near, row.label)], schema=base.schema)
+    return base.unionByName(extra)
+
+
+def test_brute_force_topk(spark, embeddings):
+    from skyline_spark.operators.similarity import brute_force_topk
+    q = embeddings.where(F.col("vec_id") == 7)
+    top = brute_force_topk(embeddings, q, k=3).toPandas()
+    assert list(top.query_id.unique()) == [7]
+    assert top.iloc[0].cand_id == 9000  # planted neighbor is rank 1
+    assert top.iloc[0].sim > 0.9999
+    assert list(top["rank"]) == [1, 2, 3]
+
+
+def test_lsh_topk_recall(spark, embeddings):
+    from skyline_spark.operators.similarity import brute_force_topk, lsh_topk
+    q = embeddings.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(embeddings, q, k=1).toPandas()
+    approx = lsh_topk(embeddings, q, k=1, n_planes=5, n_tables=6).toPandas()
+    # planted exact-neighbor must be found (same bucket: identical signs)
+    got = approx.set_index("query_id").cand_id.to_dict()
+    assert got.get(7) == 9000
+    # recall@1 of the remaining queries is best-effort; require > 0.3
+    hits = sum(1 for qid, cid in exact.set_index("query_id").cand_id.items()
+               if got.get(qid) == cid)
+    assert hits / len(exact) > 0.3
+
+
+def test_label_centroids(spark, embeddings):
+    from skyline_spark.operators.similarity import pairwise_label_centroids
+    cents = pairwise_label_centroids(embeddings).toPandas()
+    assert len(cents) == 10
+    assert all(len(c) == 64 for c in cents.centroid)
+
+
+def test_text_analysis(spark, docs):
+    from skyline_spark.functions.text import (
+        fingerprint_columns,
+        lang_id_columns,
+        quality_columns,
+        token_count,
+    )
+    df = docs.withColumn("n_tok", token_count())
+    df = quality_columns(df)
+    df = lang_id_columns(df)
+    df = fingerprint_columns(df)
+    pdf = df.toPandas().set_index("doc_id")
+    r = pdf.loc[0]
+    assert r.n_tok == len(r["text"].split(" "))
+    assert 0.0 <= r.quality_score <= 1.0
+    # identical texts -> identical fingerprints & hashes
+    assert pdf.loc[0].fingerprint == pdf.loc[9000].fingerprint
+    assert pdf.loc[0].content_hash == pdf.loc[9000].content_hash
+    # near-dup shares the min-shingle fingerprint with high probability;
+    # content hash must differ
+    assert pdf.loc[1].content_hash != pdf.loc[9002].content_hash
+    # docs text contains 'the'/'a' -> english markers win
+    assert pdf.loc[0].lang_guess in ("en", "und")
+
+
+def test_multimodal_plumbing(spark, docs):
+    from skyline_spark.operators.multimodal import (
+        decode_metadata,
+        extract_features,
+        frame_sample,
+        synth_media,
+    )
+    media = synth_media(spark, docs)
+    meta = decode_metadata(media).toPandas().set_index("media_id")
+    assert len(meta) == docs.count()
+    assert (meta.width >= 1).all() and (meta.height >= 1).all()
+    # payload = 8-byte header + text bytes
+    r0 = meta.loc[0]
+    t0 = docs.where(F.col("doc_id") == 0).first().text
+    assert r0.n_bytes == 8 + len(t0.encode())
+    feats = extract_features(media).toPandas()
+    assert len(feats) == len(meta)
+    assert all(len(f) == 8 for f in feats.features)
+    assert all(abs(sum(f) - 1.0) < 1e-3 for f in feats.features)
+    frames = frame_sample(media).toPandas()
+    # only video rows produce frames
+    vids = set(media.where(F.col("kind") == "video")
+               .select("media_id").toPandas().media_id)
+    assert set(frames.media_id).issubset(vids)
+    assert (frames.groupby("media_id").frame_idx.min() == 0).all()
