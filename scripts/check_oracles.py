@@ -29,7 +29,9 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             except (ValueError, TypeError):
                 pass
         if pd.api.types.is_datetime64_any_dtype(df[c]):
-            df[c] = df[c].dt.tz_localize(None) if getattr(df[c].dt, "tz", None) else df[c]
+            if getattr(df[c].dt, "tz", None):
+                df[c] = df[c].dt.tz_localize(None)
+            df[c] = df[c].astype("datetime64[ns]")
         if pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].round(6)
         if pd.api.types.is_bool_dtype(df[c]) or str(df[c].dtype) == "boolean":

@@ -1,0 +1,102 @@
+"""Boundary static checks (X3) — per-metric threshold algorithms, fully
+native (conditional aggregation over per-series scalars).
+
+Reference: skyline/boundary/boundary_algorithms.py —
+- less_than (:124): v_last < trigger;
+- greater_than (:146): v_last > trigger;
+- detect_drop_off_cliff (:166-318): average of the last 10 datapoints
+  over the last value exceeds a range-dependent trigger, with guards.
+  NOTE on parity: the reference computes ``len(np.where(arr <= min))``
+  which is the length of a TUPLE (always 1), so the
+  "frequent-cliff-drops" guards can never fire; we reproduce the
+  effective behavior (guards inert) rather than the intended one.
+- autoaggregate (T8, :63-122): re-bucket to a fixed step by summation.
+
+Config mirrors settings.BOUNDARY_METRICS tuples
+(skyline/settings.py:2505): (metric_pattern, algorithm, expiration,
+min_average, min_average_seconds, trigger).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from skyline_spark.functions.spark_utils import epoch_seconds
+
+
+def autoaggregate(df: DataFrame, step_seconds: int, key: str = "conv_id",
+                  ts_col: str = "ts", value_col: str = "value") -> DataFrame:
+    """T8 — fixed-step re-bucketing by summation
+    (boundary_algorithms.py:63-122)."""
+    return (df.groupBy(key, F.window(ts_col, f"{step_seconds} seconds"))
+            .agg(F.sum(value_col).alias(value_col))
+            .select(key, F.col("window.start").alias("bucket_start"),
+                    F.col(value_col)))
+
+
+def _per_series_scalars(df: DataFrame, key: str, ts_col: str,
+                        value_col: str) -> DataFrame:
+    """last value, last ts, resolution (last two ts), and the windowed
+    aggregates drop_off_cliff needs — one window pass + one group-by."""
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).desc())
+    te = epoch_seconds(F.col(ts_col))
+    d = (df.withColumn("__rn", F.row_number().over(w))
+         .withColumn("__te", te))
+    scal = d.groupBy(key).agg(
+        F.count("*").alias("n"),
+        F.max(F.when(F.col("__rn") == 1, F.col(value_col))).alias("v_last"),
+        F.max(F.when(F.col("__rn") == 1, F.col("__te"))).alias("t_last"),
+        F.max(F.when(F.col("__rn") == 2, F.col("__te"))).alias("t_prev"),
+    ).withColumn("resolution",
+                 (F.floor("t_last") - F.floor("t_prev")).cast("double"))
+    joined = d.join(F.broadcast(scal), key)
+    in10 = (F.col("__te") <= F.col("t_last")) & \
+           (F.col("__te") > F.col("t_last") - 10 * F.col("resolution"))
+    return joined.groupBy(key).agg(
+        F.max("n").alias("n"),
+        F.max("v_last").alias("v_last"),
+        F.max("t_last").alias("t_last"),
+        F.max("resolution").alias("resolution"),
+        F.count(F.when(in10, 1)).alias("n10"),
+        F.sum(F.when(in10, F.col(value_col))).alias("sum10"),
+        F.min(F.when(in10, F.col(value_col))).alias("min10"),
+        F.max(F.when(in10, F.col(value_col))).alias("max10"),
+    )
+
+
+def boundary_check(df: DataFrame, algorithm: str, trigger: float,
+                   key: str = "conv_id", ts_col: str = "ts",
+                   value_col: str = "value") -> DataFrame:
+    """Run one boundary algorithm for every series; returns
+    (key, v_last, anomalous)."""
+    s = _per_series_scalars(df, key, ts_col, value_col)
+    if algorithm == "less_than":
+        verdict = (F.col("n") >= 1) & (F.col("v_last") < trigger)
+    elif algorithm == "greater_than":
+        verdict = (F.col("n") >= 1) & (F.col("v_last") > trigger)
+    elif algorithm == "detect_drop_off_cliff":
+        # boundary_algorithms.py:166-318 with the inert guards noted in
+        # the module docstring; trigger is range-dependent, the
+        # configured trigger value is unused by the reference here
+        avg10 = F.col("sum10") / F.col("n10")
+        last10 = F.when(F.floor(F.col("v_last")) == 0, F.lit(0.1)) \
+            .otherwise(F.floor(F.col("v_last")).cast("double"))
+        trig = F.lit(15.0)
+        trig = F.when(F.col("max10") < 20, avg10 / 2).otherwise(trig)
+        trig = F.when(F.col("max10") > 100, F.lit(100.0)).otherwise(trig)
+        trig = F.when(F.floor(F.col("v_last")) == 1, F.lit(1.0)).otherwise(trig)
+        trig = F.when((F.floor(F.col("v_last")) == 1) & (F.col("max10") < 10),
+                      F.lit(0.1)).otherwise(trig)
+        trig = F.when((F.floor(F.col("v_last")) == 0) & (avg10 < 1)
+                      & (F.col("sum10") < 7), F.lit(7.0)).otherwise(trig)
+        verdict = (
+            (F.col("n") >= 30) & (F.col("n10") > 3)
+            & (F.col("min10") >= 0) & (F.col("max10") != 0)
+            & (F.col("min10") != F.col("max10"))
+            & (F.floor(avg10 / last10) > trig)
+        )
+    else:
+        raise ValueError(f"unknown boundary algorithm {algorithm}")
+    return s.select(key, "v_last",
+                    F.coalesce(verdict, F.lit(False)).alias("anomalous"))

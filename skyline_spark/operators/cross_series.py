@@ -1,0 +1,124 @@
+"""Cross-series / second-stage operators: anomaly-end timestamps (X4)
+and the Mirage longer-window re-analysis with veto semantics (§3.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from skyline_spark.config import PipelineConfig
+from skyline_spark.operators.analyze import analyze
+
+
+def anomaly_end_timestamps(flagged: DataFrame, key: str = "conv_id",
+                           ts_col: str = "bucket_start",
+                           flag_col: str = "anomalous") -> DataFrame:
+    """X4 — close each anomaly run with the first not-anomalous
+    observation after it (skyline/analyzer/analyzer.py:4038-4074;
+    ``anomaly_end_timestamp`` column skyline/skyline.sql:133).
+
+    Input: per-(series, bucket) boolean flags, ordered by ``ts_col``.
+    Output: one row per anomaly episode: (key, anomaly_start,
+    anomaly_end) — anomaly_end is NULL for still-open episodes.
+    Sessionization via lag -> run-id prefix sums -> lead, all window
+    functions (single shuffle on the series key).
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc())
+    runs = (flagged
+            .withColumn("__new_run",
+                        (F.col(flag_col)
+                         & ~F.coalesce(F.lag(flag_col).over(w), F.lit(False)))
+                        .cast("int"))
+            .withColumn("__run_id", F.sum("__new_run").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    # first not-anomalous bucket AFTER the run = min ts among following
+    # non-flagged rows; compute per run: end = min over group of next
+    # non-flag ts
+    next_clear = F.min(F.when(~F.col(flag_col), F.col(ts_col))).over(
+        w.rowsBetween(1, Window.unboundedFollowing))
+    runs = runs.withColumn("__next_clear", next_clear)
+    episodes = (runs.where(F.col(flag_col))
+                .groupBy(key, "__run_id")
+                .agg(F.min(ts_col).alias("anomaly_start"),
+                     F.max(ts_col).alias("last_flagged"),
+                     F.max("__next_clear").alias("__nc_max"),
+                     F.min("__next_clear").alias("__nc_min")))
+    # the closing observation is the first clear bucket after the LAST
+    # flagged bucket of the episode: since __next_clear is monotone
+    # non-decreasing along the run, take the value at the last row (max)
+    return episodes.select(
+        key, "anomaly_start", "last_flagged",
+        F.col("__nc_max").alias("anomaly_end"))
+
+
+def sigma_flags(buckets: DataFrame, key: str = "conv_id",
+                ts_col: str = "bucket_start",
+                value_col: str = "value", k: float = 3.0) -> DataFrame:
+    """Per-bucket 3-sigma flag vs the series' own mean/std — the
+    simplest windowed anomaly marker used to drive anomaly_end logic
+    natively."""
+    stats = buckets.groupBy(key).agg(
+        F.avg(value_col).alias("__mean"),
+        F.stddev_samp(value_col).alias("__std"))
+    return (buckets.join(F.broadcast(stats), key)
+            .withColumn("anomalous",
+                        F.coalesce(
+                            F.abs(F.col(value_col) - F.col("__mean"))
+                            > k * F.col("__std"), F.lit(False)))
+            .drop("__mean", "__std"))
+
+
+def mirage_reanalyze(spark: SparkSession, transcripts_parsed: DataFrame,
+                     deferred: DataFrame, cfg: PipelineConfig,
+                     now: float,
+                     mirage_consensus: int | None = None) -> DataFrame:
+    """§3.2 — the Mirage second stage: re-run the full algorithm suite
+    for every deferred series at its SECOND_ORDER_RESOLUTION window and
+    emit confirm/veto verdicts.
+
+    Reference: skyline/mirage/mirage.py:923 (spin_process), :2053
+    (algorithm run at second-order duration), routing :2530-2635 —
+    anomalous -> mirage.anomalous_metrics (confirmed), not anomalous ->
+    mirage.not_anomalous_metrics (the analyzer anomaly is VETOED).
+
+    Spark shape: semi-join the parsed facts to the deferred conv set
+    (broadcast — deferred is anomaly-cardinality), re-window per series
+    with full_duration = hours_to_resolve * 3600, one more
+    applyInPandas pass at MIRAGE_CONSENSUS.
+    """
+    mirage_consensus = mirage_consensus or cfg.consensus
+    keys = deferred.select("conv_id", "hours_to_resolve").distinct()
+    facts = transcripts_parsed.join(F.broadcast(keys), "conv_id", "inner")
+    for col, default in (("is_derivative", F.lit(False)),
+                         ("custom_stale_period", F.lit(None).cast("double"))):
+        if col not in facts.columns:
+            facts = facts.withColumn(col, default)
+    # per-series window: ts > now - hours*3600 (applied natively)
+    facts = facts.where(
+        F.col("ts").cast("timestamp").cast("double")
+        > F.lit(now) - F.col("hours_to_resolve") * 3600)
+    # the widest deferred window bounds the trim the analyze stage does
+    max_hours_row = keys.agg(F.max("hours_to_resolve")).first()
+    max_hours = int(max_hours_row[0]) if max_hours_row and max_hours_row[0] else 24
+    cfg2 = PipelineConfig(
+        full_duration=max_hours * 3600,
+        stale_period=cfg.stale_period,
+        min_tolerable_length=cfg.min_tolerable_length,
+        max_tolerable_boredom=cfg.max_tolerable_boredom,
+        boredom_set_size=cfg.boredom_set_size,
+        consensus=mirage_consensus,
+        run_optimized_workflow=cfg.run_optimized_workflow,
+        run_negatives_present=cfg.run_negatives_present,
+        algorithms=cfg.algorithms)
+    second = analyze(facts, cfg2, now).select(
+        "conv_id",
+        F.col("anomalous").alias("mirage_anomalous"),
+        F.col("ensemble").alias("mirage_ensemble"),
+        F.col("triggered").alias("mirage_triggered"),
+        F.col("datapoint").alias("mirage_datapoint"))
+    out = deferred.join(second, "conv_id", "left")
+    return out.withColumn(
+        "final_sink",
+        F.when(F.coalesce(F.col("mirage_anomalous"), F.lit(False)),
+               F.lit("anomalous")).otherwise(F.lit("vetoed")))

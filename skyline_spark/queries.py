@@ -737,3 +737,111 @@ REGISTRY.update({
     "ann_lsh_topk": (q_ann_lsh_topk, None),
     "media_metadata": (q_media_metadata, None),
 })
+
+
+# ---------------------------------------------------------------------------
+# queries — boundary checks (X3), anomaly episodes (X4), mirage (§3.2)
+# ---------------------------------------------------------------------------
+
+def q_boundary_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — less_than / greater_than static thresholds per series
+    (boundary_algorithms.py:124-163)."""
+    from skyline_spark.operators.boundary import boundary_check
+    df = _valid(spark, sf_dir)
+    gt = boundary_check(df, "greater_than", 50.0).select(
+        "conv_id", "v_last", F.col("anomalous").alias("gt_50"))
+    lt = boundary_check(df, "less_than", 5.0).select(
+        "conv_id", F.col("anomalous").alias("lt_5"))
+    return gt.join(lt, "conv_id")
+
+
+SQL_BOUNDARY_STATIC = _sql("""
+SELECT conv_id, v_last, v_last > 50.0 AS gt_50, v_last < 5.0 AS lt_5
+FROM (
+    SELECT conv_id, max(CASE WHEN rn = 1 THEN value END) AS v_last
+    FROM (SELECT conv_id, value,
+                 ROW_NUMBER() OVER (PARTITION BY conv_id
+                                    ORDER BY ts DESC, turn_idx DESC) AS rn
+          FROM valid)
+    GROUP BY conv_id)
+""")
+
+
+def q_drop_off_cliff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 — detect_drop_off_cliff (rows-only: the range-dependent
+    trigger cascade is covered by pytest fixtures)."""
+    from skyline_spark.operators.boundary import boundary_check
+    return boundary_check(_valid(spark, sf_dir), "detect_drop_off_cliff", 0)
+
+
+def q_anomaly_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4 — anomaly_end_timestamp sessionization over hourly 3-sigma
+    flags (analyzer.py:4038-4074)."""
+    from skyline_spark.operators.cross_series import (
+        anomaly_end_timestamps,
+        sigma_flags,
+    )
+    b = preprocess.downsample(_valid(spark, sf_dir), 3600, method="mean")
+    flags = sigma_flags(b)
+    return anomaly_end_timestamps(flags).select(
+        "conv_id", "anomaly_start", "last_flagged", "anomaly_end")
+
+
+SQL_ANOMALY_EPISODES = _sql("""
+, buckets AS (
+    SELECT conv_id, date_trunc('hour', ts) AS bucket_start,
+           avg(value) AS value
+    FROM valid GROUP BY 1, 2),
+stats AS (
+    SELECT conv_id, avg(value) AS m, stddev_samp(value) AS s
+    FROM buckets GROUP BY conv_id),
+flags AS (
+    SELECT b.conv_id, b.bucket_start,
+           coalesce(abs(b.value - st.m) > 3 * st.s, FALSE) AS anomalous
+    FROM buckets b JOIN stats st ON b.conv_id = st.conv_id),
+marked AS (
+    SELECT *,
+           CASE WHEN anomalous AND NOT coalesce(
+               lag(anomalous) OVER (PARTITION BY conv_id
+                                    ORDER BY bucket_start), FALSE)
+                THEN 1 ELSE 0 END AS new_run
+    FROM flags),
+runs AS (
+    SELECT *,
+           SUM(new_run) OVER (PARTITION BY conv_id ORDER BY bucket_start
+                              ROWS UNBOUNDED PRECEDING) AS run_id,
+           MIN(CASE WHEN NOT anomalous THEN bucket_start END)
+               OVER (PARTITION BY conv_id ORDER BY bucket_start
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+               AS next_clear
+    FROM marked)
+SELECT conv_id, min(bucket_start) AS anomaly_start,
+       max(bucket_start) AS last_flagged,
+       max(next_clear) AS anomaly_end
+FROM runs WHERE anomalous GROUP BY conv_id, run_id
+""")
+
+
+def q_mirage_second_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 — Mirage longer-window re-analysis + veto for deferred
+    series (rows-only: consensus vote is not SQL-expressible). The sf
+    data rarely produces deferred rows, so the operator surface is
+    exercised even when the result is empty; full veto/confirm behavior
+    is pinned by pytest fixtures."""
+    from skyline_spark.operators.cross_series import mirage_reanalyze
+    from skyline_spark.plans.pipeline import run_pipeline
+    tdf = transcripts_from_events(spark, sf_dir)
+    res = run_pipeline(spark, tdf, _events_alert_config(spark), _events_cfg())
+    deferred = res.routed_verdicts.where(F.col("sink") == "deferred") \
+        .select("conv_id", "metric", "hours_to_resolve", "datapoint")
+    out = mirage_reanalyze(spark, res.parsed, deferred, _events_cfg(),
+                           now=res.now)
+    return out.select("conv_id", "metric", "mirage_anomalous", "final_sink")
+
+
+REGISTRY.update({
+    "boundary_static": (q_boundary_static, SQL_BOUNDARY_STATIC),
+    "drop_off_cliff": (q_drop_off_cliff, None),
+    "anomaly_episodes": (q_anomaly_episodes, SQL_ANOMALY_EPISODES),
+    "mirage_second_stage": (q_mirage_second_stage, None),
+})

@@ -1,0 +1,200 @@
+"""Tests for boundary checks (X3), anomaly-end sessionization (X4),
+mirage second-stage veto (§3.2), resumable lineage runs, and the
+streaming flux aggregator (G3)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from skyline_spark.config import PipelineConfig
+from skyline_spark.schema import ALERT_CONFIG_SCHEMA, TRANSCRIPTS_SCHEMA
+
+
+def _series_df(spark, rows):
+    """rows: list of (conv_id, ts_epoch, value)"""
+    pdf = pd.DataFrame(rows, columns=["conv_id", "te", "value"])
+    pdf["turn_idx"] = pdf.groupby("conv_id").cumcount().astype("int32")
+    pdf["ts"] = pd.to_datetime(pdf["te"], unit="s")
+    return spark.createDataFrame(pdf[["conv_id", "turn_idx", "ts", "value"]])
+
+
+def test_boundary_static_checks(spark):
+    from skyline_spark.operators.boundary import boundary_check
+    rows = []
+    # steady 200s then holds: greater_than(100) fires, less_than(10) no
+    for i in range(40):
+        rows.append(("high", 1000.0 + i, 200.0))
+    # cliff: 30 points of ~500 then last point crashes to 2
+    for i in range(39):
+        rows.append(("cliff", 1000.0 + i, 500.0 + (i % 5)))
+    rows.append(("cliff", 1039.0, 2.0))
+    df = _series_df(spark, rows)
+    gt = boundary_check(df, "greater_than", 100.0).toPandas().set_index("conv_id")
+    assert bool(gt.loc["high"].anomalous) and bool(gt.loc["cliff"].anomalous) is False
+    lt = boundary_check(df, "less_than", 10.0).toPandas().set_index("conv_id")
+    assert bool(lt.loc["cliff"].anomalous) and not bool(lt.loc["high"].anomalous)
+    cliff = boundary_check(df, "detect_drop_off_cliff", 0).toPandas() \
+        .set_index("conv_id")
+    # avg of last 10 (~500s) / last value (2) = ~225 > trigger 100
+    assert bool(cliff.loc["cliff"].anomalous)
+    assert not bool(cliff.loc["high"].anomalous)  # flat: min10 == max10
+
+
+def test_autoaggregate(spark):
+    from skyline_spark.operators.boundary import autoaggregate
+    rows = [("a", 0.0 + i, 1.0) for i in range(120)]
+    df = _series_df(spark, rows)
+    out = autoaggregate(df, 60).toPandas()
+    assert sorted(out.value) == [60.0, 60.0]
+
+
+def test_anomaly_end_timestamps(spark):
+    from skyline_spark.operators.cross_series import anomaly_end_timestamps
+    pdf = pd.DataFrame({
+        "conv_id": ["c"] * 10,
+        "bucket_start": list(range(10)),
+        "anomalous": [False, True, True, False, False,
+                      True, False, True, True, True],
+    })
+    df = spark.createDataFrame(pdf)
+    eps = anomaly_end_timestamps(df, ts_col="bucket_start").toPandas() \
+        .sort_values("anomaly_start").reset_index(drop=True)
+    assert len(eps) == 3
+    # run 1: buckets 1-2, closed by bucket 3
+    assert (eps.loc[0].anomaly_start, eps.loc[0].last_flagged,
+            eps.loc[0].anomaly_end) == (1, 2, 3)
+    # run 2: bucket 5, closed by 6
+    assert (eps.loc[1].anomaly_start, eps.loc[1].anomaly_end) == (5, 6)
+    # run 3: buckets 7-9, still open
+    assert eps.loc[2].anomaly_start == 7 and pd.isna(eps.loc[2].anomaly_end)
+
+
+def test_sigma_flags_and_end_to_end_episodes(spark):
+    from skyline_spark.operators.cross_series import (
+        anomaly_end_timestamps,
+        sigma_flags,
+    )
+    rng = np.random.RandomState(0)
+    vals = rng.normal(100, 1, 50)
+    vals[20:23] = 200.0
+    pdf = pd.DataFrame({"conv_id": "c", "bucket_start": range(50),
+                        "value": vals})
+    flags = sigma_flags(spark.createDataFrame(pdf),
+                        ts_col="bucket_start")
+    eps = anomaly_end_timestamps(flags, ts_col="bucket_start").toPandas()
+    assert len(eps) == 1
+    assert eps.iloc[0].anomaly_start == 20
+    assert eps.iloc[0].anomaly_end == 23
+
+
+def test_mirage_veto_and_confirm(spark):
+    """A series anomalous at the 1-day window but ordinary over 7 days
+    (daily spikes) is VETOED; the golden series stays CONFIRMED."""
+    from skyline_spark.operators.cross_series import mirage_reanalyze
+    from skyline_spark.operators.parse import parse_events
+    from skyline_spark.plans.pipeline import run_pipeline
+    from skyline_spark.synth import EPOCH0, _series_rows, golden_series
+
+    frames = []
+    # G2-style golden series, mirage namespace
+    ts, v = golden_series()
+    frames.append(_series_rows("conv-stats.statsd-0002", "stats.statsd", ts, v))
+    # veto series: quiet last day ending in a 1000 spike (anomalous at
+    # the 1-day window), but 6 preceding days of loud uniform(0,1000)
+    # noise — over the full 7-day window the spike is unremarkable
+    n = 7 * 1440
+    rng = np.random.RandomState(7)
+    ts2 = EPOCH0 - (n - 1) * 60 + np.arange(n, dtype=np.float64) * 60
+    v2 = np.concatenate([rng.uniform(0, 1000, n - 1440), np.ones(1440)])
+    v2[-1] = 1000.0
+    frames.append(_series_rows("conv-stats.statsd-0003", "stats.statsd", ts2, v2))
+
+    tdf = spark.createDataFrame(pd.concat(frames, ignore_index=True),
+                                schema=TRANSCRIPTS_SCHEMA)
+    adf = spark.createDataFrame(
+        [("stats.statsd", "smtp", 1800, 168, False, None)],
+        schema=ALERT_CONFIG_SCHEMA)
+    cfg = PipelineConfig()
+    res = run_pipeline(spark, tdf, adf, cfg)
+    deferred = res.routed_verdicts.where(F.col("sink") == "deferred") \
+        .select("conv_id", "metric", "hours_to_resolve", "datapoint")
+    dset = {r.conv_id for r in deferred.collect()}
+    assert dset == {"conv-stats.statsd-0002", "conv-stats.statsd-0003"}
+
+    parsed = parse_events(tdf)
+    out = mirage_reanalyze(spark, parsed, deferred, cfg, now=res.now) \
+        .toPandas().set_index("conv_id")
+    assert out.loc["conv-stats.statsd-0002"].final_sink == "anomalous"
+    assert out.loc["conv-stats.statsd-0003"].final_sink == "vetoed"
+
+
+def test_resumable_lineage(spark, tmp_path):
+    """Kill between snapshots, re-run, verify no dupes/gaps via the
+    lineage table (north_rule resume semantics)."""
+    from skyline_spark.plans.lineage import (
+        read_all_sinks,
+        read_checkpoint,
+        run_incremental,
+    )
+    from skyline_spark.sources.transcripts import synthetic_transcripts
+    from skyline_spark.synth import EPOCH0, fixture_alert_config
+
+    tdf = synthetic_transcripts(spark)
+    adf = spark.createDataFrame(fixture_alert_config(),
+                                schema=ALERT_CONFIG_SCHEMA)
+    base = str(tmp_path / "lineage_run")
+    cut = float(EPOCH0 - 3600)
+
+    # batch 1: everything up to `cut`
+    m1 = run_incremental(spark, tdf, adf, base, batch_hi=cut)
+    assert m1["rows"] > 0
+    # batch 2 crashes AFTER writing sinks but BEFORE the checkpoint
+    m2 = run_incremental(spark, tdf, adf, base, crash_before_checkpoint=True)
+    assert m2.get("crashed")
+    assert read_checkpoint(base)["watermark"] == cut  # checkpoint untouched
+    # resume: batch 2 replays into the same run dir (idempotent)
+    m3 = run_incremental(spark, tdf, adf, base)
+    assert m3["run_id"] == m2["run_id"]
+
+    allrows = read_all_sinks(spark, base)
+    total = tdf.count()
+    assert allrows.count() == total  # no dupes, no gaps
+    dup = (allrows.groupBy("conv_id", "turn_idx").count()
+           .where(F.col("count") > 1).count())
+    assert dup == 0
+
+
+def test_streaming_flux_aggregate(spark, tmp_path):
+    """availableNow streaming run over the events table must equal the
+    batch aggregation."""
+    import glob
+
+    from skyline_spark.operators.aggregate import flux_aggregate
+    from skyline_spark.streaming.flux_agg import (
+        run_to_memory,
+        streaming_flux_aggregate,
+    )
+    import shutil
+    src = "/root/testdata/sf0.001/events.parquet"
+    srcdir = str(tmp_path / "events_in")
+    import os
+    os.makedirs(srcdir, exist_ok=True)
+    shutil.copy(src, f"{srcdir}/part-0.parquet")
+    ev_schema = spark.read.parquet(src).schema
+    stream = (spark.readStream.schema(ev_schema)
+              .option("maxFilesPerTrigger", 1).parquet(srcdir))
+    agg = streaming_flux_aggregate(stream, 3600)
+    q = run_to_memory(agg, "flux_test", str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    got = spark.sql("select * from flux_test").toPandas() \
+        .sort_values(["namespace", "bucket_start"]).reset_index(drop=True)
+    want = flux_aggregate(spark.read.parquet(src), 3600,
+                          namespace_col="event_type").toPandas() \
+        .sort_values(["namespace", "bucket_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["namespace", "bucket_start", "avg", "sum", "min", "max"]],
+        want[["namespace", "bucket_start", "avg", "sum", "min", "max"]],
+        check_dtype=False)
