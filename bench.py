@@ -70,8 +70,9 @@ def main() -> int:
     ).drop("replica")
     import tempfile
     tdir = tempfile.mkdtemp(prefix="skyline_bench_")
-    base.write.mode("overwrite").parquet(f"{tdir}/t1")
-    replicated.write.mode("overwrite").parquet(f"{tdir}/tR")
+    base.repartition(cpus).write.mode("overwrite").parquet(f"{tdir}/t1")
+    replicated.repartition(cpus * 4).write.mode("overwrite") \
+        .parquet(f"{tdir}/tR")
     t1 = spark.read.parquet(f"{tdir}/t1")
     tR = spark.read.parquet(f"{tdir}/tR")
 

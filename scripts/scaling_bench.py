@@ -1,0 +1,119 @@
+"""Two-cluster-size scaling evidence (north_rule): run the identical
+pipeline job at local[8] and local[32] on the same input via
+``spark-submit --py-files`` and report throughput + scaling efficiency
+E = (T_8 / T_32) / (32 / 8); acceptance E >= 0.8.
+
+Writes BENCH/BASELINE.md. Usage:
+    python scripts/scaling_bench.py [sf_dir] [replicas]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import zipfile
+from datetime import datetime, timezone
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def build_zip() -> str:
+    dist = os.path.join(REPO, "dist")
+    os.makedirs(dist, exist_ok=True)
+    zpath = os.path.join(dist, "skyline_spark.zip")
+    with zipfile.ZipFile(zpath, "w") as z:
+        pkg = os.path.join(REPO, "skyline_spark")
+        for root, _dirs, files in os.walk(pkg):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    return zpath
+
+
+def materialize_input(sf_dir: str, replicas: int, path: str) -> None:
+    sys.path.insert(0, REPO)
+    from pyspark.sql import functions as F
+
+    from skyline_spark.session import get_spark
+    from skyline_spark.sources.transcripts import transcripts_from_events
+    spark = get_spark(app_name="scaling_input", master="local[8]",
+                      shuffle_partitions=8)
+    base = transcripts_from_events(spark, sf_dir)
+    rep = spark.range(replicas).select(F.col("id").cast("int").alias("r"))
+    out = base.crossJoin(rep).withColumn(
+        "conv_id", F.concat_ws("-", "conv_id", F.col("r").cast("string"))
+    ).drop("r")
+    # write enough files that map-side parallelism is set by the
+    # cluster, not the writer (single-row-group files cap split count)
+    out.repartition(128).write.mode("overwrite").parquet(path)
+    spark.stop()
+
+
+def submit(cores: int, sf_dir: str, replicas: int, input_dir: str,
+           zpath: str) -> dict:
+    out_json = f"/tmp/scaling_{cores}.json"
+    cmd = [
+        "spark-submit", "--master", f"local[{cores}]",
+        "--driver-memory", "24g",
+        "--py-files", zpath,
+        os.path.join(REPO, "scripts", "scaling_job.py"),
+        str(cores), sf_dir, str(replicas), out_json, input_dir,
+    ]
+    subprocess.run(cmd, check=True, cwd=REPO,
+                   stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+    with open(out_json) as fh:
+        return json.load(fh)
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 20
+    input_dir = "/tmp/scaling_input"
+    materialize_input(sf_dir, replicas, input_dir)
+    zpath = build_zip()
+
+    r8 = submit(8, sf_dir, replicas, input_dir, zpath)
+    r32 = submit(32, sf_dir, replicas, input_dir, zpath)
+    eff = (r8["wall_sec"] / r32["wall_sec"]) / (32 / 8)
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = f"""# BENCH/BASELINE — two-cluster-size scaling evidence
+
+North_rule criterion: >= 0.8 throughput scaling efficiency between N
+and 4N executors at fixed input. Sandbox substitute (BASELINE.md
+protocol): the IDENTICAL spark-submit job at two local parallelism
+levels, same JVM heap, same input, shuffle partitions scaled with
+cores. Job: full parse -> enrich -> analyze (9-algorithm consensus) ->
+route over a replicated events-derived transcripts table, submitted via
+`spark-submit --py-files dist/skyline_spark.zip`.
+
+Generated {datetime.now(timezone.utc).isoformat()} — input {sf_dir},
+replicas {replicas}, {r8['turns']} turns.
+
+| master | shuffle partitions | wall (s, min of 2 post-warmup) | turns/sec |
+| --- | --- | --- | --- |
+| local[8]  | 8  | {r8['wall_sec']} | {r8['turns_per_sec']} |
+| local[32] | 32 | {r32['wall_sec']} | {r32['turns_per_sec']} |
+
+**Scaling efficiency E = (T8 / T32) / (32 / 8) = {eff:.3f}**
+(acceptance >= 0.8: {"PASS" if eff >= 0.8 else "BELOW on this host - see note"})
+
+Note: this sandbox is a shared VM with multi-second noisy stalls
+(documented in bench.py); wall times are min-of-2 after a warmup run.
+At 10^12-turn scale the same plan shape holds because (a) the analyze
+group-by is the single wide shuffle and its group size is bounded by
+the retention trim, (b) the enrich and route joins are broadcast
+(series-cardinality build sides), and (c) everything upstream is
+embarrassingly partition-parallel scans.
+"""
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+        fh.write(md)
+    print(json.dumps({"e": round(eff, 3), "r8": r8, "r32": r32}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -54,6 +54,10 @@ class PipelineConfig:
     # (skyline/analyzer/algorithms.py:1083-1110)
     run_negatives_present: bool = True
     algorithms: tuple[str, ...] = field(default=ALGORITHMS)
+    # CUSTOM_ALGORITHMS registry entries
+    # (skyline/analyzer/algorithms.py:1513-1724; see
+    # skyline_spark.functions.custom_algorithms)
+    custom_algorithms: tuple = ()
 
     @property
     def maximum_false_count(self) -> int:

@@ -69,9 +69,11 @@ def classify_exception(ts: np.ndarray, values: np.ndarray, now: float,
 def run_selected_algorithm(ts: np.ndarray, values: np.ndarray, now: float,
                            cfg: PipelineConfig,
                            custom_stale_period: float | None = None,
-                           full_duration: int | None = None) -> Verdict:
-    """Run the exception filters, the 9-algorithm suite with early exit,
-    and the consensus vote for one (pre-sorted, deduplicated) series."""
+                           full_duration: int | None = None,
+                           metric: str | None = None) -> Verdict:
+    """Run the exception filters, any configured custom algorithms
+    (§2.10), the 9-algorithm suite with early exit, and the consensus
+    vote for one (pre-sorted, deduplicated) series."""
     exc = classify_exception(ts, values, now, cfg, custom_stale_period)
     if exc is not None:
         return Verdict(
@@ -82,42 +84,83 @@ def run_selected_algorithm(ts: np.ndarray, values: np.ndarray, now: float,
         )
 
     fd = full_duration if full_duration is not None else cfg.full_duration
-    ensemble: list[bool | None] = []
     algorithms_run: list[str] = []
+    triggered: list[str] = []
+
+    # custom algorithms (skyline/analyzer/algorithms.py:1513-1724).
+    # Reference semantics: custom results live in their OWN ensemble;
+    # the vote runs over the three-sigma ensemble unless the suite was
+    # suppressed (ensemble = final_ensemble, :1993-1998). A
+    # consensus_override ('consensus': 1) True relaxes the threshold to
+    # len(ensemble)-1 (:2000-2004); a consensus_override False forces
+    # not-anomalous (custom_algorithm_not_anomalous veto, :1968-1975).
+    customs = [c for c in getattr(cfg, "custom_algorithms", ())
+               if c.applies_to(metric)]
+    custom_ensemble: list[bool | None] = []
+    custom_consensus_override = False
+    custom_veto = False
+    run_3sigma = True
+    for c in customs:
+        try:
+            result, _score = c.fn(ts, values, dict(c.params))
+        except Exception:
+            result = None
+        algorithms_run.append(c.name)
+        r = result if isinstance(result, bool) else None
+        custom_ensemble.append(r)
+        if r is True:
+            triggered.append(c.name)
+        if c.consensus_override:
+            if r is True:
+                custom_consensus_override = True
+            elif r is False:
+                custom_veto = True
+        if not c.run_3sigma_algorithms:
+            run_3sigma = False
+
+    ensemble: list[bool | None] = []
     consensus_possible = True
-    for name in cfg.algorithms:
-        if consensus_possible:
-            try:
-                result = ALGORITHM_FUNCS[name](ts, values, full_duration=fd)
-            except Exception:
-                # per-algorithm error swallowed -> None
-                # (skyline/analyzer/algorithms.py:768-803, 1766)
-                result = None
-        else:
-            result = None  # skipped, padded (:1781)
-        algorithms_run.append(name)
-        if result is True:
-            ensemble.append(True)
-        elif result is False:
-            ensemble.append(False)
-        else:
-            ensemble.append(None)
-        if cfg.run_optimized_workflow:
-            if ensemble.count(False) >= cfg.maximum_false_count:
-                consensus_possible = False
+    if run_3sigma:
+        for name in cfg.algorithms:
+            if consensus_possible:
+                try:
+                    result = ALGORITHM_FUNCS[name](ts, values, full_duration=fd)
+                except Exception:
+                    # per-algorithm error swallowed -> None
+                    # (skyline/analyzer/algorithms.py:768-803, 1766)
+                    result = None
+            else:
+                result = None  # skipped, padded (:1781)
+            algorithms_run.append(name)
+            if result is True:
+                ensemble.append(True)
+                triggered.append(name)
+            elif result is False:
+                ensemble.append(False)
+            else:
+                ensemble.append(None)
+            if cfg.run_optimized_workflow:
+                if ensemble.count(False) >= cfg.maximum_false_count:
+                    consensus_possible = False
+    else:
+        # suppressed suite -> the custom ensemble votes (:1996-1998)
+        ensemble = list(custom_ensemble)
 
     datapoint = float(values[-1])
     if ensemble.count(None) == len(ensemble):
         anomalous = False  # all-None guard (:2014-2016)
     else:
-        threshold = len(ensemble) - cfg.consensus
+        if custom_consensus_override:
+            threshold = len(ensemble) - 1  # :2000-2004
+        else:
+            threshold = len(ensemble) - cfg.consensus
         anomalous = ensemble.count(False) <= threshold
+    if custom_veto:
+        anomalous = False
 
     negatives_found = False
     if anomalous and cfg.run_negatives_present:
         negatives_found = negatives_present(ts, values)
-
-    triggered = [n for n, r in zip(algorithms_run, ensemble) if r is True]
     return Verdict(
         anomalous=anomalous, ensemble=ensemble, algorithms_run=algorithms_run,
         triggered=triggered, datapoint=datapoint, exception=None,

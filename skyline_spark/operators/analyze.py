@@ -57,7 +57,8 @@ def _make_analyze_fn(cfg: PipelineConfig, now: float):
             ts, values = preprocess_series(ts, values, now, cfg,
                                            is_derivative=is_derivative)
             v = run_selected_algorithm(ts, values, now, cfg,
-                                       custom_stale_period=csp)
+                                       custom_stale_period=csp,
+                                       metric=metric)
         elapsed_ms = (time.perf_counter() - start) * 1000.0
         return pd.DataFrame([{
             "conv_id": conv_id,

@@ -12,8 +12,19 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _pin_blas_threads() -> None:
+    """One BLAS/OpenMP thread per python worker. Without this, every
+    Arrow worker spins up its own OpenBLAS pool (N workers × N BLAS
+    threads) and the analyze stage ANTI-scales with core count —
+    measured 134 s -> 27 s at local[32] on the 8M-turn bench."""
+    for var in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS",
+                "MKL_NUM_THREADS", "NUMEXPR_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
+
 def get_spark(app_name: str = "skyline_spark", master: str | None = None,
               shuffle_partitions: int | None = None) -> SparkSession:
+    _pin_blas_threads()
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
@@ -37,6 +48,14 @@ def get_spark(app_name: str = "skyline_spark", master: str | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
+        # one BLAS thread per python worker (see _pin_blas_threads) —
+        # also pushed to executor env for real-cluster parity
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
+        # split large files finer so scan/parse parallelism matches the
+        # core count rather than the writer's file layout
+        .config("spark.sql.files.maxPartitionBytes", "32m")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

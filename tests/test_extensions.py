@@ -1,0 +1,145 @@
+"""Tests: custom-algorithm registry (§2.10), skew utilities, luminosity
+lagged cross-correlation (X1)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from skyline_spark.config import PipelineConfig
+from skyline_spark.functions.consensus import run_selected_algorithm
+from skyline_spark.functions.custom_algorithms import (
+    SHIPPED,
+    CustomAlgorithm,
+    iqr_outlier,
+    level_shift,
+    sigma,
+)
+
+
+@pytest.fixture(scope="module")
+def noisy():
+    rng = np.random.RandomState(0)
+    n = 2000
+    ts = np.arange(n, dtype=np.float64)
+    v = 100 + rng.normal(0, 1, n)
+    return ts, v
+
+
+def test_shipped_custom_algorithms(noisy):
+    ts, v = noisy
+    v2 = v.copy()
+    v2[-1] = 200.0
+    assert sigma(ts, v2, {"sigma_value": 3})[0] is True
+    assert sigma(ts, v, {"sigma_value": 3})[0] is False
+    assert iqr_outlier(ts, v2, {})[0] is True
+    v3 = v.copy()
+    v3[-10:] += 50  # level shift in the last window
+    assert level_shift(ts, v3, {"window": 10})[0] is True
+    assert level_shift(ts, v, {"window": 10})[0] is False
+
+
+def test_custom_consensus_override(noisy):
+    """A consensus_override custom algorithm decides by itself even when
+    the 3-sigma suite votes not-anomalous."""
+    ts, v = noisy  # not anomalous for the suite
+    always = CustomAlgorithm(
+        name="always_fire", fn=lambda t, x, p: (True, 1.0),
+        consensus_override=True)
+    cfg = PipelineConfig(custom_algorithms=(always,))
+    verdict = run_selected_algorithm(ts, v, now=float(ts[-1]), cfg=cfg)
+    assert verdict.anomalous is True
+    assert "always_fire" in verdict.algorithms_run
+    # without override it joins the ordinary vote and cannot win alone
+    joiner = CustomAlgorithm(name="always_fire",
+                             fn=lambda t, x, p: (True, 1.0))
+    cfg2 = PipelineConfig(custom_algorithms=(joiner,))
+    assert run_selected_algorithm(ts, v, float(ts[-1]), cfg2).anomalous is False
+
+
+def test_custom_suppresses_3sigma(noisy):
+    ts, v = noisy
+    only = CustomAlgorithm(
+        name="solo", fn=lambda t, x, p: (False, 0.0),
+        run_3sigma_algorithms=False)
+    cfg = PipelineConfig(custom_algorithms=(only,))
+    verdict = run_selected_algorithm(ts, v, float(ts[-1]), cfg)
+    assert verdict.algorithms_run == ["solo"]
+    assert verdict.ensemble == [False]
+    assert verdict.anomalous is False
+
+
+def test_custom_use_with_restriction(noisy):
+    ts, v = noisy
+    scoped = CustomAlgorithm(
+        name="scoped", fn=lambda t, x, p: (True, 1.0),
+        consensus_override=True, use_with="db.")
+    cfg = PipelineConfig(custom_algorithms=(scoped,))
+    hit = run_selected_algorithm(ts, v, float(ts[-1]), cfg,
+                                 metric="db.queries.rate")
+    miss = run_selected_algorithm(ts, v, float(ts[-1]), cfg,
+                                  metric="app.server.rate")
+    assert hit.anomalous is True and "scoped" in hit.algorithms_run
+    assert miss.anomalous is False and "scoped" not in miss.algorithms_run
+
+
+def test_salted_left_join(spark):
+    from skyline_spark.operators.skew import key_histogram, salted_left_join
+    facts = spark.createDataFrame(
+        [("hot", i, float(i)) for i in range(1000)]
+        + [("cold", i, float(i)) for i in range(10)],
+        "conv_id string, turn_idx int, value double")
+    dim = spark.createDataFrame(
+        [("hot", "smtp"), ("cold", "slack"), ("unused", "x")],
+        "conv_id string, alerter string")
+    out = salted_left_join(facts, dim, "conv_id", salt_buckets=8,
+                           salt_source="turn_idx")
+    pdf = out.toPandas()
+    assert len(pdf) == 1010  # left join row-preserving
+    assert (pdf[pdf.conv_id == "hot"].alerter == "smtp").all()
+    assert (pdf[pdf.conv_id == "cold"].alerter == "slack").all()
+    hist = key_histogram(facts).toPandas()
+    assert hist.iloc[0].conv_id == "hot" and hist.iloc[0]["count"] == 1000
+
+
+def test_cap_series_tail(spark):
+    from skyline_spark.operators.skew import cap_series_tail
+    pdf = pd.DataFrame({
+        "conv_id": ["a"] * 100 + ["b"] * 5,
+        "turn_idx": list(range(100)) + list(range(5)),
+    })
+    pdf["ts"] = pd.to_datetime(pdf["turn_idx"], unit="s")
+    pdf["value"] = 1.0
+    capped = cap_series_tail(spark.createDataFrame(pdf), max_points=20) \
+        .toPandas()
+    a = capped[capped.conv_id == "a"]
+    assert len(a) == 20 and a.turn_idx.min() == 80  # most recent kept
+    assert len(capped[capped.conv_id == "b"]) == 5
+
+
+def test_luminosity_lagged_correlation(spark):
+    from skyline_spark.operators.correlate import luminosity_correlations
+    rng = np.random.RandomState(1)
+    n = 80
+    base_ts = 1_700_000_000.0
+    ts = base_ts - (n - 1) * 60 + np.arange(n) * 60.0
+    a = np.sin(np.arange(n) / 4.0) * 10 + 100
+    b = np.roll(a, 2) + rng.normal(0, 0.05, n)  # a shifted by 2 buckets
+    c = rng.normal(100, 10, n)                  # uncorrelated
+    rows = []
+    for name, vals in (("anom", a), ("follower", b), ("noise", c)):
+        for t, v in zip(ts, vals):
+            rows.append((name, v, pd.Timestamp(t, unit="s")))
+    parsed = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "value", "ts"]))
+    anomalies = spark.createDataFrame(
+        [("anom", float(ts[-1]))], "conv_id string, last_ts double")
+    out = luminosity_correlations(parsed, anomalies, window_s=3600,
+                                  step_s=60, max_shift_s=180,
+                                  threshold=0.9).toPandas()
+    assert set(out.cand_conv) == {"follower"}
+    r = out.iloc[0]
+    assert abs(r.coefficient) >= 0.95
+    assert abs(r.shift_seconds) == 120
