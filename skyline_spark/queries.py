@@ -845,3 +845,42 @@ REGISTRY.update({
     "anomaly_episodes": (q_anomaly_episodes, SQL_ANOMALY_EPISODES),
     "mirage_second_stage": (q_mirage_second_stage, None),
 })
+
+
+# ---------------------------------------------------------------------------
+# queries — run aggregates (G1/G2/G4; downstream of consensus -> rows-only)
+# ---------------------------------------------------------------------------
+
+def q_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 — run summary totals (analyzer.py:8564-8643)."""
+    from skyline_spark.operators.aggregate import run_summary
+    from skyline_spark.plans.pipeline import run_pipeline
+    tdf = transcripts_from_events(spark, sf_dir)
+    res = run_pipeline(spark, tdf, _events_alert_config(spark), _events_cfg())
+    return run_summary(res.verdicts)
+
+
+def q_illuminance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 — per-timestamp anomaly magnitude sums
+    (analyzer.py:4012-4015, 4245-4253)."""
+    from skyline_spark.operators.aggregate import illuminance
+    from skyline_spark.plans.pipeline import run_pipeline
+    tdf = transcripts_from_events(spark, sf_dir)
+    res = run_pipeline(spark, tdf, _events_alert_config(spark), _events_cfg())
+    return illuminance(res.verdicts)
+
+
+def q_anomaly_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-algorithm trigger counts (analyzer.py:4217-4243)."""
+    from skyline_spark.operators.aggregate import anomaly_breakdown
+    from skyline_spark.plans.pipeline import run_pipeline
+    tdf = transcripts_from_events(spark, sf_dir)
+    res = run_pipeline(spark, tdf, _events_alert_config(spark), _events_cfg())
+    return anomaly_breakdown(res.verdicts)
+
+
+REGISTRY.update({
+    "run_summary": (q_run_summary, None),
+    "illuminance": (q_illuminance, None),
+    "anomaly_breakdown": (q_anomaly_breakdown, None),
+})
