@@ -39,15 +39,30 @@ from skyline_spark.functions.consensus import preprocess_series, run_selected_al
 from skyline_spark.schema import VERDICT_SCHEMA
 
 
-def _make_analyze_fn(cfg: PipelineConfig, now: float):
+def _make_analyze_fn(cfg: PipelineConfig, now: float,
+                     rules: list[dict] | None = None):
+    from skyline_spark.operators.enrich import match_rules_py
+
     def analyze_group(pdf: pd.DataFrame) -> pd.DataFrame:
         start = time.perf_counter()
         conv_id = pdf["conv_id"].iloc[0]
         metric = pdf["metric"].iloc[0] if pdf["metric"].notna().any() else None
-        is_derivative = bool(pdf["is_derivative"].iloc[0]) if "is_derivative" in pdf else False
-        csp = None
-        if "custom_stale_period" in pdf and pd.notna(pdf["custom_stale_period"].iloc[0]):
-            csp = float(pdf["custom_stale_period"].iloc[0])
+
+        # enrichment: resolved here from the closure rule list (the
+        # metrics_manager hash analogue) unless the caller pre-joined
+        if rules is not None:
+            rule = match_rules_py(metric, rules) or {}
+            is_derivative = bool(rule.get("is_derivative") or False)
+            csp = rule.get("custom_stale_period")
+            csp = float(csp) if csp is not None else None
+        else:
+            rule = {}
+            is_derivative = (bool(pdf["is_derivative"].iloc[0])
+                             if "is_derivative" in pdf else False)
+            csp = None
+            if "custom_stale_period" in pdf and \
+                    pd.notna(pdf["custom_stale_period"].iloc[0]):
+                csp = float(pdf["custom_stale_period"].iloc[0])
 
         valid = pdf["value"].notna().to_numpy()
         ts = pdf["ts_epoch"].to_numpy(dtype=np.float64)[valid]
@@ -60,6 +75,7 @@ def _make_analyze_fn(cfg: PipelineConfig, now: float):
                                        custom_stale_period=csp,
                                        metric=metric)
         elapsed_ms = (time.perf_counter() - start) * 1000.0
+        sor = rule.get("second_order_resolution_hours")
         return pd.DataFrame([{
             "conv_id": conv_id,
             "metric": metric,
@@ -73,26 +89,37 @@ def _make_analyze_fn(cfg: PipelineConfig, now: float):
             "n_points": v.n_points,
             "last_ts": v.last_ts,
             "analyze_ms": elapsed_ms,
+            "matched_pattern": rule.get("namespace_pattern"),
+            "alerter": rule.get("alerter"),
+            "expiration_time": rule.get("expiration_time"),
+            "second_order_resolution_hours": sor,
+            "is_mirage": sor is not None,
+            "is_smtp_alerter": rule.get("alerter") == "smtp",
         }])
 
     return analyze_group
 
 
-def analyze(enriched: DataFrame, cfg: PipelineConfig, now: float) -> DataFrame:
-    """enriched facts -> one verdict row per (conv_id, metric) series.
+def analyze(enriched: DataFrame, cfg: PipelineConfig, now: float,
+            rules: list[dict] | None = None) -> DataFrame:
+    """parsed/enriched facts -> one verdict row per (conv_id, metric)
+    series.
 
     ``now`` is the batch watermark (max ts of the input) — supplied by the
-    caller so the whole job is a pure function of its input.
+    caller so the whole job is a pure function of its input. When
+    ``rules`` is given, enrichment resolves inside the UDF (one fewer
+    parse scan + no dimension sub-job); the input projection shrinks to
+    four narrow columns.
     """
-    projected = (
-        enriched
-        .select(
-            "conv_id", "metric",
-            epoch_seconds(F.col("ts")).alias("ts_epoch"),
-            "value",
+    cols = ["conv_id", "metric",
+            epoch_seconds(F.col("ts")).alias("ts_epoch"), "value"]
+    if rules is None:
+        cols += [
             F.coalesce(F.col("is_derivative"), F.lit(False)).alias("is_derivative"),
             F.col("custom_stale_period").cast("double").alias("custom_stale_period"),
-        )
+        ]
+    projected = (
+        enriched.select(*cols)
         # native pre-filters: drop non-event rows (EmptyTimeseries is
         # computed natively, see empty_series_verdicts) and retention
         # pre-trim — bounds group size AND pushes both predicates into
@@ -101,7 +128,7 @@ def analyze(enriched: DataFrame, cfg: PipelineConfig, now: float) -> DataFrame:
                 & (F.col("ts_epoch") > F.lit(now - cfg.full_duration)))
     )
     return projected.groupBy("conv_id", "metric").applyInPandas(
-        _make_analyze_fn(cfg, now), schema=VERDICT_SCHEMA)
+        _make_analyze_fn(cfg, now, rules), schema=VERDICT_SCHEMA)
 
 
 def empty_series_verdicts(transcripts: DataFrame, parsed: DataFrame,
@@ -142,4 +169,10 @@ def empty_series_verdicts(transcripts: DataFrame, parsed: DataFrame,
         F.lit(0).cast("long").alias("n_points"),
         F.lit(None).cast("double").alias("last_ts"),
         F.lit(0.0).alias("analyze_ms"),
+        F.lit(None).cast("string").alias("matched_pattern"),
+        F.lit(None).cast("string").alias("alerter"),
+        F.lit(None).cast("int").alias("expiration_time"),
+        F.lit(None).cast("int").alias("second_order_resolution_hours"),
+        F.lit(False).alias("is_mirage"),
+        F.lit(False).alias("is_smtp_alerter"),
     )

@@ -71,6 +71,41 @@ def resolve_metric_dimension(metrics: DataFrame, alert_config: DataFrame) -> Dat
     )
 
 
+def rules_from_config(alert_config: DataFrame) -> list[dict]:
+    """Collect the (tiny, config-sized) alert dimension to a plain list
+    of rule dicts in priority order — for closure-side resolution inside
+    the analyze UDF (the analogue of the analyzer resolving per-metric
+    settings in-process; avoids a whole parse scan + broadcast sub-job
+    per run)."""
+    if "priority" not in alert_config.columns:
+        alert_config = alert_config.withColumn(
+            "priority", F.monotonically_increasing_id())
+    rows = alert_config.orderBy("priority").collect()
+    return [r.asDict() for r in rows]
+
+
+def match_rules_py(metric: str | None, rules: list[dict]) -> dict | None:
+    """Python twin of matched_or_regexed_in_list.py:18 — per rule in
+    list order: absolute match, substring, dotted-element subset, then
+    anchored regex; first match wins."""
+    import re as _re
+    if metric is None:
+        return None
+    m_elems = set(metric.split("."))
+    for r in rules:
+        pat = r["namespace_pattern"]
+        if metric == pat or pat in metric:
+            return r
+        if set(pat.split(".")) <= m_elems:
+            return r
+        try:
+            if _re.match(pat, metric):
+                return r
+        except _re.error:
+            continue
+    return None
+
+
 def enrich(parsed: DataFrame, alert_config: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Attach the resolved dimension to parsed fact rows.
 

@@ -40,14 +40,20 @@ def sink_expr(mirage_always: list[str] | None = None):
     return base
 
 
-def route_verdicts(verdicts: DataFrame, dim: DataFrame,
+def route_verdicts(verdicts: DataFrame, dim: DataFrame | None = None,
                    mirage_always: list[str] | None = None) -> DataFrame:
-    """Attach sink + deferred-check metadata to verdict rows."""
-    v = verdicts.join(
-        F.broadcast(dim.select("metric", "is_mirage", "is_smtp_alerter",
-                               "second_order_resolution_hours",
-                               "expiration_time")),
-        "metric", "left")
+    """Attach sink + deferred-check metadata to verdict rows.
+
+    Verdicts normally carry their enrichment columns (resolved in-UDF);
+    ``dim`` is only joined when they don't (legacy pre-joined path)."""
+    if "is_mirage" in verdicts.columns:
+        v = verdicts
+    else:
+        v = verdicts.join(
+            F.broadcast(dim.select("metric", "is_mirage", "is_smtp_alerter",
+                                   "second_order_resolution_hours",
+                                   "expiration_time")),
+            "metric", "left")
     v = v.withColumn("sink", sink_expr(mirage_always))
     # mirage check-file analogue: idempotence key + hours_to_resolve
     # (analyzer.py:4496-4538, 4578-4583)

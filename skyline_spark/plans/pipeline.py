@@ -17,7 +17,7 @@ from skyline_spark.functions.spark_utils import epoch_seconds
 
 from skyline_spark.config import PipelineConfig
 from skyline_spark.operators.analyze import analyze, empty_series_verdicts
-from skyline_spark.operators.enrich import enrich
+from skyline_spark.operators.enrich import enrich, rules_from_config
 from skyline_spark.operators.parse import parse_events
 from skyline_spark.operators.route import route_turns, route_verdicts
 
@@ -50,24 +50,28 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
         now = batch_now(transcripts)
 
     parsed = parse_events(transcripts)
-    enriched, dim = enrich(parsed, alert_config)
-    if persist_intermediates:
-        # dim and verdicts are SERIES-cardinality (#distinct metrics /
-        # #conversations), orders of magnitude smaller than the fact
-        # table at any scale — persisting them stops every downstream
-        # action from re-running the parse scan + the analyze shuffle.
-        # The fact table itself is never cached (rescans are pruned
-        # columnar reads).
-        dim = dim.persist()
+    # enrichment rules are config-sized: collected once and resolved
+    # inside the analyze UDF (the metrics_manager-hash analogue) — no
+    # dimension sub-job, no extra parse scan, and the analyze input
+    # projection shrinks to 4 narrow columns
+    rules = rules_from_config(alert_config)
 
-    verdicts = analyze(enriched, cfg, now)
+    verdicts = analyze(parsed, cfg, now, rules=rules)
     empties = empty_series_verdicts(transcripts, parsed, cfg, now)
     all_verdicts = verdicts.unionByName(empties)
     if persist_intermediates:
+        # verdicts are SERIES-cardinality — orders of magnitude smaller
+        # than the fact table at any scale; persisting them stops every
+        # downstream action from re-running the analyze shuffle. The
+        # fact table itself is never cached (rescans are pruned
+        # columnar reads).
         all_verdicts = all_verdicts.persist()
 
-    routed_v = route_verdicts(all_verdicts, dim, mirage_always)
+    routed_v = route_verdicts(all_verdicts, mirage_always=mirage_always)
     routed_t = route_turns(transcripts, routed_v)
+    # the broadcast-join dimension remains available for inspection /
+    # the oracle surface; lazy, not on the routed path
+    _, dim = enrich(parsed, alert_config)
     return PipelineResult(
         parsed=parsed, dim=dim, verdicts=all_verdicts,
         routed_verdicts=routed_v, routed_turns=routed_t, now=now)

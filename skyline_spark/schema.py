@@ -49,6 +49,15 @@ VERDICT_SCHEMA = T.StructType([
     T.StructField("n_points", T.LongType(), True),
     T.StructField("last_ts", T.DoubleType(), True),
     T.StructField("analyze_ms", T.DoubleType(), True),
+    # enrichment resolved in-UDF from the broadcast rule list (the
+    # metrics_manager hash analogue) — carried on the verdict so the
+    # router needs no dimension join
+    T.StructField("matched_pattern", T.StringType(), True),
+    T.StructField("alerter", T.StringType(), True),
+    T.StructField("expiration_time", T.IntegerType(), True),
+    T.StructField("second_order_resolution_hours", T.IntegerType(), True),
+    T.StructField("is_mirage", T.BooleanType(), True),
+    T.StructField("is_smtp_alerter", T.BooleanType(), True),
 ])
 
 SINKS = ("anomalous", "deferred", "normal", "exception")
