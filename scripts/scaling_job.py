@@ -34,7 +34,7 @@ def main() -> int:
     spark = (
         SparkSession.builder
         .appName(f"skyline_scaling_{cores}")
-        .config("spark.sql.shuffle.partitions", str(cores))
+        .config("spark.sql.shuffle.partitions", str(cores * 4))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
