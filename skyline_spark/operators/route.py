@@ -70,26 +70,40 @@ def route_verdicts(verdicts: DataFrame, dim: DataFrame | None = None,
     )
 
 
-def route_turns(transcripts: DataFrame, routed_verdicts: DataFrame,
-                broadcast_verdicts: bool = True) -> DataFrame:
-    """Join the full turn rows to their series verdict -> routed per-turn
+def route_turns(facts: DataFrame, routed_verdicts: DataFrame,
+                broadcast_verdicts: bool | None = None) -> DataFrame:
+    """Join the turn rows to their series verdict -> routed per-turn
     rows for the sink tables.
 
-    The verdict side is one row per conversation — dimension-sized
-    relative to the turn facts — so it is broadcast by default (no
-    shuffle of the wide turn rows). For extreme conv cardinality pass
-    ``broadcast_verdicts=False`` and AQE handles the conv_id shuffle
-    (skew-join enabled for hot conversations). ``text`` and all other
-    turn columns pass through untouched.
+    Join key: verdicts are keyed (conv_id, metric) — a conversation
+    emitting two metrics has two verdict rows, so when the fact rows
+    carry a ``metric`` column (parsed facts) the join uses BOTH keys
+    (null-safe on metric: unparsed turns of an all-unparsed conversation
+    match its EmptyTimeseries verdict). Joining on conv_id alone would
+    duplicate every turn of a multi-metric conversation.
+
+    Broadcast: verdicts are series-cardinality. That is usually tiny
+    relative to the facts, but at extreme conversation cardinality it is
+    billions of rows and a STATIC broadcast hint would OOM the driver —
+    so the default (None) leaves the strategy to AQE, which sees the
+    verdicts' actual runtime size after their shuffle materializes and
+    converts to broadcast only when it fits
+    (spark.sql.adaptive.autoBroadcastJoinThreshold). Pass True/False to
+    force either path. ``text`` and all other turn columns pass through
+    untouched.
     """
     vcols = routed_verdicts.select(
-        "conv_id", "metric", "sink", "anomalous", "ensemble", "triggered",
+        F.col("conv_id").alias("__v_conv"), F.col("metric").alias("__v_metric"),
+        "sink", "anomalous", "ensemble", "triggered",
         "algorithms_run", "datapoint", "exception", "negatives_found",
         "last_ts", "check_id", "hours_to_resolve")
     if broadcast_verdicts:
         vcols = F.broadcast(vcols)
-    return transcripts.join(vcols, "conv_id", "left") \
-        .withColumn("sink", F.coalesce(F.col("sink"), F.lit("exception")))
+    cond = F.col("conv_id") == F.col("__v_conv")
+    if "metric" in facts.columns:
+        cond = cond & F.col("metric").eqNullSafe(F.col("__v_metric"))
+    out = facts.join(vcols, cond, "left").drop("__v_conv", "__v_metric")
+    return out.withColumn("sink", F.coalesce(F.col("sink"), F.lit("exception")))
 
 
 def write_sinks(routed: DataFrame, base_path: str, fmt: str = "parquet") -> None:

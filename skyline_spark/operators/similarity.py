@@ -44,8 +44,13 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
                        F.col(vec_col).alias("qvec"))
     c = embeddings.select(F.col(id_col).alias("cand_id"),
                           F.col(vec_col).alias("cvec"))
+    # round to 4 dp BEFORE ranking (ties broken by cand_id): the raw dot
+    # product differs from other engines' fold order by ~1 ulp, which at
+    # 6 dp can straddle a rounding boundary (oracle hash mismatch seen at
+    # exactly one 0.xxxxx45 value); 4 dp makes the comparison robust while
+    # keeping the ranking deterministic on both sides
     scored = (c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
-              .withColumn("sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6)))
+              .withColumn("sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 4)))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
                                                F.col("cand_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -68,7 +68,10 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
         all_verdicts = all_verdicts.persist()
 
     routed_v = route_verdicts(all_verdicts, mirage_always=mirage_always)
-    routed_t = route_turns(transcripts, routed_v)
+    # route the PARSED rows: they carry the per-turn metric, so the
+    # verdict join is exact on (conv_id, metric) — a multi-metric
+    # conversation never duplicates its turns
+    routed_t = route_turns(parsed, routed_v)
     # the broadcast-join dimension remains available for inspection /
     # the oracle surface; lazy, not on the routed path
     _, dim = enrich(parsed, alert_config)

@@ -480,15 +480,27 @@ def _events_cfg() -> PipelineConfig:
     return PipelineConfig(full_duration=FD, stale_period=STALE)
 
 
+#: MIRAGE_ALWAYS_METRICS analogue (skyline/settings.py MIRAGE_ALWAYS_METRICS;
+#: analyzer.py:4144-4158): error.* is force-routed to the deferred sink even
+#: when not anomalous, so the second stage sees confirm AND veto cases.
+MIRAGE_ALWAYS = ["error.turns.rate"]
+
+
+def _run_events_pipeline(spark: SparkSession, sf_dir: str):
+    from skyline_spark.plans.pipeline import run_pipeline
+    tdf = transcripts_from_events(spark, sf_dir)
+    return run_pipeline(spark, tdf, _events_alert_config(spark),
+                        _events_cfg(), mirage_always=MIRAGE_ALWAYS)
+
+
 def q_consensus_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5/2.6 — the full 9-algorithm consensus vote per series. grubbs
     (Student-t ISF) and ks_test (KS + ADF) are not ANSI-SQL-expressible,
     so this is a rows-only check; the statistical semantics are covered
-    by the golden-fixture pytest suite instead."""
-    from skyline_spark.plans.pipeline import run_pipeline
-    tdf = transcripts_from_events(spark, sf_dir)
-    adf = _events_alert_config(spark)
-    res = run_pipeline(spark, tdf, adf, _events_cfg())
+    by the golden-fixture pytest suite AND by the consensus_vote_sql5
+    query, whose 5-algorithm variant of the same kernel is value-checked
+    against a full DuckDB twin."""
+    res = _run_events_pipeline(spark, sf_dir)
     return res.routed_verdicts.select(
         "conv_id", "metric", "anomalous", "exception", "sink",
         _R6("datapoint").alias("datapoint"), "n_points")
@@ -514,6 +526,111 @@ def q_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.groupBy("sink").count().orderBy("sink")
 
 
+#: the SQL-expressible subset of the 9-algorithm suite, in vote order
+SQL5_ALGS = ("first_hour_average", "stddev_from_average",
+             "mean_subtraction_cumulation", "median_absolute_deviation",
+             "least_squares")
+
+
+def q_consensus_sql5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5/2.6 — the EXACT analyze kernel (preprocess -> exception
+    filters -> ensemble -> consensus vote, skyline/analyzer/
+    algorithms.py:1168-2047) restricted to the 5 ANSI-SQL-expressible
+    algorithms at CONSENSUS=4, so the whole per-series UDF path is
+    value-checked against a DuckDB twin on real data (grubbs/ks_test/
+    ewm/histogram need non-SQL numerics and are pinned by golden pytest
+    instead)."""
+    from skyline_spark.operators.analyze import analyze
+    from skyline_spark.plans.pipeline import batch_now
+    tdf = transcripts_from_events(spark, sf_dir)
+    parsed = parse_events(tdf)
+    now = batch_now(tdf)
+    cfg = PipelineConfig(full_duration=FD, stale_period=STALE,
+                         consensus=4, run_optimized_workflow=False,
+                         algorithms=SQL5_ALGS)
+    v = analyze(parsed, cfg, now, rules=[])
+
+    def e(i):  # exception rows carry an EMPTY ensemble -> null votes
+        return F.get(F.col("ensemble"), i)
+    return v.select(
+        "conv_id", "exception",
+        e(0).alias("fha"), e(1).alias("sfa"), e(2).alias("msc"),
+        e(3).alias("mad"), e(4).alias("lsq"),
+        "anomalous", _R6("datapoint").alias("datapoint"))
+
+
+SQL_CONSENSUS_SQL5 = _sql(f"""
+, series AS (
+    SELECT v.conv_id, epoch(v.ts) AS x, v.value AS y, b.now
+    FROM valid v, batch b WHERE epoch(v.ts) > b.now - {FD}),
+ordered AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY x DESC) AS rnd
+    FROM series),
+base AS (
+    SELECT conv_id, count(*) AS n, max(now) AS now,
+           max(CASE WHEN rnd = 1 THEN x END) AS last_x,
+           max(CASE WHEN rnd = 1 THEN y END) AS v1,
+           max(CASE WHEN rnd = 2 THEN y END) AS v2,
+           max(CASE WHEN rnd = 3 THEN y END) AS v3,
+           count(DISTINCT CASE WHEN rnd <= {BOREDOM_N} THEN y END)
+               AS tail_distinct,
+           avg(y) AS mean, stddev_samp(y) AS std, median(y) AS med,
+           avg(CASE WHEN rnd > 1 THEN y END) AS head_mean,
+           stddev_samp(CASE WHEN rnd > 1 THEN y END) AS head_std,
+           regr_slope(y, x) AS m, regr_intercept(y, x) AS c
+    FROM ordered GROUP BY conv_id),
+exc AS (
+    SELECT *,
+           CASE WHEN n < {MIN_LEN} THEN 'TooShort'
+                WHEN now - last_x > {STALE} THEN 'Stale'
+                WHEN tail_distinct = 1 THEN 'Boring' END AS exception,
+           CASE WHEN n >= 3 THEN (v1 + v2 + v3) / 3.0 ELSE v1 END AS tav
+    FROM base),
+madx AS (
+    SELECT o.conv_id, median(abs(o.y - b.med)) AS mad_dev,
+           max(CASE WHEN o.rnd = 1 THEN abs(o.y - b.med) END) AS last_dev
+    FROM ordered o JOIN exc b USING (conv_id) GROUP BY o.conv_id),
+fh AS (
+    SELECT o.conv_id, avg(o.y) AS fmean, stddev_samp(o.y) AS fstd
+    FROM ordered o JOIN exc b USING (conv_id)
+    WHERE o.x > b.last_x - {FD} AND o.x < b.last_x - {FD} + 3600
+    GROUP BY o.conv_id),
+resid AS (
+    SELECT o.conv_id, stddev_samp(o.y - (b.m * o.x + b.c)) AS rstd,
+           avg(CASE WHEN o.rnd <= 3 THEN o.y - (b.m * o.x + b.c) END) AS rt3
+    FROM ordered o JOIN exc b USING (conv_id) GROUP BY o.conv_id),
+votes AS (
+    SELECT e.conv_id, e.exception, round(e.v1, 6) AS datapoint,
+           CASE WHEN e.exception IS NULL
+                THEN coalesce(abs(e.tav - f.fmean) > 3 * f.fstd, FALSE)
+           END AS fha,
+           CASE WHEN e.exception IS NULL
+                THEN coalesce(abs(e.tav - e.mean) > 3 * e.std, FALSE)
+           END AS sfa,
+           CASE WHEN e.exception IS NULL
+                THEN coalesce(abs(e.v1 - e.head_mean) > 3 * e.head_std, FALSE)
+           END AS msc,
+           CASE WHEN e.exception IS NULL
+                THEN CASE WHEN m.mad_dev = 0 THEN FALSE
+                          ELSE m.last_dev / m.mad_dev > 6 END
+           END AS mad,
+           CASE WHEN e.exception IS NULL
+                THEN coalesce(abs(r.rt3) > 3 * r.rstd
+                              AND round(r.rstd, 0) <> 0
+                              AND round(r.rt3, 0) <> 0, FALSE)
+           END AS lsq
+    FROM exc e LEFT JOIN madx m USING (conv_id)
+    LEFT JOIN fh f USING (conv_id) LEFT JOIN resid r USING (conv_id))
+SELECT conv_id, exception, fha, sfa, msc, mad, lsq,
+       CASE WHEN exception IS NOT NULL THEN FALSE
+            ELSE (CAST(NOT fha AS INT) + CAST(NOT sfa AS INT)
+                  + CAST(NOT msc AS INT) + CAST(NOT mad AS INT)
+                  + CAST(NOT lsq AS INT)) <= 1 END AS anomalous,
+       datapoint
+FROM votes
+""")
+
+
 REGISTRY: dict[str, tuple] = {
     "parse_events": (q_parse, SQL_PARSE),
     "sort_dedup": (q_sort_dedup, SQL_SORT_DEDUP),
@@ -530,6 +647,7 @@ REGISTRY: dict[str, tuple] = {
     "flux_aggregate_1h": (q_flux_aggregate_1h, SQL_FLUX_AGGREGATE_1H),
     "correlate_pearson": (q_correlate, SQL_CORRELATE),
     "consensus_verdicts": (q_consensus_verdicts, None),
+    "consensus_vote_sql5": (q_consensus_sql5, SQL_CONSENSUS_SQL5),
     "sink_counts": (q_sink_counts, None),
 }
 
@@ -681,7 +799,7 @@ WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
            WHERE vec_id < 5),
 scored AS (
     SELECT q.query_id, e.vec_id AS cand_id,
-           round(list_cosine_similarity(q.qvec, e.embedding), 6) AS sim
+           round(list_cosine_similarity(q.qvec, e.embedding), 4) AS sim
     FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
 ranked AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -829,11 +947,10 @@ def q_mirage_second_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercised even when the result is empty; full veto/confirm behavior
     is pinned by pytest fixtures."""
     from skyline_spark.operators.cross_series import mirage_reanalyze
-    from skyline_spark.plans.pipeline import run_pipeline
-    tdf = transcripts_from_events(spark, sf_dir)
-    res = run_pipeline(spark, tdf, _events_alert_config(spark), _events_cfg())
+    res = _run_events_pipeline(spark, sf_dir)
     deferred = res.routed_verdicts.where(F.col("sink") == "deferred") \
-        .select("conv_id", "metric", "hours_to_resolve", "datapoint")
+        .select("conv_id", "metric", "hours_to_resolve", "datapoint",
+                "last_ts")
     out = mirage_reanalyze(spark, res.parsed, deferred, _events_cfg(),
                            now=res.now)
     return out.select("conv_id", "metric", "mirage_anomalous", "final_sink")
@@ -854,9 +971,7 @@ REGISTRY.update({
 def q_run_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1 — run summary totals (analyzer.py:8564-8643)."""
     from skyline_spark.operators.aggregate import run_summary
-    from skyline_spark.plans.pipeline import run_pipeline
-    tdf = transcripts_from_events(spark, sf_dir)
-    res = run_pipeline(spark, tdf, _events_alert_config(spark), _events_cfg())
+    res = _run_events_pipeline(spark, sf_dir)
     return run_summary(res.verdicts)
 
 
@@ -864,18 +979,14 @@ def q_illuminance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G4 — per-timestamp anomaly magnitude sums
     (analyzer.py:4012-4015, 4245-4253)."""
     from skyline_spark.operators.aggregate import illuminance
-    from skyline_spark.plans.pipeline import run_pipeline
-    tdf = transcripts_from_events(spark, sf_dir)
-    res = run_pipeline(spark, tdf, _events_alert_config(spark), _events_cfg())
+    res = _run_events_pipeline(spark, sf_dir)
     return illuminance(res.verdicts)
 
 
 def q_anomaly_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-algorithm trigger counts (analyzer.py:4217-4243)."""
     from skyline_spark.operators.aggregate import anomaly_breakdown
-    from skyline_spark.plans.pipeline import run_pipeline
-    tdf = transcripts_from_events(spark, sf_dir)
-    res = run_pipeline(spark, tdf, _events_alert_config(spark), _events_cfg())
+    res = _run_events_pipeline(spark, sf_dir)
     return anomaly_breakdown(res.verdicts)
 
 

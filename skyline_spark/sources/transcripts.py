@@ -9,17 +9,35 @@ Two ways to obtain the input table of BASELINE.json's ``input_hint``:
    identically in DuckDB SQL (see DUCKDB_TRANSCRIPTS_SQL) so every
    pipeline operator can be oracle-checked by the correctness driver.
 
-Derivation (pure function of the events table; no wall clock, no rand):
-- conv_id   = 'conv-' || event_type || '-' || (user_id % 5)
+Derivation (pure function of the events table; no wall clock, no rand).
+The base mapping plus PLANTED downstream variety, so the driver's gate
+exercises every routing branch on real data (anomalous, deferred,
+TooShort, Stale, Boring, EmptyTimeseries, DeletedByRoomba) instead of
+only 'normal':
+
+- conv_id   = 'conv-' || event_type || '-' || (user_id % SPLIT) where
+              SPLIT is 40 for 'view' (many short convs -> TooShort at
+              sf<=0.01) and 5 otherwise
+- row filter: 'conv-click-3' keeps only its first 21 days (last point
+              ~9 days before the batch watermark -> Stale, E3);
+              'conv-signup-3' keeps only its first 5 days (every point
+              outside the 21-day retention window -> DeletedByRoomba)
 - turn_idx  = row_number() over (partition by conv_id
-                                 order by ts, event_id) - 1
+                                 order by ts, event_id) - 1, AFTER the
+              row filter
 - role      = user/assistant/tool cycling on turn_idx % 3
 - tool      = for tool turns, one of search/exec/db/none by
               (user_id + turn_idx) % 4
+- value'    = 7.0 for the last 150 turns of 'conv-signup-2' (constant
+              tail -> Boring, E4); value+2000 for the last 3 turns of
+              'conv-purchase-0' (-> anomalous sink) and 'conv-error-0'
+              (error.* is a mirage namespace -> deferred sink ->
+              second-stage confirm); value otherwise
 - text      = 'evt <event_id> metric=<event_type>.turns.rate
-               value=<%.2f of value>[ err=E<5xx>]' (err present iff
-               event_type = 'error'); %.2f keeps Spark/DuckDB float
-               formatting identical
+               value=<%.2f of value'>[ err=E<5xx>]' (err present iff
+              event_type = 'error'); %.2f keeps Spark/DuckDB float
+              formatting identical. 'conv-click-4' texts carry NO
+              metric event (-> EmptyTimeseries, E1)
 - ts        = events.ts
 """
 
@@ -28,8 +46,23 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from skyline_spark.functions.spark_utils import epoch_seconds
 from skyline_spark.schema import TRANSCRIPTS_SCHEMA
 from skyline_spark.synth import fixture_transcripts
+
+#: planted-variety constants (shared by the Spark and DuckDB derivations)
+SPIKE_CONVS = ("conv-purchase-0", "conv-error-0")
+SPIKE_OFFSET = 2000.0  # additive: triggers >= 7 of the 9 algorithms
+SPIKE_TAIL = 3
+BORING_CONV = "conv-signup-2"
+BORING_TAIL = 150
+BORING_VALUE = 7.0
+STALE_CONV = "conv-click-3"
+STALE_KEEP_S = 21 * 86400
+ROOMBA_CONV = "conv-signup-3"
+ROOMBA_KEEP_S = 5 * 86400
+NOPARSE_CONV = "conv-click-4"
+VIEW_SPLIT = 40
 
 
 def synthetic_transcripts(spark: SparkSession, seed: int = 42,
@@ -54,12 +87,27 @@ def synthetic_transcripts(spark: SparkSession, seed: int = 42,
 
 def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    split = F.when(F.col("event_type") == "view",
+                   F.lit(VIEW_SPLIT)).otherwise(F.lit(5))
     conv = F.concat(F.lit("conv-"), F.col("event_type"), F.lit("-"),
-                    (F.col("user_id") % 5).cast("string"))
+                    (F.col("user_id") % split).cast("string"))
     df = ev.withColumn("conv_id", conv)
+
+    # row filter for the Stale / DeletedByRoomba convs (per-conv epoch
+    # offsets — a partitioned window, no single-partition bottleneck)
+    te = epoch_seconds(F.col("ts"))
+    t0 = F.min(te).over(Window.partitionBy("conv_id"))
+    keep = ~(
+        ((F.col("conv_id") == STALE_CONV) & (te >= t0 + STALE_KEEP_S))
+        | ((F.col("conv_id") == ROOMBA_CONV) & (te >= t0 + ROOMBA_KEEP_S)))
+    df = df.withColumn("__keep", keep).where(F.col("__keep")).drop("__keep")
+
     w = Window.partitionBy("conv_id").orderBy(F.col("ts").asc(),
                                               F.col("event_id").asc())
+    wd = Window.partitionBy("conv_id").orderBy(F.col("ts").desc(),
+                                               F.col("event_id").desc())
     df = df.withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
+    df = df.withColumn("__rnd", F.row_number().over(wd))
     role = F.element_at(F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
                         (F.col("turn_idx") % 3) + 1)
     tool = F.when(
@@ -67,14 +115,25 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(F.array(F.lit("search"), F.lit("exec"), F.lit("db"),
                              F.lit("none")),
                      ((F.col("user_id") + F.col("turn_idx")) % 4 + 1).cast("int")))
+    value2 = (
+        F.when((F.col("conv_id") == BORING_CONV)
+               & (F.col("__rnd") <= BORING_TAIL), F.lit(BORING_VALUE))
+        .when(F.col("conv_id").isin(*SPIKE_CONVS)
+              & (F.col("__rnd") <= SPIKE_TAIL),
+              F.col("value") + SPIKE_OFFSET)
+        .otherwise(F.col("value")))
     err = F.when(F.col("event_type") == "error",
                  F.concat(F.lit(" err=E"),
                           (500 + F.col("event_id") % 5).cast("string")))
-    text = F.concat(
+    text = F.when(
+        F.col("conv_id") == NOPARSE_CONV,
+        F.concat(F.lit("evt "), F.col("event_id").cast("string"),
+                 F.lit(" raw"))
+    ).otherwise(F.concat(
         F.lit("evt "), F.col("event_id").cast("string"),
         F.lit(" metric="), F.col("event_type"), F.lit(".turns.rate"),
-        F.lit(" value="), F.format_string("%.2f", F.col("value")),
-        F.coalesce(err, F.lit("")))
+        F.lit(" value="), F.format_string("%.2f", value2),
+        F.coalesce(err, F.lit(""))))
     return df.select(
         "conv_id", "turn_idx", role.alias("role"), text.alias("text"),
         tool.alias("tool"), "ts")
@@ -82,27 +141,54 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: the identical derivation in DuckDB SQL — the prefix every oracle query
 #: uses as a CTE (the driver registers `events` as a view)
-DUCKDB_TRANSCRIPTS_SQL = """
+DUCKDB_TRANSCRIPTS_SQL = f"""
+    WITH __ev AS (
+        SELECT *,
+               'conv-' || event_type || '-' || CAST(user_id % (
+                   CASE WHEN event_type = 'view' THEN {VIEW_SPLIT}
+                        ELSE 5 END) AS VARCHAR) AS conv_id,
+               epoch(ts) AS __te,
+               min(epoch(ts)) OVER (
+                   PARTITION BY 'conv-' || event_type || '-' || CAST(user_id % (
+                       CASE WHEN event_type = 'view' THEN {VIEW_SPLIT}
+                            ELSE 5 END) AS VARCHAR)) AS __t0
+        FROM events),
+    __kept AS (
+        SELECT * FROM __ev
+        WHERE NOT ((conv_id = '{STALE_CONV}' AND __te >= __t0 + {STALE_KEEP_S})
+                OR (conv_id = '{ROOMBA_CONV}' AND __te >= __t0 + {ROOMBA_KEEP_S}))),
+    __idx AS (
+        SELECT *,
+               CAST(ROW_NUMBER() OVER (PARTITION BY conv_id
+                                       ORDER BY ts, event_id) - 1 AS INTEGER)
+                   AS turn_idx,
+               ROW_NUMBER() OVER (PARTITION BY conv_id
+                                  ORDER BY ts DESC, event_id DESC) AS __rnd
+        FROM __kept),
+    __val AS (
+        SELECT *,
+               CASE WHEN conv_id = '{BORING_CONV}' AND __rnd <= {BORING_TAIL}
+                        THEN {BORING_VALUE}
+                    WHEN conv_id IN {SPIKE_CONVS!r} AND __rnd <= {SPIKE_TAIL}
+                        THEN value + {SPIKE_OFFSET}
+                    ELSE value END AS __v2
+        FROM __idx)
     SELECT
-        'conv-' || event_type || '-' || CAST(user_id % 5 AS VARCHAR) AS conv_id,
-        CAST(ROW_NUMBER() OVER (
-            PARTITION BY 'conv-' || event_type || '-' || CAST(user_id % 5 AS VARCHAR)
-            ORDER BY ts, event_id) - 1 AS INTEGER) AS turn_idx,
-        (['user','assistant','tool'])[(CAST(ROW_NUMBER() OVER (
-            PARTITION BY 'conv-' || event_type || '-' || CAST(user_id % 5 AS VARCHAR)
-            ORDER BY ts, event_id) - 1 AS INTEGER) % 3) + 1] AS role,
-        'evt ' || CAST(event_id AS VARCHAR) || ' metric=' || event_type
-            || '.turns.rate value=' || printf('%.2f', value)
-            || CASE WHEN event_type = 'error'
-                    THEN ' err=E' || CAST(500 + event_id % 5 AS VARCHAR)
-                    ELSE '' END AS text,
-        CASE WHEN (CAST(ROW_NUMBER() OVER (
-                 PARTITION BY 'conv-' || event_type || '-' || CAST(user_id % 5 AS VARCHAR)
-                 ORDER BY ts, event_id) - 1 AS INTEGER) % 3) = 2
-             THEN (['search','exec','db','none'])[CAST((user_id + (ROW_NUMBER() OVER (
-                 PARTITION BY 'conv-' || event_type || '-' || CAST(user_id % 5 AS VARCHAR)
-                 ORDER BY ts, event_id) - 1)) % 4 AS INTEGER) + 1]
+        conv_id,
+        turn_idx,
+        (['user','assistant','tool'])[(turn_idx % 3) + 1] AS role,
+        CASE WHEN conv_id = '{NOPARSE_CONV}'
+             THEN 'evt ' || CAST(event_id AS VARCHAR) || ' raw'
+             ELSE 'evt ' || CAST(event_id AS VARCHAR) || ' metric=' || event_type
+                  || '.turns.rate value=' || printf('%.2f', __v2)
+                  || CASE WHEN event_type = 'error'
+                          THEN ' err=E' || CAST(500 + event_id % 5 AS VARCHAR)
+                          ELSE '' END
+        END AS text,
+        CASE WHEN (turn_idx % 3) = 2
+             THEN (['search','exec','db','none'])[
+                 CAST((user_id + turn_idx) % 4 AS INTEGER) + 1]
              ELSE NULL END AS tool,
         ts
-    FROM events
+    FROM __val
 """

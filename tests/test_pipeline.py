@@ -99,6 +99,35 @@ def test_sink_counts(result):
                       "exception": 4}
 
 
+def test_multi_metric_conversation_routes_per_metric(spark):
+    """A conversation emitting TWO metrics produces two verdict rows;
+    the turn join must key on (conv_id, metric) so no turn row is
+    duplicated across the verdicts (round-1 latent bug: conv_id-only
+    join fanned every turn out once per metric)."""
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for i in range(300):
+        metric = "app.a.turns.rate" if i % 2 == 0 else "app.b.turns.rate"
+        rows.append(("conv-mm", i, "user",
+                     f"evt {i} metric={metric} value={float(i % 37) + 0.5:.2f}",
+                     None, base + dt.timedelta(seconds=60 * i)))
+    from skyline_spark.schema import TRANSCRIPTS_SCHEMA
+    tdf = spark.createDataFrame(rows, schema=TRANSCRIPTS_SCHEMA)
+    adf = spark.createDataFrame(
+        [("app", "smtp", 3600, None, False, None)],
+        schema=ALERT_CONFIG_SCHEMA)
+    res = run_pipeline(spark, tdf, adf, PipelineConfig(),
+                       persist_intermediates=False)
+    verdicts = res.routed_verdicts.toPandas()
+    assert len(verdicts) == 2
+    assert set(verdicts.metric) == {"app.a.turns.rate", "app.b.turns.rate"}
+    routed = res.routed_turns.toPandas()
+    assert len(routed) == 300  # no duplication
+    # every turn row carries the verdict of ITS OWN metric
+    assert (routed.groupby("metric")["turn_idx"].count() == 150).all()
+
+
 def test_golden_verdict_values(result):
     _, _, v = result
     row = v.loc["conv-app.server-0001"]

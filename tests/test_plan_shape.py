@@ -49,9 +49,25 @@ def test_text_pruned_before_analyze_shuffle(plans):
     assert any("role" not in s and "tool" not in s for s in analyze_scans)
 
 
-def test_route_join_is_broadcast(plans):
-    _, routed_plan = plans
-    assert "BroadcastHashJoin" in routed_plan
+def test_route_join_broadcast_is_size_based_not_forced(spark):
+    """The verdict side is series-cardinality — billions of rows at
+    extreme conv cardinality — so the route join must NOT carry a forced
+    broadcast hint: when the size-based threshold says 'too big', the
+    plan must fall back to a shuffle join (AQE still upgrades it at
+    runtime if the materialized verdicts actually fit)."""
+    tdf = synthetic_transcripts(spark)
+    adf = spark.createDataFrame(fixture_alert_config(),
+                                schema=ALERT_CONFIG_SCHEMA)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        res = run_pipeline(spark, tdf, adf, PipelineConfig(),
+                           persist_intermediates=False)
+        plan = res.routed_turns._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
 def test_single_wide_exchange_on_analyze_path(plans):
