@@ -54,6 +54,13 @@ class PipelineConfig:
     # (skyline/analyzer/algorithms.py:1083-1110)
     run_negatives_present: bool = True
     algorithms: tuple[str, ...] = field(default=ALGORITHMS)
+    # analyse_derivatives: auto-detect counter metrics from the data
+    # (skyline/settings.py ANALYZE_DERIVATIVES analogue;
+    # skyline/analyzer/analyzer.py:1470,1488)
+    analyze_derivatives: bool = True
+    # NON_DERIVATIVE_MONOTONIC_METRICS analogue: metric names never
+    # auto-differenced even when strictly increasing
+    non_derivative_metrics: tuple[str, ...] = ()
     # CUSTOM_ALGORITHMS registry entries
     # (skyline/analyzer/algorithms.py:1513-1724; see
     # skyline_spark.functions.custom_algorithms)

@@ -169,8 +169,26 @@ def run_selected_algorithm(ts: np.ndarray, values: np.ndarray, now: float,
     )
 
 
+def strictly_increasing_monotonicity(values: np.ndarray) -> bool:
+    """T5 — detect counter metrics from the data itself.
+
+    Ref: skyline/skyline_functions.py:1673-1708: needs >= 90 points, no
+    negatives, not constant, nonzero tail sum, and all diffs >= 0.
+    """
+    if values.size < 90:
+        return False
+    if np.min(values) < 0.0:
+        return False
+    if np.unique(values).size == 1:
+        return False
+    if float(np.sum(values[1:])) == 0:
+        return False
+    return bool(np.all(np.diff(values) >= 0))
+
+
 def preprocess_series(ts: np.ndarray, values: np.ndarray, now: float,
-                      cfg: PipelineConfig, is_derivative: bool = False
+                      cfg: PipelineConfig, is_derivative: bool = False,
+                      auto_detect_derivative: bool = False
                       ) -> tuple[np.ndarray, np.ndarray]:
     """Per-series deterministic transforms T1-T4 in reference order:
     sort by ts (stable), dedup first-per-ts, retention trim to
@@ -182,6 +200,11 @@ def preprocess_series(ts: np.ndarray, values: np.ndarray, now: float,
     trim skyline/horizon/roomba.py:300-307; nonNegativeDerivative
     skyline/skyline_functions.py:1643-1671 (delta per point, negative
     deltas dropped — counter resets).
+
+    ``auto_detect_derivative``: the analyzer's analyse_derivatives path
+    (skyline/analyzer/analyzer.py:1470,1488) — a metric not DECLARED
+    derivative is still differenced when the data itself is strictly
+    increasing monotonically (skyline_functions.py:1673-1708).
     """
     order = np.argsort(ts, kind="stable")
     ts, values = ts[order], values[order]
@@ -191,6 +214,8 @@ def preprocess_series(ts: np.ndarray, values: np.ndarray, now: float,
     ts, values = ts[keep], values[keep]
     window = ts > (now - cfg.full_duration)
     ts, values = ts[window], values[window]
+    if not is_derivative and auto_detect_derivative:
+        is_derivative = strictly_increasing_monotonicity(values)
     if is_derivative and ts.size > 1:
         deltas = np.diff(values)
         keep = deltas >= 0

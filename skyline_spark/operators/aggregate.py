@@ -14,8 +14,10 @@ Reference analogues:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from skyline_spark.functions.spark_utils import epoch_seconds
 
 
 def run_summary(verdicts: DataFrame) -> DataFrame:
@@ -70,12 +72,23 @@ def flux_aggregate(events: DataFrame, interval_seconds: int,
                    methods: tuple[str, ...] = ("avg", "sum", "min", "max"),
                    namespace_col: str = "metric",
                    ts_col: str = "ts", value_col: str = "value",
-                   zero_fill: bool = False) -> DataFrame:
+                   zero_fill: bool = False,
+                   fill: str | None = None) -> DataFrame:
     """G3 — the flux tumbling-window aggregator
     (skyline/flux/aggregator.py:591-606): per-namespace tumbling
-    ``interval`` buckets with avg/sum/min/max; optional zero-fill of empty
-    buckets via a native sequence/explode left join (no Python).
+    ``interval`` buckets with avg/sum/min/max; empty buckets optionally
+    filled with zero (FLUX_ZERO_FILL_NAMESPACES, flux/worker.py:633-655)
+    or the last known value (FLUX_LAST_KNOWN_VALUE_NAMESPACES,
+    flux/worker.py:675-681) via a native sequence/explode lattice
+    left-join — no Python.
+
+    ``fill``: None | 'zero' | 'last_known_value' (``zero_fill=True`` is
+    the legacy spelling of fill='zero').
     """
+    if zero_fill and fill is None:
+        fill = "zero"
+    if fill not in (None, "zero", "last_known_value"):
+        raise ValueError(f"unknown fill {fill!r}")
     agg_exprs = []
     for m in methods:
         fn = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max}[m]
@@ -88,13 +101,13 @@ def flux_aggregate(events: DataFrame, interval_seconds: int,
         .select("namespace", F.col("w.start").alias("bucket_start"),
                 F.col("w.end").alias("bucket_end"), *[F.col(m) for m in methods])
     )
-    if not zero_fill:
+    if fill is None:
         return bucketed
-    # zero_fill (aggregator.py FLUX_AGGREGATE_NAMESPACES zero_fill):
     # generate the full bucket lattice per namespace and left-join
+    te = epoch_seconds(F.col(ts_col))
     spans = events.groupBy(F.col(namespace_col).alias("namespace")).agg(
-        F.min(F.col(ts_col).cast("long")).alias("t0"),
-        F.max(F.col(ts_col).cast("long")).alias("t1"))
+        F.floor(F.min(te)).cast("long").alias("t0"),
+        F.floor(F.max(te)).cast("long").alias("t1"))
     lattice = spans.select(
         "namespace",
         F.explode(F.sequence(
@@ -104,5 +117,12 @@ def flux_aggregate(events: DataFrame, interval_seconds: int,
     lattice = lattice.select(
         "namespace", F.col("bucket_epoch").cast("timestamp").alias("bucket_start"))
     out = lattice.join(bucketed, ["namespace", "bucket_start"], "left")
-    filled = [F.coalesce(F.col(m), F.lit(0.0)).alias(m) for m in methods]
+    if fill == "zero":
+        filled = [F.coalesce(F.col(m), F.lit(0.0)).alias(m) for m in methods]
+    else:
+        wff = (Window.partitionBy("namespace")
+               .orderBy(F.col("bucket_start").asc())
+               .rowsBetween(Window.unboundedPreceding, 0))
+        filled = [F.last(F.col(m), ignorenulls=True).over(wff).alias(m)
+                  for m in methods]
     return out.select("namespace", "bucket_start", *filled)

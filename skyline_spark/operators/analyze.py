@@ -67,10 +67,13 @@ def _make_analyze_fn(cfg: PipelineConfig, now: float,
         valid = pdf["value"].notna().to_numpy()
         ts = pdf["ts_epoch"].to_numpy(dtype=np.float64)[valid]
         values = pdf["value"].to_numpy(dtype=np.float64)[valid]
+        auto_det = (cfg.analyze_derivatives
+                    and metric not in cfg.non_derivative_metrics)
         with warnings.catch_warnings():
             warnings.simplefilter("ignore", RuntimeWarning)
             ts, values = preprocess_series(ts, values, now, cfg,
-                                           is_derivative=is_derivative)
+                                           is_derivative=is_derivative,
+                                           auto_detect_derivative=auto_det)
             v = run_selected_algorithm(ts, values, now, cfg,
                                        custom_stale_period=csp,
                                        metric=metric)

@@ -72,7 +72,9 @@ def sigma_flags(buckets: DataFrame, key: str = "conv_id",
 def mirage_reanalyze(spark: SparkSession, transcripts_parsed: DataFrame,
                      deferred: DataFrame, cfg: PipelineConfig,
                      now: float,
-                     mirage_consensus: int | None = None) -> DataFrame:
+                     mirage_consensus: int | None = None,
+                     mirage_stale_seconds: int | None = 300,
+                     downsample_to: int | None = None) -> DataFrame:
     """§3.2 — the Mirage second stage: re-run the full algorithm suite
     for every deferred series at its SECOND_ORDER_RESOLUTION window and
     emit confirm/veto verdicts.
@@ -82,35 +84,54 @@ def mirage_reanalyze(spark: SparkSession, transcripts_parsed: DataFrame,
     anomalous -> mirage.anomalous_metrics (confirmed), not anomalous ->
     mirage.not_anomalous_metrics (the analyzer anomaly is VETOED).
 
+    Operational semantics:
+    - stale-check discard (mirage.py:1437-1463): a check whose anomaly
+      timestamp is older than MIRAGE_STALE_SECONDS (settings.py:2300,
+      default 300; pass None to disable, rescale for coarse-cadence
+      data) vs the batch watermark is DISCARDED, not analyzed —
+      final_sink='discarded_stale' (the mirage.stale_check_discarded
+      Redis-set analogue).
+    - downsampled re-check (mirage.py:1947-2185): when ``downsample_to``
+      is set, the windowed series is first downsampled to that
+      resolution (downsample_full_duration_and_merge_graphite analogue;
+      mean buckets) and the verdict comes from the downsampled series
+      while the reported datapoint stays the RAW last value
+      (mirage.py:2172-2173).
+
     Spark shape: semi-join the parsed facts to the deferred conv set
     (broadcast — deferred is anomaly-cardinality), re-window per series
-    with full_duration = hours_to_resolve * 3600, one more
-    applyInPandas pass at MIRAGE_CONSENSUS.
+    with full_duration = hours_to_resolve * 3600, optional native
+    downsample, one more applyInPandas pass at MIRAGE_CONSENSUS.
     """
     mirage_consensus = mirage_consensus or cfg.consensus
-    keys = deferred.select("conv_id", "hours_to_resolve").distinct()
+    if mirage_stale_seconds is not None and "last_ts" in deferred.columns:
+        stale = (F.lit(now) - F.col("last_ts")) > F.lit(mirage_stale_seconds)
+        deferred = deferred.withColumn(
+            "__stale_discard", F.coalesce(stale, F.lit(False)))
+    else:
+        deferred = deferred.withColumn("__stale_discard", F.lit(False))
+    keys = (deferred.where(~F.col("__stale_discard"))
+            .select("conv_id", "hours_to_resolve").distinct())
     facts = transcripts_parsed.join(F.broadcast(keys), "conv_id", "inner")
-    for col, default in (("is_derivative", F.lit(False)),
-                         ("custom_stale_period", F.lit(None).cast("double"))):
-        if col not in facts.columns:
-            facts = facts.withColumn(col, default)
     # per-series window: ts > now - hours*3600 (applied natively)
     facts = facts.where(
         F.col("ts").cast("timestamp").cast("double")
         > F.lit(now) - F.col("hours_to_resolve") * 3600)
+    if downsample_to:
+        from skyline_spark.operators.preprocess import downsample
+        facts = downsample(facts, downsample_to,
+                           key=["conv_id", "metric"]) \
+            .withColumnRenamed("bucket_start", "ts")
+    for col, default in (("is_derivative", F.lit(False)),
+                         ("custom_stale_period", F.lit(None).cast("double"))):
+        if col not in facts.columns:
+            facts = facts.withColumn(col, default)
     # the widest deferred window bounds the trim the analyze stage does
     max_hours_row = keys.agg(F.max("hours_to_resolve")).first()
     max_hours = int(max_hours_row[0]) if max_hours_row and max_hours_row[0] else 24
-    cfg2 = PipelineConfig(
-        full_duration=max_hours * 3600,
-        stale_period=cfg.stale_period,
-        min_tolerable_length=cfg.min_tolerable_length,
-        max_tolerable_boredom=cfg.max_tolerable_boredom,
-        boredom_set_size=cfg.boredom_set_size,
-        consensus=mirage_consensus,
-        run_optimized_workflow=cfg.run_optimized_workflow,
-        run_negatives_present=cfg.run_negatives_present,
-        algorithms=cfg.algorithms)
+    from dataclasses import replace
+    cfg2 = replace(cfg, full_duration=max_hours * 3600,
+                   consensus=mirage_consensus)
     second = analyze(facts, cfg2, now).select(
         "conv_id",
         F.col("anomalous").alias("mirage_anomalous"),
@@ -118,7 +139,12 @@ def mirage_reanalyze(spark: SparkSession, transcripts_parsed: DataFrame,
         F.col("triggered").alias("mirage_triggered"),
         F.col("datapoint").alias("mirage_datapoint"))
     out = deferred.join(second, "conv_id", "left")
+    if downsample_to and "datapoint" in deferred.columns:
+        # datapoint is reported from the RAW series (mirage.py:2172-2173)
+        out = out.withColumn("mirage_datapoint", F.col("datapoint"))
     return out.withColumn(
         "final_sink",
-        F.when(F.coalesce(F.col("mirage_anomalous"), F.lit(False)),
-               F.lit("anomalous")).otherwise(F.lit("vetoed")))
+        F.when(F.col("__stale_discard"), F.lit("discarded_stale"))
+        .when(F.coalesce(F.col("mirage_anomalous"), F.lit(False)),
+              F.lit("anomalous")).otherwise(F.lit("vetoed"))
+    ).drop("__stale_discard")

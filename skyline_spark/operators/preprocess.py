@@ -77,33 +77,74 @@ def monotonicity_flags(df: DataFrame, key: str = "conv_id",
 
 
 def downsample(df: DataFrame, resolution_seconds: int,
-               method: str = "mean", key: str = "conv_id",
+               method: str = "mean", key: str | list[str] = "conv_id",
                ts_col: str = "ts", value_col: str = "value") -> DataFrame:
     """T7 — re-bucket each series to a fixed resolution with mean (gauge)
     or sum (derivative) aggregation
     (skyline/functions/timeseries/downsample.py:19-70). Tumbling
     F.window — map-side partial aggregation, single shuffle."""
     fn = F.avg if method == "mean" else F.sum
-    return (df.groupBy(key, F.window(ts_col, f"{resolution_seconds} seconds"))
+    keys = [key] if isinstance(key, str) else list(key)
+    return (df.groupBy(*keys, F.window(ts_col, f"{resolution_seconds} seconds"))
             .agg(fn(value_col).alias(value_col))
-            .select(key, F.col("window.start").alias("bucket_start"),
+            .select(*keys, F.col("window.start").alias("bucket_start"),
                     F.col(value_col)))
+
+
+def fill_gaps(df: DataFrame, resolution_seconds: int, method: str = "zero",
+              key: str = "conv_id", ts_col: str = "ts",
+              value_col: str = "value") -> DataFrame:
+    """T6 — fill missing timestamps on a dense per-series lattice with
+    either ``zero`` or ``last_known_value``
+    (skyline/functions/timeseries/full_duration_timeseries_fill.py:13-200;
+    applied in skyline/analyzer/analyzer.py:3595-3628 and
+    skyline/flux/worker.py:675-681).
+
+    Reference semantics: timestamps are floor-aligned to the resolution
+    (:99-107, the LAST raw point of a bucket wins the dict overwrite
+    :164-166), the lattice spans first..last aligned timestamp (:138-144),
+    and gaps take 0 or the previous known value (seeded with the first
+    value, :146). All native: sequence/explode lattice + left join +
+    ``last(value, ignoreNulls)`` running window — no Python, one shuffle
+    on the series key.
+    """
+    if method not in ("zero", "last_known_value"):
+        raise ValueError(f"unknown fill method {method!r}")
+    te = epoch_seconds(F.col(ts_col))
+    aligned = df.withColumn(
+        "__epoch",
+        (F.floor(te / resolution_seconds) * resolution_seconds).cast("long"))
+    # last raw point per aligned bucket wins (reference dict overwrite)
+    wlast = Window.partitionBy(key, "__epoch").orderBy(te.desc())
+    pts = (aligned.withColumn("__rn", F.row_number().over(wlast))
+           .where(F.col("__rn") == 1)
+           .select(key, "__epoch", value_col))
+    spans = pts.groupBy(key).agg(F.min("__epoch").alias("t0"),
+                                 F.max("__epoch").alias("t1"))
+    lattice = spans.select(
+        key, F.explode(F.sequence("t0", "t1", F.lit(resolution_seconds))
+                       ).alias("__epoch"))
+    out = lattice.join(pts, [key, "__epoch"], "left")
+    if method == "zero":
+        filled = F.coalesce(F.col(value_col), F.lit(0.0))
+    else:
+        wff = (Window.partitionBy(key).orderBy(F.col("__epoch").asc())
+               .rowsBetween(Window.unboundedPreceding, 0))
+        filled = F.last(F.col(value_col), ignorenulls=True).over(wff)
+    return out.select(
+        key, F.col("__epoch").cast("timestamp").alias(ts_col),
+        filled.alias(value_col))
 
 
 def fill_zero(df: DataFrame, resolution_seconds: int, key: str = "conv_id",
               ts_col: str = "ts", value_col: str = "value") -> DataFrame:
-    """T6 — zero-fill gaps to a dense per-series lattice
-    (skyline/analyzer/analyzer.py:3595-3628
-    full_duration_timeseries_fill): native sequence + left join."""
-    spans = df.groupBy(key).agg(
-        F.min(F.col(ts_col).cast("long")).alias("t0"),
-        F.max(F.col(ts_col).cast("long")).alias("t1"))
-    lattice = spans.select(
-        key, F.explode(F.sequence("t0", "t1", F.lit(resolution_seconds))
-                       ).alias("__epoch"))
-    pts = df.select(key, F.col(ts_col).cast("long").alias("__epoch"),
-                    F.col(value_col))
-    out = lattice.join(pts, [key, "__epoch"], "left")
-    return out.select(
-        key, F.col("__epoch").cast("timestamp").alias(ts_col),
-        F.coalesce(F.col(value_col), F.lit(0.0)).alias(value_col))
+    """T6 zero-fill variant (see fill_gaps)."""
+    return fill_gaps(df, resolution_seconds, "zero", key, ts_col, value_col)
+
+
+def fill_forward(df: DataFrame, resolution_seconds: int,
+                 key: str = "conv_id", ts_col: str = "ts",
+                 value_col: str = "value") -> DataFrame:
+    """T6 last_known_value variant (see fill_gaps)."""
+    return fill_gaps(df, resolution_seconds, "last_known_value",
+                     key, ts_col, value_col)

@@ -27,11 +27,23 @@ from pyspark.sql import functions as F
 from skyline_spark.schema import SINKS
 
 
-def sink_expr(mirage_always: list[str] | None = None):
+def sink_expr(mirage_always: list[str] | None = None,
+              ionosphere_enabled: bool = False):
+    """The routing decision tree. The ionosphere branch mirrors
+    analyzer.py:4322-4374: an anomalous NON-mirage metric goes to
+    ionosphere when ionosphere is enabled, the metric is smtp-alerter
+    enabled (:4348-4354), and there is no recent smtp alert
+    (last_alert.smtp.* cache key, :4362-4374); mirage metrics always win
+    over ionosphere (:4340-4344, 4431-4434)."""
+    iono = (F.lit(ionosphere_enabled)
+            & F.coalesce(F.col("is_smtp_alerter"), F.lit(False))
+            & ~F.coalesce(F.col("__recent_alert"), F.lit(False))
+            ) if ionosphere_enabled else F.lit(False)
     base = (
         F.when(F.col("exception").isNotNull(), F.lit("exception"))
         .when(~F.col("anomalous"), F.lit("normal"))
         .when(F.coalesce(F.col("is_mirage"), F.lit(False)), F.lit("deferred"))
+        .when(iono, F.lit("ionosphere"))
         .otherwise(F.lit("anomalous"))
     )
     if mirage_always:
@@ -41,11 +53,16 @@ def sink_expr(mirage_always: list[str] | None = None):
 
 
 def route_verdicts(verdicts: DataFrame, dim: DataFrame | None = None,
-                   mirage_always: list[str] | None = None) -> DataFrame:
+                   mirage_always: list[str] | None = None,
+                   ionosphere_enabled: bool = False,
+                   recent_alerts: DataFrame | None = None) -> DataFrame:
     """Attach sink + deferred-check metadata to verdict rows.
 
     Verdicts normally carry their enrichment columns (resolved in-UDF);
-    ``dim`` is only joined when they don't (legacy pre-joined path)."""
+    ``dim`` is only joined when they don't (legacy pre-joined path).
+    ``recent_alerts`` is an optional metric-keyed table of active
+    last_alert.smtp.* keys (skyline alert cache analogue) gating the
+    ionosphere branch."""
     if "is_mirage" in verdicts.columns:
         v = verdicts
     else:
@@ -54,7 +71,14 @@ def route_verdicts(verdicts: DataFrame, dim: DataFrame | None = None,
                                    "second_order_resolution_hours",
                                    "expiration_time")),
             "metric", "left")
-    v = v.withColumn("sink", sink_expr(mirage_always))
+    if recent_alerts is not None:
+        ra = recent_alerts.select("metric").distinct() \
+            .withColumn("__recent_alert", F.lit(True))
+        v = v.join(F.broadcast(ra), "metric", "left")
+    else:
+        v = v.withColumn("__recent_alert", F.lit(False))
+    v = v.withColumn("sink", sink_expr(mirage_always, ionosphere_enabled)) \
+        .drop("__recent_alert")
     # mirage check-file analogue: idempotence key + hours_to_resolve
     # (analyzer.py:4496-4538, 4578-4583)
     return v.withColumn(

@@ -44,6 +44,8 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
                  alert_config: DataFrame, cfg: PipelineConfig | None = None,
                  now: float | None = None,
                  mirage_always: list[str] | None = None,
+                 ionosphere_enabled: bool = False,
+                 recent_alerts: DataFrame | None = None,
                  persist_intermediates: bool = True) -> PipelineResult:
     cfg = cfg or PipelineConfig()
     if now is None:
@@ -67,7 +69,9 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
         # columnar reads).
         all_verdicts = all_verdicts.persist()
 
-    routed_v = route_verdicts(all_verdicts, mirage_always=mirage_always)
+    routed_v = route_verdicts(all_verdicts, mirage_always=mirage_always,
+                              ionosphere_enabled=ionosphere_enabled,
+                              recent_alerts=recent_alerts)
     # route the PARSED rows: they carry the per-turn metric, so the
     # verdict join is exact on (conv_id, metric) — a multi-metric
     # conversation never duplicates its turns

@@ -442,6 +442,81 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_fill_forward_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 — last_known_value gap fill on a 1 h lattice
+    (functions/timeseries/full_duration_timeseries_fill.py:13-200,
+    'last_known_value' branch; flux/worker.py:675-681)."""
+    out = preprocess.fill_forward(_valid(spark, sf_dir), 3600)
+    return out.select(
+        "conv_id", epoch_seconds(F.col("ts")).cast("long").alias("bucket_epoch"),
+        _R6("value").alias("value"))
+
+
+SQL_FILL_FORWARD_1H = _sql("""
+, aligned AS (
+    SELECT conv_id, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
+           value,
+           ROW_NUMBER() OVER (
+               PARTITION BY conv_id, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+               ORDER BY epoch(ts) DESC) AS rn
+    FROM valid),
+pts AS (SELECT conv_id, b, value FROM aligned WHERE rn = 1),
+lattice AS (
+    SELECT conv_id, unnest(generate_series(min(b), max(b), 3600)) AS b
+    FROM pts GROUP BY conv_id),
+joined AS (
+    SELECT l.conv_id, l.b, p.value
+    FROM lattice l LEFT JOIN pts p ON l.conv_id = p.conv_id AND l.b = p.b)
+SELECT conv_id, b AS bucket_epoch,
+       round(last_value(value IGNORE NULLS) OVER (
+           PARTITION BY conv_id ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS value
+FROM joined
+""")
+
+
+def q_flux_fill_lkv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3 — flux aggregator with last_known_value fill of empty buckets
+    (FLUX_LAST_KNOWN_VALUE_NAMESPACES, flux/worker.py:675-681) at 300 s
+    intervals (sparse at sf<=0.01, so the fill path is exercised)."""
+    from skyline_spark.operators.aggregate import flux_aggregate
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = flux_aggregate(ev, 300, methods=("avg", "sum"),
+                         namespace_col="event_type",
+                         fill="last_known_value")
+    return out.select(
+        "namespace",
+        epoch_seconds(F.col("bucket_start")).cast("long").alias("bucket_epoch"),
+        _R6("avg").alias("avg"), _R6("sum").alias("sum"))
+
+
+SQL_FLUX_FILL_LKV = """
+WITH bucketed AS (
+    SELECT event_type AS namespace,
+           CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS b,
+           avg(value) AS avg, sum(value) AS sum
+    FROM events GROUP BY 1, 2),
+spans AS (
+    SELECT event_type AS namespace,
+           CAST(floor(min(epoch(ts)) / 300) * 300 AS BIGINT) AS t0,
+           CAST(floor(max(epoch(ts))) AS BIGINT) AS t1
+    FROM events GROUP BY 1),
+lattice AS (
+    SELECT namespace, unnest(generate_series(t0, t1, 300)) AS b FROM spans),
+joined AS (
+    SELECT l.namespace, l.b, x.avg, x.sum
+    FROM lattice l LEFT JOIN bucketed x ON l.namespace = x.namespace AND l.b = x.b)
+SELECT namespace, b AS bucket_epoch,
+       round(last_value(avg IGNORE NULLS) OVER (
+           PARTITION BY namespace ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS avg,
+       round(last_value(sum IGNORE NULLS) OVER (
+           PARTITION BY namespace ORDER BY b
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS sum
+FROM joined
+"""
+
+
 def q_correlate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 — luminosity-style cross-series Pearson correlation
     (luminosity/process_correlations.py:1073-1521, F.corr variant) on
@@ -510,7 +585,9 @@ def _events_alert_config(spark: SparkSession) -> DataFrame:
     from skyline_spark.schema import ALERT_CONFIG_SCHEMA
     rows = [
         ("click", "smtp", 3600, None, False, None),
-        ("error", "smtp", 1800, 168, False, None),     # mirage namespace
+        # mirage namespace; 336 h second-order window keeps >= MIN_LEN
+        # points per series at the events cadence (sf >= 0.01)
+        ("error", "smtp", 1800, 336, False, None),
         ("purchase", "slack", 3600, None, False, None),
         ("signup", "smtp", 3600, None, False, None),
         # 'view' left unmatched -> low-priority metric
@@ -637,6 +714,8 @@ REGISTRY: dict[str, tuple] = {
     "retention_trim": (q_retention_trim, SQL_RETENTION_TRIM),
     "non_negative_derivative": (q_derivative, SQL_DERIVATIVE),
     "downsample_1h": (q_downsample_1h, SQL_DOWNSAMPLE_1H),
+    "fill_forward_1h": (q_fill_forward_1h, SQL_FILL_FORWARD_1H),
+    "flux_fill_lkv": (q_flux_fill_lkv, SQL_FLUX_FILL_LKV),
     "exception_filters": (q_exceptions, SQL_EXCEPTIONS),
     "tail_avg": (q_tail_avg, SQL_TAIL_AVG),
     "stddev_from_average": (q_stddev_from_average, SQL_STDDEV_FROM_AVERAGE),
@@ -837,10 +916,24 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload synth + mapInPandas metadata
-    decode (rows-only; decode kernel is a deterministic stub)."""
+    decode. The decode kernel is a deterministic stub (no codecs in the
+    container), which makes it byte-arithmetic — so the whole
+    synth->binary->Arrow-batch->decode path IS oracle-checkable in SQL."""
     from skyline_spark.operators.multimodal import decode_metadata, synth_media
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return decode_metadata(synth_media(spark, docs))
+
+
+SQL_MEDIA_METADATA = """
+SELECT doc_id AS media_id,
+       (['image','audio','video'])[CAST(doc_id % 3 AS INT) + 1] AS kind,
+       CAST(doc_id % 640 + 1 AS INT) AS width,
+       CAST(doc_id % 480 + 1 AS INT) AS height,
+       CAST(octet_length(encode(text)) + 8 AS BIGINT) AS n_bytes,
+       CAST(coalesce(list_sum([unicode(c) FOR c IN string_split(text, '')]), 0)
+            AS BIGINT) AS checksum
+FROM documents
+"""
 
 
 REGISTRY.update({
@@ -853,7 +946,7 @@ REGISTRY.update({
     "minhash_near_dups": (q_minhash_near_dups, None),
     "simhash": (q_simhash, None),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
-    "media_metadata": (q_media_metadata, None),
+    "media_metadata": (q_media_metadata, SQL_MEDIA_METADATA),
 })
 
 
@@ -886,10 +979,59 @@ FROM (
 
 
 def q_drop_off_cliff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X3 — detect_drop_off_cliff (rows-only: the range-dependent
-    trigger cascade is covered by pytest fixtures)."""
+    """X3 — detect_drop_off_cliff incl. the min_average guard
+    (boundary_algorithms.py:166-318, guard :272-289). The derivation
+    plants a cliff in conv-click-0 (plateau then 1.0), so the trigger
+    cascade fires on real data."""
     from skyline_spark.operators.boundary import boundary_check
-    return boundary_check(_valid(spark, sf_dir), "detect_drop_off_cliff", 0)
+    return boundary_check(_valid(spark, sf_dir), "detect_drop_off_cliff", 0,
+                          min_average=5.0, min_average_seconds=7 * 86400)
+
+
+SQL_DROP_OFF_CLIFF = _sql(f"""
+, pts AS (
+    SELECT conv_id, value, epoch(ts) AS x,
+           ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY ts DESC) AS rn
+    FROM valid),
+sc AS (
+    SELECT conv_id, count(*) AS n,
+           max(CASE WHEN rn = 1 THEN value END) AS v_last,
+           max(CASE WHEN rn = 1 THEN x END) AS t_last,
+           max(CASE WHEN rn = 2 THEN x END) AS t_prev
+    FROM pts GROUP BY conv_id),
+sc2 AS (SELECT *, CAST(floor(t_last) - floor(t_prev) AS DOUBLE) AS res
+        FROM sc),
+agg AS (
+    SELECT p.conv_id, max(s.n) AS n, max(s.v_last) AS v_last,
+           count(CASE WHEN p.x <= s.t_last
+                       AND p.x > s.t_last - 10 * s.res THEN 1 END) AS n10,
+           sum(CASE WHEN p.x <= s.t_last
+                     AND p.x > s.t_last - 10 * s.res THEN p.value END) AS sum10,
+           min(CASE WHEN p.x <= s.t_last
+                     AND p.x > s.t_last - 10 * s.res THEN p.value END) AS min10,
+           max(CASE WHEN p.x <= s.t_last
+                     AND p.x > s.t_last - 10 * s.res THEN p.value END) AS max10,
+           avg(CASE WHEN p.x <= s.t_last
+                     AND p.x > s.t_last - {7 * 86400} THEN p.value END) AS ma_avg
+    FROM pts p JOIN sc2 s USING (conv_id) GROUP BY p.conv_id),
+trigd AS (
+    SELECT *, sum10 / n10 AS avg10,
+           CASE WHEN floor(v_last) = 0 THEN 0.1
+                ELSE floor(v_last) END AS last10,
+           CASE WHEN floor(v_last) = 0 AND (sum10 / n10) < 1 AND sum10 < 7
+                    THEN 7.0
+                WHEN floor(v_last) = 1 AND max10 < 10 THEN 0.1
+                WHEN floor(v_last) = 1 THEN 1.0
+                WHEN max10 > 100 THEN 100.0
+                WHEN max10 < 20 THEN (sum10 / n10) / 2
+                ELSE 15.0 END AS trig
+    FROM agg)
+SELECT conv_id, v_last,
+       coalesce(n >= 30 AND n10 > 3 AND min10 >= 0 AND max10 <> 0
+                AND min10 <> max10 AND floor(avg10 / last10) > trig
+                AND ma_avg >= 5.0, FALSE) AS anomalous
+FROM trigd
+""")
 
 
 def q_anomaly_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -951,14 +1093,16 @@ def q_mirage_second_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     deferred = res.routed_verdicts.where(F.col("sink") == "deferred") \
         .select("conv_id", "metric", "hours_to_resolve", "datapoint",
                 "last_ts")
+    # MIRAGE_STALE_SECONDS rescaled to the events cadence (~2 h gaps):
+    # 2 days, same role as the reference's 300 s at 1 Hz
     out = mirage_reanalyze(spark, res.parsed, deferred, _events_cfg(),
-                           now=res.now)
+                           now=res.now, mirage_stale_seconds=2 * 86400)
     return out.select("conv_id", "metric", "mirage_anomalous", "final_sink")
 
 
 REGISTRY.update({
     "boundary_static": (q_boundary_static, SQL_BOUNDARY_STATIC),
-    "drop_off_cliff": (q_drop_off_cliff, None),
+    "drop_off_cliff": (q_drop_off_cliff, SQL_DROP_OFF_CLIFF),
     "anomaly_episodes": (q_anomaly_episodes, SQL_ANOMALY_EPISODES),
     "mirage_second_stage": (q_mirage_second_stage, None),
 })

@@ -60,4 +60,4 @@ VERDICT_SCHEMA = T.StructType([
     T.StructField("is_smtp_alerter", T.BooleanType(), True),
 ])
 
-SINKS = ("anomalous", "deferred", "normal", "exception")
+SINKS = ("anomalous", "deferred", "ionosphere", "normal", "exception")

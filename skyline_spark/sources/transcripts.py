@@ -32,7 +32,9 @@ only 'normal':
               tail -> Boring, E4); value+2000 for the last 3 turns of
               'conv-purchase-0' (-> anomalous sink) and 'conv-error-0'
               (error.* is a mirage namespace -> deferred sink ->
-              second-stage confirm); value otherwise
+              second-stage confirm); 'conv-click-0' gets a +300 plateau
+              on turns -11..-2 with a final value of 1.0 (-> boundary
+              detect_drop_off_cliff fires); value otherwise
 - text      = 'evt <event_id> metric=<event_type>.turns.rate
                value=<%.2f of value'>[ err=E<5xx>]' (err present iff
               event_type = 'error'); %.2f keeps Spark/DuckDB float
@@ -62,6 +64,9 @@ STALE_KEEP_S = 21 * 86400
 ROOMBA_CONV = "conv-signup-3"
 ROOMBA_KEEP_S = 5 * 86400
 NOPARSE_CONV = "conv-click-4"
+CLIFF_CONV = "conv-click-0"   # high plateau then last point ~1 -> cliff
+CLIFF_LIFT = 300.0
+CLIFF_TAIL = 11
 VIEW_SPLIT = 40
 
 
@@ -116,8 +121,13 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                              F.lit("none")),
                      ((F.col("user_id") + F.col("turn_idx")) % 4 + 1).cast("int")))
     value2 = (
-        F.when((F.col("conv_id") == BORING_CONV)
-               & (F.col("__rnd") <= BORING_TAIL), F.lit(BORING_VALUE))
+        F.when((F.col("conv_id") == CLIFF_CONV) & (F.col("__rnd") == 1),
+               F.lit(1.0))
+        .when((F.col("conv_id") == CLIFF_CONV)
+              & (F.col("__rnd") <= CLIFF_TAIL),
+              F.col("value") + CLIFF_LIFT)
+        .when((F.col("conv_id") == BORING_CONV)
+              & (F.col("__rnd") <= BORING_TAIL), F.lit(BORING_VALUE))
         .when(F.col("conv_id").isin(*SPIKE_CONVS)
               & (F.col("__rnd") <= SPIKE_TAIL),
               F.col("value") + SPIKE_OFFSET)
@@ -167,7 +177,11 @@ DUCKDB_TRANSCRIPTS_SQL = f"""
         FROM __kept),
     __val AS (
         SELECT *,
-               CASE WHEN conv_id = '{BORING_CONV}' AND __rnd <= {BORING_TAIL}
+               CASE WHEN conv_id = '{CLIFF_CONV}' AND __rnd = 1
+                        THEN 1.0
+                    WHEN conv_id = '{CLIFF_CONV}' AND __rnd <= {CLIFF_TAIL}
+                        THEN value + {CLIFF_LIFT}
+                    WHEN conv_id = '{BORING_CONV}' AND __rnd <= {BORING_TAIL}
                         THEN {BORING_VALUE}
                     WHEN conv_id IN {SPIKE_CONVS!r} AND __rnd <= {SPIKE_TAIL}
                         THEN value + {SPIKE_OFFSET}

@@ -133,6 +133,19 @@ def fixture_transcripts(seed: int = 42) -> pd.DataFrame:
     return out
 
 
+def fixture_pipeline_config(**overrides):
+    """PipelineConfig for the fixture table: the golden series
+    (all-1s then 1000, reference tests/algorithms_test.py:42-60) is
+    formally strictly-increasing, so the analyse_derivatives
+    auto-detection would difference it — the reference's operator answer
+    is NON_DERIVATIVE_MONOTONIC_METRICS, mirrored here."""
+    from skyline_spark.config import PipelineConfig
+    base = dict(non_derivative_metrics=(
+        "app.server.turns.rate", "stats.statsd.turns.rate"))
+    base.update(overrides)
+    return PipelineConfig(**base)
+
+
 def fixture_alert_config() -> pd.DataFrame:
     """FIXTURES.md §2 — mirrors the settings.ALERTS tuple schema
     (skyline/settings.py:1149-1177)."""

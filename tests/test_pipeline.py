@@ -15,7 +15,7 @@ from skyline_spark.config import PipelineConfig
 from skyline_spark.plans.pipeline import run_pipeline
 from skyline_spark.schema import ALERT_CONFIG_SCHEMA
 from skyline_spark.sources.transcripts import synthetic_transcripts
-from skyline_spark.synth import fixture_alert_config
+from skyline_spark.synth import fixture_alert_config, fixture_pipeline_config
 
 
 @pytest.fixture(scope="module")
@@ -25,7 +25,7 @@ def result(spark):
         fixture_alert_config(),
         schema=ALERT_CONFIG_SCHEMA).withColumn(
         "priority", F.monotonically_increasing_id())
-    res = run_pipeline(spark, tdf, adf, PipelineConfig())
+    res = run_pipeline(spark, tdf, adf, fixture_pipeline_config())
     verdicts = res.routed_verdicts.toPandas().set_index("conv_id")
     return res, tdf, verdicts
 
@@ -117,7 +117,7 @@ def test_multi_metric_conversation_routes_per_metric(spark):
     adf = spark.createDataFrame(
         [("app", "smtp", 3600, None, False, None)],
         schema=ALERT_CONFIG_SCHEMA)
-    res = run_pipeline(spark, tdf, adf, PipelineConfig(),
+    res = run_pipeline(spark, tdf, adf, fixture_pipeline_config(),
                        persist_intermediates=False)
     verdicts = res.routed_verdicts.toPandas()
     assert len(verdicts) == 2
@@ -126,6 +126,62 @@ def test_multi_metric_conversation_routes_per_metric(spark):
     assert len(routed) == 300  # no duplication
     # every turn row carries the verdict of ITS OWN metric
     assert (routed.groupby("metric")["turn_idx"].count() == 150).all()
+
+
+def test_ionosphere_routing_branch(spark):
+    """analyzer.py:4322-4374: anomalous + smtp-alerter + NOT mirage + no
+    recent alert -> ionosphere sink; a recent last_alert.smtp.* key or a
+    mirage namespace suppresses it."""
+    tdf = synthetic_transcripts(spark)
+    adf = spark.createDataFrame(
+        fixture_alert_config(), schema=ALERT_CONFIG_SCHEMA)
+    res = run_pipeline(spark, tdf, adf, fixture_pipeline_config(),
+                       ionosphere_enabled=True, persist_intermediates=False)
+    v = res.routed_verdicts.toPandas().set_index("conv_id")
+    # smtp + anomalous + non-mirage -> ionosphere
+    assert v.loc["conv-app.server-0001", "sink"] == "ionosphere"
+    # mirage metric stays deferred (mirage wins over ionosphere)
+    assert v.loc["conv-stats.statsd-0002", "sink"] == "deferred"
+    # negatives are metadata, not a routing gate: smtp + anomalous goes
+    # to ionosphere with negatives_found carried for the trainability UI
+    assert v.loc["conv-app.server-0011", "sink"] == "ionosphere"
+    assert bool(v.loc["conv-app.server-0011", "negatives_found"])
+
+    # a recent smtp alert suppresses the ionosphere branch
+    ra = spark.createDataFrame([("app.server.turns.rate",)], "metric string")
+    res2 = run_pipeline(spark, tdf, adf, fixture_pipeline_config(),
+                        ionosphere_enabled=True, recent_alerts=ra,
+                        persist_intermediates=False)
+    v2 = res2.routed_verdicts.toPandas().set_index("conv_id")
+    assert v2.loc["conv-app.server-0001", "sink"] == "anomalous"
+
+
+def test_undeclared_counter_auto_differenced(spark):
+    """analyse_derivatives (skyline/analyzer/analyzer.py:1470,1488 +
+    skyline_functions.py:1673-1708): a strictly-increasing series whose
+    metric is NOT config-declared derivative is auto-detected from the
+    data and differenced; the kill switch restores raw analysis."""
+    import datetime as dt
+    base = dt.datetime(2024, 1, 1)
+    total, rows = 0.0, []
+    for i in range(200):
+        total += float(i % 7) + 1.0
+        rows.append(("conv-ctr", i, "user",
+                     f"evt {i} metric=app.ctr.total value={total:.2f}",
+                     None, base + dt.timedelta(seconds=60 * i)))
+    from skyline_spark.schema import TRANSCRIPTS_SCHEMA
+    tdf = spark.createDataFrame(rows, schema=TRANSCRIPTS_SCHEMA)
+    adf = spark.createDataFrame(
+        [("app", "smtp", 3600, None, False, None)],  # NOT declared derivative
+        schema=ALERT_CONFIG_SCHEMA)
+    auto = run_pipeline(spark, tdf, adf, fixture_pipeline_config(),
+                        persist_intermediates=False).verdicts.toPandas().iloc[0]
+    assert auto.exception is None
+    assert auto.n_points == 199  # differenced: 200 points -> 199 deltas
+    raw = run_pipeline(spark, tdf, adf,
+                       PipelineConfig(analyze_derivatives=False),
+                       persist_intermediates=False).verdicts.toPandas().iloc[0]
+    assert raw.n_points == 200  # kill switch: analyzed undifferenced
 
 
 def test_golden_verdict_values(result):

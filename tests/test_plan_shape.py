@@ -14,7 +14,7 @@ from skyline_spark.config import PipelineConfig
 from skyline_spark.plans.pipeline import run_pipeline
 from skyline_spark.schema import ALERT_CONFIG_SCHEMA
 from skyline_spark.sources.transcripts import synthetic_transcripts
-from skyline_spark.synth import fixture_alert_config
+from skyline_spark.synth import fixture_alert_config, fixture_pipeline_config
 
 
 @pytest.fixture(scope="module")
@@ -22,7 +22,7 @@ def plans(spark):
     tdf = synthetic_transcripts(spark)
     adf = spark.createDataFrame(fixture_alert_config(),
                                 schema=ALERT_CONFIG_SCHEMA)
-    res = run_pipeline(spark, tdf, adf, PipelineConfig(),
+    res = run_pipeline(spark, tdf, adf, fixture_pipeline_config(),
                        persist_intermediates=False)
     verdict_plan = res.verdicts._jdf.queryExecution().executedPlan().toString()
     routed_plan = res.routed_turns._jdf.queryExecution().executedPlan().toString()
@@ -61,7 +61,7 @@ def test_route_join_broadcast_is_size_based_not_forced(spark):
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        res = run_pipeline(spark, tdf, adf, PipelineConfig(),
+        res = run_pipeline(spark, tdf, adf, fixture_pipeline_config(),
                            persist_intermediates=False)
         plan = res.routed_turns._jdf.queryExecution().executedPlan().toString()
     finally:

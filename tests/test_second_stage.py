@@ -43,6 +43,66 @@ def test_boundary_static_checks(spark):
     assert not bool(cliff.loc["high"].anomalous)  # flat: min10 == max10
 
 
+def test_boundary_min_average_guard(spark):
+    """drop_off_cliff's min_average guard (boundary_algorithms.py:272-289):
+    a cliff on a LOW-average metric is suppressed when the mean over the
+    last min_average_seconds is below min_average."""
+    from skyline_spark.operators.boundary import boundary_check
+    rows = []
+    for i in range(39):
+        rows.append(("cliff", 1000.0 + i, 500.0 + (i % 5)))
+    rows.append(("cliff", 1039.0, 2.0))
+    df = _series_df(spark, rows)
+    # series average ~490 over the window: guard at min_average=600 kills
+    # the detection; at 100 it passes through
+    hi = boundary_check(df, "detect_drop_off_cliff", 0, min_average=600,
+                        min_average_seconds=3600).toPandas().set_index("conv_id")
+    assert not bool(hi.loc["cliff"].anomalous)
+    lo = boundary_check(df, "detect_drop_off_cliff", 0, min_average=100,
+                        min_average_seconds=3600).toPandas().set_index("conv_id")
+    assert bool(lo.loc["cliff"].anomalous)
+
+
+def test_boundary_run_config_dispatch(spark):
+    """BOUNDARY_METRICS-style dispatch (skyline/settings.py:2505,
+    boundary.py:390-435): each config entry runs its algorithm over the
+    metrics its pattern matches."""
+    from skyline_spark.operators.boundary import boundary_run
+    rows = []
+    for i in range(40):
+        rows.append(("conv-a", 1000.0 + i, 200.0 + (i % 3)))
+        rows.append(("conv-b", 1000.0 + i, 5.0))
+    df = _series_df(spark, rows).withColumn(
+        "metric", F.when(F.col("conv_id") == "conv-a",
+                         F.lit("app.requests.rate"))
+        .otherwise(F.lit("db.pool.free")))
+    cfg = [
+        {"metric_pattern": "app.", "algorithm": "greater_than",
+         "trigger": 100.0},
+        {"metric_pattern": "db.", "algorithm": "less_than", "trigger": 10.0,
+         "min_average": 0, "min_average_seconds": 0},
+    ]
+    out = boundary_run(df, cfg).toPandas().set_index(["conv_id", "algorithm"])
+    assert bool(out.loc[("conv-a", "greater_than")].anomalous)
+    assert bool(out.loc[("conv-b", "less_than")].anomalous)
+    assert len(out) == 2  # pattern-scoped: each entry ran its own subset
+
+
+def test_fill_gaps_zero_and_last_known_value(spark):
+    """T6 fill semantics (full_duration_timeseries_fill.py:99-188):
+    floor-aligned lattice, last raw point per bucket wins, gaps take 0 or
+    the previous known value."""
+    from skyline_spark.operators.preprocess import fill_gaps
+    rows = [("c", 0.5, 1.0), ("c", 9.0, 9.0),   # bucket 0: last wins -> 9.0
+            ("c", 30.0, 3.0),                    # buckets 10,20 missing
+            ("c", 50.0, 5.0)]                    # bucket 40 missing
+    df = _series_df(spark, rows)
+    z = fill_gaps(df, 10, "zero").toPandas().sort_values("ts")
+    assert list(z.value) == [9.0, 0.0, 0.0, 3.0, 0.0, 5.0]
+    f = fill_gaps(df, 10, "last_known_value").toPandas().sort_values("ts")
+    assert list(f.value) == [9.0, 9.0, 9.0, 3.0, 3.0, 5.0]
+
+
 def test_autoaggregate(spark):
     from skyline_spark.operators.boundary import autoaggregate
     rows = [("a", 0.0 + i, 1.0) for i in range(120)]
@@ -117,7 +177,8 @@ def test_mirage_veto_and_confirm(spark):
     adf = spark.createDataFrame(
         [("stats.statsd", "smtp", 1800, 168, False, None)],
         schema=ALERT_CONFIG_SCHEMA)
-    cfg = PipelineConfig()
+    from skyline_spark.synth import fixture_pipeline_config
+    cfg = fixture_pipeline_config()
     res = run_pipeline(spark, tdf, adf, cfg)
     deferred = res.routed_verdicts.where(F.col("sink") == "deferred") \
         .select("conv_id", "metric", "hours_to_resolve", "datapoint")
@@ -129,6 +190,56 @@ def test_mirage_veto_and_confirm(spark):
         .toPandas().set_index("conv_id")
     assert out.loc["conv-stats.statsd-0002"].final_sink == "anomalous"
     assert out.loc["conv-stats.statsd-0003"].final_sink == "vetoed"
+
+
+def test_mirage_stale_check_discard_and_downsampled_recheck(spark):
+    """mirage.py:1437-1463: a check older than MIRAGE_STALE_SECONDS is
+    discarded unanalyzed; mirage.py:1947-2185: with downsample_to set,
+    the verdict comes from the downsampled series while the datapoint
+    stays raw."""
+    from skyline_spark.operators.cross_series import mirage_reanalyze
+    from skyline_spark.operators.parse import parse_events
+    from skyline_spark.plans.pipeline import run_pipeline
+    from skyline_spark.synth import (
+        EPOCH0,
+        _series_rows,
+        fixture_pipeline_config,
+        golden_series,
+    )
+
+    ts, v = golden_series()
+    frames = [_series_rows("conv-stats.statsd-0002", "stats.statsd", ts, v)]
+    tdf = spark.createDataFrame(pd.concat(frames, ignore_index=True),
+                                schema=TRANSCRIPTS_SCHEMA)
+    adf = spark.createDataFrame(
+        [("stats.statsd", "smtp", 1800, 168, False, None)],
+        schema=ALERT_CONFIG_SCHEMA)
+    cfg = fixture_pipeline_config()
+    res = run_pipeline(spark, tdf, adf, cfg)
+    deferred = res.routed_verdicts.where(F.col("sink") == "deferred") \
+        .select("conv_id", "metric", "hours_to_resolve", "datapoint",
+                "last_ts")
+    parsed = parse_events(tdf)
+
+    # fresh check (age 0) is analyzed and confirmed
+    ok = mirage_reanalyze(spark, parsed, deferred, cfg, now=res.now) \
+        .toPandas().iloc[0]
+    assert ok.final_sink == "anomalous"
+
+    # pretend the batch ran 10 minutes later: age > MIRAGE_STALE_SECONDS
+    # -> discarded without analysis
+    stale = mirage_reanalyze(spark, parsed, deferred, cfg,
+                             now=res.now + 600).toPandas().iloc[0]
+    assert stale.final_sink == "discarded_stale"
+    assert stale.mirage_anomalous is None or pd.isna(stale.mirage_anomalous)
+
+    # downsampled re-check: verdict from 60 s mean buckets, datapoint raw.
+    # The golden 1000-spike is one point of 86401 -> a 60 s mean bucket
+    # dilutes it to ~17.65, still >> the 1.0 noise floor -> confirmed.
+    ds = mirage_reanalyze(spark, parsed, deferred, cfg, now=res.now,
+                          downsample_to=60).toPandas().iloc[0]
+    assert ds.final_sink == "anomalous"
+    assert ds.mirage_datapoint == 1000.0  # raw, not the bucket mean
 
 
 def test_resumable_lineage(spark, tmp_path):
