@@ -5,10 +5,24 @@ Reference: skyline/luminosity/process_correlations.py:1073-1521 — for
 each anomaly, the ±window of every other metric is cross-correlated
 (luminol Correlator) and kept when coefficient >= 0.9 (:1335-1339).
 
-Spark shape: anomalies are anomaly-cardinality (tiny) -> their windowed
-series are collected once and shipped in the UDF closure; candidate
-windows are selected with a broadcast range filter; one
-groupBy(anomaly, candidate).applyInPandas computes the max-lag Pearson.
+Spark shape (scale-safe — NO driver collect, NO crossJoin):
+1. each anomaly explodes to its <=3 coarse epoch buckets of width
+   ``window_s``; facts carry the same bucket key, so candidate-window
+   selection is ONE broadcast equi-join on the bucket (anomalies are
+   anomaly-cardinality -> broadcastable) plus a range post-filter;
+2. the selected rows are averaged onto the ``step_s`` alignment grid
+   natively (groupBy, map-side combine);
+3. per-(anomaly, candidate) bucket arrays are assembled with
+   collect_list; the anomalous series' own arrays (target windows) come
+   out of the same join and are broadcast-joined back — they never ride
+   in a UDF closure;
+4. one Arrow-batched mapInPandas computes the max-shift Pearson per
+   pair (luminol Correlator semantics: best coefficient within
+   ±max_shift).
+
+At 100× anomaly cardinality every stage stays distributed: the only
+broadcast sides are anomaly-cardinality, the shuffle keys are
+(anomaly, candidate) pairs, and the Python stage sees one row per pair.
 The simple zero-shift Pearson variant lives in queries.q_correlate
 (F.corr, oracle-checked); this operator adds the shift search.
 """
@@ -31,15 +45,12 @@ def _bucketize(ts: np.ndarray, v: np.ndarray, step: int
     return {k: float(np.mean(xs)) for k, xs in buckets.items()}
 
 
-def max_shift_correlation(ts_a: np.ndarray, v_a: np.ndarray,
-                          ts_b: np.ndarray, v_b: np.ndarray,
-                          step: int, max_shift_steps: int
-                          ) -> tuple[float, int]:
+def _shift_corr(a: dict[int, float], b: dict[int, float],
+                max_shift_steps: int) -> tuple[float, int]:
     """Best Pearson coefficient over integer bucket shifts in
-    [-max_shift_steps, +max_shift_steps] (luminol Correlator
-    semantics: max cross-correlation within allowed shift)."""
-    a = _bucketize(ts_a, v_a, step)
-    b = _bucketize(ts_b, v_b, step)
+    [-max_shift_steps, +max_shift_steps] (luminol Correlator semantics:
+    max cross-correlation within allowed shift) for two pre-bucketed
+    series given as {bucket: mean} dicts."""
     best, best_shift = 0.0, 0
     for shift in range(-max_shift_steps, max_shift_steps + 1):
         keys = [k for k in a if (k + shift) in b]
@@ -47,13 +58,21 @@ def max_shift_correlation(ts_a: np.ndarray, v_a: np.ndarray,
             continue
         xa = np.array([a[k] for k in keys])
         xb = np.array([b[k + shift] for k in keys])
-        sa, sb = xa.std(), xb.std()
-        if sa == 0 or sb == 0:
+        if xa.std() == 0 or xb.std() == 0:
             continue
         r = float(np.corrcoef(xa, xb)[0, 1])
         if abs(r) > abs(best):
             best, best_shift = r, shift
     return best, best_shift
+
+
+def max_shift_correlation(ts_a: np.ndarray, v_a: np.ndarray,
+                          ts_b: np.ndarray, v_b: np.ndarray,
+                          step: int, max_shift_steps: int
+                          ) -> tuple[float, int]:
+    """Raw-array form of the shift search (bucketize then _shift_corr)."""
+    return _shift_corr(_bucketize(ts_a, v_a, step),
+                       _bucketize(ts_b, v_b, step), max_shift_steps)
 
 
 def luminosity_correlations(parsed: DataFrame, anomalies: DataFrame,
@@ -62,58 +81,58 @@ def luminosity_correlations(parsed: DataFrame, anomalies: DataFrame,
                             threshold: float = 0.9) -> DataFrame:
     """For each anomaly row (conv_id, last_ts), correlate every other
     series' ±window against the anomalous series' window."""
-    spark = parsed.sparkSession
     anoms = anomalies.select(F.col("conv_id").alias("anom_conv"),
                              F.col("last_ts").cast("double").alias("anom_ts"))
-    anom_rows = anoms.collect()
-    if not anom_rows:
-        return spark.createDataFrame(
-            [], "anom_conv string, cand_conv string, coefficient double, "
-                "shift_seconds int")
+    # each anomaly covers <= 3 coarse buckets of width window_s
+    anoms_b = anoms.withColumn(
+        "cb", F.explode(F.sequence(
+            F.floor((F.col("anom_ts") - window_s) / window_s).cast("long"),
+            F.floor((F.col("anom_ts") + window_s) / window_s).cast("long"))))
 
     te = epoch_seconds(F.col("ts"))
-    base = parsed.where(F.col("value").isNotNull()) \
-        .select("conv_id", te.alias("te"), "value")
+    base = (parsed.where(F.col("value").isNotNull())
+            .select("conv_id", te.alias("te"), "value")
+            .withColumn("cb", F.floor(F.col("te") / window_s).cast("long")))
 
-    # anomaly windows -> driver (anomaly-cardinality × window points)
-    win = None
-    for r in anom_rows:
-        cond = ((F.col("conv_id") == r.anom_conv)
-                & (F.col("te") >= r.anom_ts - window_s)
-                & (F.col("te") <= r.anom_ts + window_s))
-        win = cond if win is None else (win | cond)
-    target_pdf = base.where(win).toPandas()
-    targets = {
-        r.anom_conv: (
-            target_pdf[target_pdf.conv_id == r.anom_conv].te.to_numpy(),
-            target_pdf[target_pdf.conv_id == r.anom_conv].value.to_numpy())
-        for r in anom_rows
-    }
-
-    cands = base.crossJoin(F.broadcast(anoms)).where(
-        (F.col("conv_id") != F.col("anom_conv"))
-        & (F.col("te") >= F.col("anom_ts") - window_s)
+    # candidate-window selection: broadcast equi-join on the coarse
+    # bucket (pushes down to an exact hash probe), range post-filter
+    hits = base.join(F.broadcast(anoms_b), "cb").where(
+        (F.col("te") >= F.col("anom_ts") - window_s)
         & (F.col("te") <= F.col("anom_ts") + window_s))
+
+    # step-grid means (the Correlator's time-alignment grid), native
+    stepb = hits.groupBy(
+        "anom_conv", "anom_ts", "conv_id",
+        F.floor(F.col("te") / step_s).cast("long").alias("sb")
+    ).agg(F.avg("value").alias("v"))
+    arrs = stepb.groupBy("anom_conv", "anom_ts", "conv_id").agg(
+        F.array_sort(F.collect_list(F.struct("sb", "v"))).alias("pv"))
+
+    # the anomalous series' own window = the target; anomaly-cardinality
+    # -> broadcast back onto its candidates (never a closure)
+    targets = arrs.where(F.col("conv_id") == F.col("anom_conv")).select(
+        "anom_conv", "anom_ts", F.col("pv").alias("tpv"))
+    cands = arrs.where(F.col("conv_id") != F.col("anom_conv"))
+    joined = cands.join(F.broadcast(targets), ["anom_conv", "anom_ts"])
 
     max_steps = max_shift_s // step_s
 
-    def correlate(pdf: pd.DataFrame) -> pd.DataFrame:
-        anom_conv = pdf["anom_conv"].iloc[0]
-        cand_conv = pdf["conv_id"].iloc[0]
-        t = targets.get(anom_conv)
-        if t is None or t[0].size < 5:
-            return pd.DataFrame(columns=["anom_conv", "cand_conv",
-                                         "coefficient", "shift_seconds"])
-        coef, shift = max_shift_correlation(
-            t[0], t[1], pdf["te"].to_numpy(), pdf["value"].to_numpy(),
-            step_s, max_steps)
-        return pd.DataFrame([{
-            "anom_conv": anom_conv, "cand_conv": cand_conv,
-            "coefficient": round(coef, 6),
-            "shift_seconds": shift * step_s}])
+    def corr_rows(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                a = {int(p["sb"]): float(p["v"]) for p in r.tpv}
+                if len(a) < 5:
+                    continue
+                b = {int(p["sb"]): float(p["v"]) for p in r.pv}
+                coef, shift = _shift_corr(a, b, max_steps)
+                out.append((r.anom_conv, r.conv_id, round(coef, 6),
+                            shift * step_s))
+            yield pd.DataFrame(out, columns=["anom_conv", "cand_conv",
+                                             "coefficient", "shift_seconds"])
 
-    out = cands.groupBy("anom_conv", "conv_id").applyInPandas(
-        correlate,
+    out = joined.mapInPandas(
+        corr_rows,
         schema="anom_conv string, cand_conv string, coefficient double, "
                "shift_seconds int")
     return out.where(F.abs(F.col("coefficient")) >= threshold)

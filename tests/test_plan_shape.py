@@ -83,6 +83,27 @@ def test_single_wide_exchange_on_analyze_path(plans):
     assert len(all_conv) <= 2, all_conv
 
 
+def test_luminosity_plan_is_equi_join(spark):
+    """The anomaly-window candidate selection must be a hash equi-join
+    on the coarse time bucket — never a broadcast nested-loop cross join
+    (the round-1 scale-killer) and never a driver-side collect of
+    anomaly windows."""
+    import pandas as pd
+
+    from skyline_spark.operators.correlate import luminosity_correlations
+    rows = [("a", float(i), pd.Timestamp(1_700_000_000 + i * 60, unit="s"))
+            for i in range(30)]
+    parsed = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "value", "ts"]))
+    anomalies = spark.createDataFrame(
+        [("a", 1_700_000_000.0 + 29 * 60)], "conv_id string, last_ts double")
+    out = luminosity_correlations(parsed, anomalies)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_whole_stage_codegen_in_parse(spark):
     from skyline_spark.operators.parse import parse_events
     tdf = synthetic_transcripts(spark)
