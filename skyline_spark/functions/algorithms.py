@@ -95,7 +95,10 @@ def grubbs(ts: np.ndarray, values: np.ndarray,
     """
     n = values.size
     if n < 3:
-        return None  # reference: t.isf with df<1 raises -> recorded error -> None
+        # reference: t.isf with df<=0 returns nan -> `z > nan` -> False
+        # (NOT an error/None; unreachable in-pipeline since TooShort
+        # fires at <100 points, but vortex one-shots can feed tiny series)
+        return False
     std_dev = _std1(values)  # sample std (ddof=1)
     if std_dev == 0 or math.isnan(std_dev):
         return False

@@ -42,6 +42,10 @@ class Verdict:
     negatives_found: bool
     n_points: int
     last_ts: float | None
+    #: waterfall-alert from_timestamp: the SECOND timestamp of the
+    #: analyzed series (first has no value after nonNegativeDerivative),
+    #: falling back to the first (analyzer.py:3958-3966)
+    from_ts: float | None = None
 
 
 def classify_exception(ts: np.ndarray, values: np.ndarray, now: float,
@@ -81,6 +85,7 @@ def run_selected_algorithm(ts: np.ndarray, values: np.ndarray, now: float,
             datapoint=float(values[-1]) if values.size else None,
             exception=exc, negatives_found=False, n_points=int(values.size),
             last_ts=float(ts[-1]) if ts.size else None,
+            from_ts=float(ts[1] if ts.size > 1 else ts[0]) if ts.size else None,
         )
 
     fd = full_duration if full_duration is not None else cfg.full_duration
@@ -166,6 +171,7 @@ def run_selected_algorithm(ts: np.ndarray, values: np.ndarray, now: float,
         triggered=triggered, datapoint=datapoint, exception=None,
         negatives_found=negatives_found, n_points=int(values.size),
         last_ts=float(ts[-1]),
+        from_ts=float(ts[1] if ts.size > 1 else ts[0]),
     )
 
 

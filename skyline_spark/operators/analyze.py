@@ -81,7 +81,8 @@ def _make_partition_analyzer(cfg: PipelineConfig, now: float,
         sor = rule.get("second_order_resolution_hours")
         return (conv_id, metric, v.anomalous, v.ensemble, v.triggered,
                 v.algorithms_run, v.datapoint, v.exception,
-                v.negatives_found, v.n_points, v.last_ts, elapsed_ms,
+                v.negatives_found, v.n_points, v.last_ts, v.from_ts,
+                elapsed_ms,
                 rule.get("namespace_pattern"), rule.get("alerter"),
                 rule.get("expiration_time"), sor, sor is not None,
                 rule.get("alerter") == "smtp")
@@ -206,6 +207,7 @@ def empty_series_verdicts(transcripts: DataFrame, parsed: DataFrame,
         F.lit(False).alias("negatives_found"),
         F.lit(0).cast("long").alias("n_points"),
         F.lit(None).cast("double").alias("last_ts"),
+        F.lit(None).cast("double").alias("from_ts"),
         F.lit(0.0).alias("analyze_ms"),
         F.lit(None).cast("string").alias("matched_pattern"),
         F.lit(None).cast("string").alias("alerter"),

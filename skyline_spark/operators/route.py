@@ -55,7 +55,9 @@ def sink_expr(mirage_always: list[str] | None = None,
 def route_verdicts(verdicts: DataFrame, dim: DataFrame | None = None,
                    mirage_always: list[str] | None = None,
                    ionosphere_enabled: bool = False,
-                   recent_alerts: DataFrame | None = None) -> DataFrame:
+                   recent_alerts: DataFrame | None = None,
+                   now: float | None = None,
+                   host: str = "spark") -> DataFrame:
     """Attach sink + deferred-check metadata to verdict rows.
 
     Verdicts normally carry their enrichment columns (resolved in-UDF);
@@ -91,6 +93,23 @@ def route_verdicts(verdicts: DataFrame, dim: DataFrame | None = None,
         "hours_to_resolve",
         F.when(F.col("sink") == "deferred",
                F.col("second_order_resolution_hours")),
+    ).withColumn(
+        # the full waterfall-alert payload tuple (analyzer.py:3967-3980):
+        # [base_name, datapoint, from_timestamp, metric_timestamp,
+        #  algorithms_run, triggered_algorithms, app, source, host,
+        #  added_at]; added_at is the batch watermark (no wall clock)
+        "waterfall_payload",
+        F.when(F.col("sink") == "deferred", F.struct(
+            F.col("metric").alias("base_name"),
+            F.col("datapoint").alias("datapoint"),
+            F.col("from_ts").cast("long").alias("from_timestamp"),
+            F.col("last_ts").cast("long").alias("metric_timestamp"),
+            F.col("algorithms_run").alias("algorithms_run"),
+            F.col("triggered").alias("triggered_algorithms"),
+            F.lit("analyzer").alias("app"),
+            F.lit("transcripts").alias("source"),
+            F.lit(host).alias("host"),
+            F.lit(now).cast("long").alias("added_at"))),
     )
 
 

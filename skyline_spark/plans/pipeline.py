@@ -71,7 +71,7 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
 
     routed_v = route_verdicts(all_verdicts, mirage_always=mirage_always,
                               ionosphere_enabled=ionosphere_enabled,
-                              recent_alerts=recent_alerts)
+                              recent_alerts=recent_alerts, now=now)
     # route the PARSED rows: they carry the per-turn metric, so the
     # verdict join is exact on (conv_id, metric) — a multi-metric
     # conversation never duplicates its turns

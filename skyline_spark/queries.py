@@ -103,6 +103,46 @@ FROM parsed
 """)
 
 
+def q_skip_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 — SKIP_LIST / DO_NOT_SKIP ingest filter
+    (skyline/horizon/worker.py:156,388-422): a metric is skipped when
+    any SKIP_LIST pattern is a substring, unless a DO_NOT_SKIP pattern
+    also matches."""
+    from skyline_spark.operators.parse import skip_list_filter
+    out = skip_list_filter(_parsed(spark, sf_dir),
+                           ["view.", "click."], ["click.turns"])
+    return out.select("conv_id", "turn_idx", "metric")
+
+
+SQL_SKIP_LIST = _sql("""
+SELECT conv_id, turn_idx, metric FROM parsed
+WHERE metric IS NULL OR NOT (
+    (contains(metric, 'view.') OR contains(metric, 'click.'))
+    AND NOT contains(metric, 'click.turns'))
+""")
+
+
+def q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1-P3 — metric-name shape + timestamp sanity + old-datapoint drop
+    (flux/listen.py:607,662; horizon/worker.py:431)."""
+    from skyline_spark.operators.parse import validate_events
+    from skyline_spark.plans.pipeline import batch_now
+    tdf = transcripts_from_events(spark, sf_dir)
+    now = batch_now(tdf)
+    out = validate_events(parse_events(tdf), now_epoch=now,
+                          max_age_seconds=14 * 86400)
+    return out.select("conv_id", "turn_idx", "metric")
+
+
+SQL_VALIDATE_EVENTS = _sql(r"""
+SELECT conv_id, turn_idx, metric FROM parsed, batch
+WHERE metric IS NOT NULL
+  AND regexp_matches(metric, '^[A-Za-z0-9_]+(\.[A-Za-z0-9_]+)*$')
+  AND epoch(ts) <= now + 3600
+  AND epoch(ts) >= now - 1209600
+""")
+
+
 def q_sort_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T1+T2 — stable sort + first-per-timestamp dedup, on minute
     granularity (events are sub-minute unique)."""
@@ -710,6 +750,8 @@ FROM votes
 
 REGISTRY: dict[str, tuple] = {
     "parse_events": (q_parse, SQL_PARSE),
+    "skip_list": (q_skip_list, SQL_SKIP_LIST),
+    "validate_events": (q_validate_events, SQL_VALIDATE_EVENTS),
     "sort_dedup": (q_sort_dedup, SQL_SORT_DEDUP),
     "retention_trim": (q_retention_trim, SQL_RETENTION_TRIM),
     "non_negative_derivative": (q_derivative, SQL_DERIVATIVE),

@@ -48,6 +48,8 @@ VERDICT_SCHEMA = T.StructType([
     T.StructField("negatives_found", T.BooleanType(), True),
     T.StructField("n_points", T.LongType(), True),
     T.StructField("last_ts", T.DoubleType(), True),
+    # waterfall-alert from_timestamp (analyzer.py:3958-3966)
+    T.StructField("from_ts", T.DoubleType(), True),
     T.StructField("analyze_ms", T.DoubleType(), True),
     # enrichment resolved in-UDF from the broadcast rule list (the
     # metrics_manager hash analogue) — carried on the verdict so the

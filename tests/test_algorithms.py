@@ -43,6 +43,15 @@ def test_tail_avg_short_series():
     assert alg.tail_avg(np.array([1.0, 5.0])) == 5.0
 
 
+def test_grubbs_tiny_series_is_false_not_error():
+    """n<3: the reference's t.isf(df<=0) yields nan and `z > nan` is
+    False — NOT a recorded error/None (matters for vortex one-shots
+    feeding tiny series; unreachable in-pipeline behind TooShort)."""
+    ts = np.array([1.0, 2.0])
+    assert alg.grubbs(ts, np.array([1.0, 5.0])) is False
+    assert alg.grubbs(ts[:1], np.array([3.0])) is False
+
+
 def test_grubbs(golden):
     ts, v = golden
     assert alg.grubbs(ts, v) is True

@@ -50,6 +50,17 @@ def test_deferred_check_metadata(result):
     assert row.check_id.startswith("mirage_check.")
     assert row.check_id.endswith(".stats.statsd.turns.rate")
     assert row.hours_to_resolve == 168
+    # full waterfall-alert payload tuple (analyzer.py:3967-3980)
+    wp = row.waterfall_payload
+    assert wp["base_name"] == "stats.statsd.turns.rate"
+    assert wp["datapoint"] == 1000.0
+    assert wp["metric_timestamp"] == int(row.last_ts)
+    assert wp["from_timestamp"] <= wp["metric_timestamp"]
+    assert wp["app"] == "analyzer" and wp["source"] == "transcripts"
+    assert wp["added_at"] is not None
+    assert "grubbs" in list(wp["triggered_algorithms"])
+    # normal rows carry no payload
+    assert v.loc["conv-app.server-0003", "waterfall_payload"] is None
 
 
 def test_unordered_dup_equals_sorted_twin(result):
