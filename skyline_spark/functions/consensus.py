@@ -101,18 +101,21 @@ def run_selected_algorithm(ts: np.ndarray, values: np.ndarray, now: float,
     # not-anomalous (custom_algorithm_not_anomalous veto, :1968-1975).
     customs = [c for c in getattr(cfg, "custom_algorithms", ())
                if c.applies_to(metric)]
+    pre_customs = [c for c in customs if c.run_before_3sigma]
+    post_customs = [c for c in customs if not c.run_before_3sigma]
     custom_ensemble: list[bool | None] = []
     custom_consensus_override = False
     custom_veto = False
     run_3sigma = True
-    for c in customs:
+
+    def _run_custom(c) -> bool | None:
+        nonlocal custom_consensus_override, custom_veto
         try:
             result, _score = c.fn(ts, values, dict(c.params))
         except Exception:
             result = None
         algorithms_run.append(c.name)
         r = result if isinstance(result, bool) else None
-        custom_ensemble.append(r)
         if r is True:
             triggered.append(c.name)
         if c.consensus_override:
@@ -120,6 +123,10 @@ def run_selected_algorithm(ts: np.ndarray, values: np.ndarray, now: float,
                 custom_consensus_override = True
             elif r is False:
                 custom_veto = True
+        return r
+
+    for c in pre_customs:
+        custom_ensemble.append(_run_custom(c))
         if not c.run_3sigma_algorithms:
             run_3sigma = False
 
@@ -150,6 +157,17 @@ def run_selected_algorithm(ts: np.ndarray, values: np.ndarray, now: float,
     else:
         # suppressed suite -> the custom ensemble votes (:1996-1998)
         ensemble = list(custom_ensemble)
+
+    # post-3sigma custom algorithms (algorithms.py:1855-1995): results
+    # append to the SAME ensemble and count in the vote; with
+    # run_only_if_consensus the algorithm is skipped entirely (not even
+    # recorded in algorithms_run, :1868-1874) unless the three-sigma
+    # suite already voted CONSENSUS Trues.
+    for c in post_customs:
+        if c.run_only_if_consensus and \
+                ensemble.count(True) < cfg.consensus:
+            continue
+        ensemble.append(_run_custom(c))
 
     datapoint = float(values[-1])
     if ensemble.count(None) == len(ensemble):

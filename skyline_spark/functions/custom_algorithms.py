@@ -44,6 +44,10 @@ class CustomAlgorithm:
     consensus_override: bool = False    # reference 'consensus': 1
     run_before_3sigma: bool = True
     run_3sigma_algorithms: bool = True  # False -> custom-only ensemble
+    # post-3sigma only: skip unless the three-sigma suite already reached
+    # CONSENSUS True votes (algorithms.py:1863-1879) — the expensive-
+    # confirmation pattern (e.g. matrixprofile after the cheap suite)
+    run_only_if_consensus: bool = False
     use_with: str | None = None         # substring namespace restriction
 
     def applies_to(self, metric: str | None) -> bool:

@@ -956,6 +956,16 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, q, k=3)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-3 for the first 5 vec_ids (rows-only; recall vs brute
+    force measured in pytest — cell-join candidate generation, never
+    N x Q)."""
+    from skyline_spark.operators.similarity import ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 5)
+    return ivf_topk(emb, q, k=3)
+
+
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload synth + mapInPandas metadata
     decode. The decode kernel is a deterministic stub (no codecs in the
@@ -988,6 +998,7 @@ REGISTRY.update({
     "minhash_near_dups": (q_minhash_near_dups, None),
     "simhash": (q_simhash, None),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "ann_ivf_topk": (q_ivf_topk, None),
     "media_metadata": (q_media_metadata, SQL_MEDIA_METADATA),
 })
 

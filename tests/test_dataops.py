@@ -102,6 +102,21 @@ def test_lsh_topk_recall(spark, embeddings):
     assert hits / len(exact) > 0.3
 
 
+def test_ivf_topk_recall(spark, embeddings):
+    """IVF cell-join ANN: the planted same-cell near-neighbor must be
+    found; recall@1 vs brute force over the probed cells is high because
+    queries probe their 2 nearest label-centroid cells."""
+    from skyline_spark.operators.similarity import brute_force_topk, ivf_topk
+    q = embeddings.where(F.col("vec_id") < 10)
+    exact = brute_force_topk(embeddings, q, k=1).toPandas()
+    approx = ivf_topk(embeddings, q, k=1, nprobe=2).toPandas()
+    got = approx.set_index("query_id").cand_id.to_dict()
+    assert got.get(7) == 9000  # planted neighbor shares the cell
+    hits = sum(1 for qid, cid in exact.set_index("query_id").cand_id.items()
+               if got.get(qid) == cid)
+    assert hits / len(exact) > 0.5
+
+
 def test_label_centroids(spark, embeddings):
     from skyline_spark.operators.similarity import pairwise_label_centroids
     cents = pairwise_label_centroids(embeddings).toPandas()

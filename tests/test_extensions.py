@@ -59,6 +59,39 @@ def test_custom_consensus_override(noisy):
     assert run_selected_algorithm(ts, v, float(ts[-1]), cfg2).anomalous is False
 
 
+def test_custom_post_3sigma_and_run_only_if_consensus(noisy):
+    """algorithms.py:1855-1995: post-3sigma custom results append to the
+    SAME ensemble and count in the vote; run_only_if_consensus skips the
+    algorithm entirely (not recorded) unless the suite already voted
+    CONSENSUS Trues."""
+    ts, v = noisy
+    # quiet series: suite votes no -> gated confirmer never runs
+    gated = CustomAlgorithm(
+        name="expensive_confirm", fn=lambda t, x, p: (True, 1.0),
+        run_before_3sigma=False, run_only_if_consensus=True)
+    cfg = PipelineConfig(custom_algorithms=(gated,))
+    quiet = run_selected_algorithm(ts, v, float(ts[-1]), cfg)
+    assert "expensive_confirm" not in quiet.algorithms_run
+    assert quiet.anomalous is False
+
+    # anomalous series: suite reaches consensus -> confirmer runs and a
+    # consensus_override=False veto from it kills the anomaly
+    v2 = v.copy()
+    v2[-3:] = 500.0
+    fired = run_selected_algorithm(ts, v2, float(ts[-1]), cfg)
+    assert "expensive_confirm" in fired.algorithms_run
+    assert fired.anomalous is True
+    assert len(fired.ensemble) == 10  # 9 suite votes + the appended custom
+    veto = CustomAlgorithm(
+        name="expensive_veto", fn=lambda t, x, p: (False, 0.0),
+        run_before_3sigma=False, run_only_if_consensus=True,
+        consensus_override=True)
+    cfg2 = PipelineConfig(custom_algorithms=(veto,))
+    vetoed = run_selected_algorithm(ts, v2, float(ts[-1]), cfg2)
+    assert "expensive_veto" in vetoed.algorithms_run
+    assert vetoed.anomalous is False
+
+
 def test_custom_suppresses_3sigma(noisy):
     ts, v = noisy
     only = CustomAlgorithm(

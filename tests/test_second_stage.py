@@ -278,6 +278,53 @@ def test_resumable_lineage(spark, tmp_path):
     assert dup == 0
 
 
+def test_streaming_stateful_alert_throttle(spark, tmp_path):
+    """applyInPandasWithState: the per-metric last-alert state (the
+    last_alert.* Redis key analogue) must persist ACROSS micro-batches —
+    a burst split over two file-triggers emits exactly like the batch
+    throttle_alerts_exact twin."""
+    import os
+
+    from skyline_spark.operators.alerts import throttle_alerts_exact
+    from skyline_spark.streaming.throttle import streaming_alert_throttle
+
+    # two files = two micro-batches; metric m1 alerts at t=0,100,400 -
+    # with expiration 300 only t=0 and t=400 emit, and t=400 lands in
+    # batch 2, so suppression of t=100 must survive the batch boundary
+    rows1 = [("m1", pd.Timestamp(1_700_000_000, unit="s")),
+             ("m1", pd.Timestamp(1_700_000_100, unit="s")),
+             ("m2", pd.Timestamp(1_700_000_050, unit="s"))]
+    rows2 = [("m1", pd.Timestamp(1_700_000_400, unit="s")),
+             ("m2", pd.Timestamp(1_700_000_200, unit="s"))]
+    srcdir = str(tmp_path / "anoms")
+    os.makedirs(srcdir, exist_ok=True)
+    for i, rows in enumerate((rows1, rows2)):
+        spark.createDataFrame(pd.DataFrame(rows, columns=["metric", "ts"])) \
+            .coalesce(1).write.parquet(f"{srcdir}/b{i}")
+    schema = "metric string, ts timestamp"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false").parquet(f"{srcdir}/b*"))
+    out = streaming_alert_throttle(stream, 300.0)
+    q = (out.writeStream.format("memory").queryName("throttled")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM throttled").toPandas() \
+        .sort_values(["metric", "ts_epoch"], ignore_index=True)
+
+    batch_in = spark.createDataFrame(
+        pd.DataFrame(rows1 + rows2, columns=["metric", "ts"])) \
+        .withColumn("last_ts", F.col("ts").cast("timestamp").cast("double")) \
+        .withColumn("expiration_time", F.lit(300.0))
+    want = throttle_alerts_exact(batch_in).toPandas() \
+        .sort_values(["metric", "last_ts"], ignore_index=True)
+    assert list(got.emit_alert) == list(want.emit_alert)
+    assert list(got[got.emit_alert].ts_epoch) == \
+        [1_700_000_000.0, 1_700_000_400.0, 1_700_000_050.0]
+
+
 def test_streaming_flux_aggregate(spark, tmp_path):
     """availableNow streaming run over the events table must equal the
     batch aggregation."""
