@@ -95,6 +95,8 @@ def main() -> int:
     timed("q5_flux_aggregate_1h", lambda: Q.q_flux_aggregate_1h(spark, sf_dir))
     timed("q6_least_squares", lambda: Q.q_least_squares(spark, sf_dir))
     timed("q7_correlate_pearson", lambda: Q.q_correlate(spark, sf_dir))
+    timed("q8_minhash_near_dups", lambda: Q.q_minhash_near_dups(spark, sf_dir))
+    timed("q9_cosine_topk", lambda: Q.q_cosine_topk(spark, sf_dir))
 
     total = round(sum(timings.values()), 3)
     out = {

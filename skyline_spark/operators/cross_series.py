@@ -69,6 +69,27 @@ def sigma_flags(buckets: DataFrame, key: str = "conv_id",
             .drop("__mean", "__std"))
 
 
+def mirage_periodic_check_due(metrics: DataFrame, check_history: DataFrame,
+                              interval_seconds: int, now: float,
+                              metric_col: str = "metric") -> list[str]:
+    """§3.2 — MIRAGE_PERIODIC_CHECK (analyzer.py:4107-4120 +
+    metrics_manager periodic keys): metrics on the periodic list are
+    force-sent to Mirage every ``interval`` even when not anomalous. The
+    reference samples with per-metric Redis key expiries; the batch
+    analogue computes the due-list from the check history
+    (metric, last_check_ts) and feeds it to run_pipeline's
+    ``mirage_always`` (the force-deferred branch, analyzer.py:4144-4158).
+
+    Returns a plain list (config-sized — one entry per periodic metric)."""
+    hist = check_history.groupBy(metric_col).agg(
+        F.max("last_check_ts").alias("__last"))
+    due = (metrics.select(metric_col).distinct()
+           .join(hist, metric_col, "left")
+           .where(F.col("__last").isNull()
+                  | (F.col("__last") <= F.lit(now - interval_seconds))))
+    return [r[0] for r in due.select(metric_col).collect()]
+
+
 def mirage_reanalyze(spark: SparkSession, transcripts_parsed: DataFrame,
                      deferred: DataFrame, cfg: PipelineConfig,
                      now: float,

@@ -192,6 +192,21 @@ def test_mirage_veto_and_confirm(spark):
     assert out.loc["conv-stats.statsd-0003"].final_sink == "vetoed"
 
 
+def test_mirage_periodic_check_due(spark):
+    """MIRAGE_PERIODIC_CHECK (analyzer.py:4107-4120): a periodic metric
+    is due when never checked or when its last check is older than the
+    interval."""
+    from skyline_spark.operators.cross_series import mirage_periodic_check_due
+    metrics = spark.createDataFrame(
+        [("m.fresh",), ("m.stale",), ("m.never",)], "metric string")
+    hist = spark.createDataFrame(
+        [("m.fresh", 1000.0), ("m.stale", 100.0)],
+        "metric string, last_check_ts double")
+    due = mirage_periodic_check_due(metrics, hist,
+                                    interval_seconds=600, now=1100.0)
+    assert sorted(due) == ["m.never", "m.stale"]
+
+
 def test_mirage_stale_check_discard_and_downsampled_recheck(spark):
     """mirage.py:1437-1463: a check older than MIRAGE_STALE_SECONDS is
     discarded unanalyzed; mirage.py:1947-2185: with downsample_to set,
