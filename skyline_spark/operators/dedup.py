@@ -210,3 +210,55 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 1,
     return (pairs.withColumn("jaccard", F.round(inter / union, 6))
             .where(F.col("jaccard") >= min_jaccard)
             .select("id_a", "id_b", "jaccard"))
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-duplicates
+# ---------------------------------------------------------------------------
+
+def embedding_near_duplicates_exact(embeddings: DataFrame,
+                                    min_cosine: float = 0.9,
+                                    block_col: str = "label",
+                                    id_col: str = "vec_id",
+                                    vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs, exact within ``block_col`` blocks
+    (quadratic-per-block — the SQL-expressible ORACLE twin of the LSH
+    path below; never the production path at scale)."""
+    from skyline_spark.operators.similarity import cosine
+    a = embeddings.select(F.col(id_col).alias("id_a"), F.col(block_col),
+                          F.col(vec_col).alias("v_a"))
+    b = embeddings.select(F.col(id_col).alias("id_b"), F.col(block_col),
+                          F.col(vec_col).alias("v_b"))
+    pairs = a.join(b, block_col).where(F.col("id_a") < F.col("id_b"))
+    sim = F.round(cosine(F.col("v_a"), F.col("v_b")), 4)
+    return (pairs.withColumn("sim", sim)
+            .where(F.col("sim") >= min_cosine)
+            .select("id_a", "id_b", "sim"))
+
+
+def embedding_near_duplicates(embeddings: DataFrame,
+                              min_cosine: float = 0.9,
+                              n_planes: int = 8, n_tables: int = 6,
+                              dim: int = 64, seed: int = 42,
+                              id_col: str = "vec_id",
+                              vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-dup pairs at scale: OR-amplified
+    hyperplane-LSH bucket join generates candidates (shuffle key = the
+    bucket signature, never all-pairs), exact cosine verifies. Recall<1
+    by design; pytest plants a near-identical pair and checks it
+    survives."""
+    from skyline_spark.operators.similarity import cosine, with_lsh_signatures
+    sigs = with_lsh_signatures(
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        dim, n_planes, n_tables, seed, "v")
+    a = sigs.select(F.col("id").alias("id_a"), F.col("v").alias("v_a"),
+                    "tbl", "sig")
+    b = sigs.select(F.col("id").alias("id_b"), F.col("v").alias("v_b"),
+                    "tbl", "sig")
+    cands = (a.join(b, ["tbl", "sig"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b", "v_a", "v_b").distinct())
+    sim = F.round(cosine(F.col("v_a"), F.col("v_b")), 4)
+    return (cands.withColumn("sim", sim)
+            .where(F.col("sim") >= min_cosine)
+            .select("id_a", "id_b", "sim"))

@@ -906,6 +906,31 @@ WHERE CAST(len(list_intersect(a.tset, b.tset)) AS DOUBLE)
 """
 
 
+def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs — exact label-blocked twin
+    (oracle); the LSH-bucketed scale path is embedding_near_dups_lsh."""
+    from skyline_spark.operators.dedup import embedding_near_duplicates_exact
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_duplicates_exact(emb, min_cosine=0.25)
+
+
+SQL_EMBEDDING_NEAR_DUPS = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim
+FROM embeddings a JOIN embeddings b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.25
+"""
+
+
+def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup pairs (rows-only; recall vs the
+    exact twin in pytest)."""
+    from skyline_spark.operators.dedup import embedding_near_duplicates
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_near_duplicates(emb, min_cosine=0.25)
+
+
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 for the first 5 vec_ids (exact ANN
     baseline; native zip_with/aggregate dot products)."""
@@ -996,6 +1021,8 @@ REGISTRY.update({
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "embedding_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "minhash_near_dups": (q_minhash_near_dups, None),
+    "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
+    "embedding_near_dups_lsh": (q_embedding_near_dups_lsh, None),
     "simhash": (q_simhash, None),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
     "ann_ivf_topk": (q_ivf_topk, None),

@@ -102,6 +102,23 @@ def test_lsh_topk_recall(spark, embeddings):
     assert hits / len(exact) > 0.3
 
 
+def test_embedding_near_duplicates(spark, embeddings):
+    """Embedding-cosine near-dup: the planted near-identical pair
+    (7, 9000) must survive both the exact twin and the LSH-bucketed
+    path; LSH pairs must be a subset of exact pairs (verification is
+    exact, only candidate RECALL is approximate)."""
+    from skyline_spark.operators.dedup import (
+        embedding_near_duplicates,
+        embedding_near_duplicates_exact,
+    )
+    exact = embedding_near_duplicates_exact(embeddings, min_cosine=0.99) \
+        .toPandas()
+    lsh = embedding_near_duplicates(embeddings, min_cosine=0.99).toPandas()
+    assert (7, 9000) in set(zip(exact.id_a, exact.id_b))
+    assert (7, 9000) in set(zip(lsh.id_a, lsh.id_b))
+    assert set(zip(lsh.id_a, lsh.id_b)) <= set(zip(exact.id_a, exact.id_b))
+
+
 def test_ivf_topk_recall(spark, embeddings):
     """IVF cell-join ANN: the planted same-cell near-neighbor must be
     found; recall@1 vs brute force over the probed cells is high because
