@@ -46,7 +46,8 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
                  mirage_always: list[str] | None = None,
                  ionosphere_enabled: bool = False,
                  recent_alerts: DataFrame | None = None,
-                 persist_intermediates: bool = True) -> PipelineResult:
+                 persist_intermediates: bool = True,
+                 broadcast_verdicts_max_rows: int = 1_000_000) -> PipelineResult:
     cfg = cfg or PipelineConfig()
     if now is None:
         now = batch_now(transcripts)
@@ -61,6 +62,7 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
     verdicts = analyze(parsed, cfg, now, rules=rules)
     empties = empty_series_verdicts(transcripts, parsed, cfg, now)
     all_verdicts = verdicts.unionByName(empties)
+    broadcast_verdicts: bool | None = None
     if persist_intermediates:
         # verdicts are SERIES-cardinality — orders of magnitude smaller
         # than the fact table at any scale; persisting them stops every
@@ -68,14 +70,30 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
         # fact table itself is never cached (rescans are pruned
         # columnar reads).
         all_verdicts = all_verdicts.persist()
+        # SIZE-GATED broadcast decision for the route join: counting the
+        # persisted verdicts is one cheap action (the analyze job runs
+        # exactly once either way), and it decides between the zero-
+        # fact-movement broadcast join (normal case: verdicts are tiny)
+        # and the shuffle join (extreme conv cardinality: a forced
+        # broadcast of billions of verdict rows would OOM the driver).
+        # Without the gate, AQE only converts AFTER the fact side's
+        # shuffle WRITE has happened — the write itself is the cost.
+        n_verdicts = all_verdicts.count()
+        broadcast_verdicts = n_verdicts <= broadcast_verdicts_max_rows
 
     routed_v = route_verdicts(all_verdicts, mirage_always=mirage_always,
                               ionosphere_enabled=ionosphere_enabled,
                               recent_alerts=recent_alerts, now=now)
-    # route the PARSED rows: they carry the per-turn metric, so the
-    # verdict join is exact on (conv_id, metric) — a multi-metric
-    # conversation never duplicates its turns
-    routed_t = route_turns(parsed, routed_v)
+    # the route path needs each turn's METRIC (the verdict join is exact
+    # on (conv_id, metric) — a multi-metric conversation never
+    # duplicates its turns) but nothing else from the parse, so it
+    # extracts only group 1: one regex per row instead of re-running the
+    # full 3-group parse on the fact table a second time
+    from skyline_spark.operators.parse import EVENT_RE
+    route_facts = transcripts.withColumn(
+        "metric", F.nullif(F.regexp_extract("text", EVENT_RE, 1), F.lit("")))
+    routed_t = route_turns(route_facts, routed_v,
+                           broadcast_verdicts=broadcast_verdicts)
     # the broadcast-join dimension remains available for inspection /
     # the oracle surface; lazy, not on the routed path
     _, dim = enrich(parsed, alert_config)

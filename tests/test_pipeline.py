@@ -103,6 +103,25 @@ def test_text_passthrough_equality(result):
     assert diff.count() == 0
 
 
+def test_webapp_read_api(result):
+    """§3.3 verification queries: /api?metric= time-bounded series fetch
+    and /anomalies.json over the routed verdicts."""
+    from skyline_spark.plans.read_api import api_anomalies, api_metric
+    from skyline_spark.operators.parse import parse_events
+    from skyline_spark.synth import EPOCH0
+    res, tdf, _ = result
+    parsed = parse_events(tdf)
+    series = api_metric(parsed, "net.counters.turns.rate",
+                        from_timestamp=EPOCH0 - 100).toPandas()
+    assert len(series) == 101  # inclusive bound, 1 Hz fixture
+    assert (series.metric == "net.counters.turns.rate").all()
+    anoms = api_anomalies(res.routed_verdicts).toPandas()
+    assert set(anoms.conv_id) == {"conv-app.server-0001",
+                                  "conv-stats.statsd-0002",
+                                  "conv-app.server-0011"}
+    assert set(anoms.sink) <= {"anomalous", "deferred", "ionosphere"}
+
+
 def test_sink_counts(result):
     _, _, v = result
     counts = v.groupby("sink").size().to_dict()
