@@ -69,6 +69,59 @@ def sigma_flags(buckets: DataFrame, key: str = "conv_id",
             .drop("__mean", "__std"))
 
 
+def is_anomalously_anomalous(trigger_history: DataFrame,
+                             new_triggers: DataFrame,
+                             key: str = "metric",
+                             ts_col: str = "trigger_ts",
+                             value_col: str = "datapoint",
+                             dedupe_seconds: float = 300.0) -> DataFrame:
+    """A11 — the ENABLE_SECOND_ORDER meta-analysis
+    (skyline/analyzer/algorithms.py:1113-1154): does this metric's
+    triggering PATTERN look anomalous?
+
+    Reference semantics over the per-metric trigger history (the
+    ``trigger_history.<metric>`` Redis key -> here an input table of
+    (key, trigger_ts, datapoint), one NEW trigger per key):
+    - no history yet -> True (:1128-1130);
+    - same datapoint as the last trigger within ``dedupe_seconds`` ->
+      False (:1134-1135);
+    - else append and test |last_interval - mean| > 3 * sample std over
+      ALL inter-trigger intervals (:1142-1154; std of a single interval
+      is NaN -> False, pandas semantics).
+
+    Fully native: one union, one lag window, one group-by on the key.
+    Returns (key, trigger_ts, second_order_anomalous).
+    """
+    h = trigger_history.select(F.col(key), F.col(ts_col).cast("double"),
+                               F.col(value_col).cast("double")) \
+        .withColumn("__new", F.lit(False))
+    n = new_triggers.select(F.col(key), F.col(ts_col).cast("double"),
+                            F.col(value_col).cast("double")) \
+        .withColumn("__new", F.lit(True))
+    allr = h.unionByName(n)
+    w = Window.partitionBy(key).orderBy(F.col(ts_col).asc())
+    d = (allr
+         .withColumn("__interval", F.col(ts_col) - F.lag(ts_col).over(w))
+         .withColumn("__prev_dp", F.lag(value_col).over(w)))
+    agg = d.groupBy(key).agg(
+        F.count(F.when(~F.col("__new"), 1)).alias("__n_hist"),
+        F.avg("__interval").alias("__mean"),
+        F.stddev_samp("__interval").alias("__std"),
+        F.max(F.when(F.col("__new"), F.col("__interval"))).alias("__last_int"),
+        F.max(F.when(F.col("__new"), F.col(ts_col))).alias(ts_col),
+        F.max(F.when(F.col("__new"), F.col(value_col))).alias("__dp"),
+        F.max(F.when(F.col("__new"), F.col("__prev_dp"))).alias("__last_dp"),
+    )
+    verdict = (
+        F.when(F.col("__n_hist") == 0, F.lit(True))
+        .when((F.col("__dp") == F.col("__last_dp"))
+              & (F.col("__last_int") <= dedupe_seconds), F.lit(False))
+        .otherwise(F.coalesce(
+            F.abs(F.col("__last_int") - F.col("__mean")) > 3 * F.col("__std"),
+            F.lit(False))))
+    return agg.select(key, ts_col, verdict.alias("second_order_anomalous"))
+
+
 def mirage_periodic_check_due(metrics: DataFrame, check_history: DataFrame,
                               interval_seconds: int, now: float,
                               metric_col: str = "metric") -> list[str]:

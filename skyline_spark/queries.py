@@ -1162,6 +1162,58 @@ FROM runs WHERE anomalous GROUP BY conv_id, run_id
 """)
 
 
+def q_second_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — is_anomalously_anomalous (algorithms.py:1113-1154),
+    ENABLE_SECOND_ORDER meta-analysis. Trigger history derived from the
+    (oracle-checked) anomaly episodes: per conv, every episode start is
+    a trigger; the latest is the NEW trigger, the rest are history."""
+    from skyline_spark.operators.cross_series import (
+        anomaly_end_timestamps,
+        is_anomalously_anomalous,
+        sigma_flags,
+    )
+    b = preprocess.downsample(_valid(spark, sf_dir), 3600, method="mean")
+    eps = anomaly_end_timestamps(sigma_flags(b)).select(
+        "conv_id",
+        epoch_seconds(F.col("anomaly_start")).alias("trigger_ts"),
+        F.lit(0.0).alias("datapoint"))
+    w = Window.partitionBy("conv_id").orderBy(F.col("trigger_ts").desc())
+    eps = eps.withColumn("__rnd", F.row_number().over(w))
+    hist = eps.where(F.col("__rnd") > 1).drop("__rnd")
+    new = eps.where(F.col("__rnd") == 1).drop("__rnd")
+    out = is_anomalously_anomalous(hist, new, key="conv_id")
+    return out.select("conv_id", "trigger_ts", "second_order_anomalous")
+
+
+SQL_SECOND_ORDER = SQL_ANOMALY_EPISODES.replace(
+    """SELECT conv_id, min(bucket_start) AS anomaly_start,
+       max(bucket_start) AS last_flagged,
+       max(next_clear) AS anomaly_end
+FROM runs WHERE anomalous GROUP BY conv_id, run_id
+""",
+    """, eps AS (
+    SELECT conv_id, epoch(min(bucket_start)) AS t
+    FROM runs WHERE anomalous GROUP BY conv_id, run_id),
+ordered_eps AS (
+    SELECT conv_id, t,
+           ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY t DESC) AS rnd,
+           t - lag(t) OVER (PARTITION BY conv_id ORDER BY t) AS iv
+    FROM eps),
+agg AS (
+    SELECT conv_id, count(CASE WHEN rnd > 1 THEN 1 END) AS n_hist,
+           avg(iv) AS m, stddev_samp(iv) AS s,
+           max(CASE WHEN rnd = 1 THEN iv END) AS last_int,
+           max(CASE WHEN rnd = 1 THEN t END) AS trigger_ts
+    FROM ordered_eps GROUP BY conv_id)
+SELECT conv_id, trigger_ts,
+       CASE WHEN n_hist = 0 THEN TRUE
+            WHEN last_int <= 300 THEN FALSE
+            ELSE coalesce(abs(last_int - m) > 3 * s, FALSE)
+       END AS second_order_anomalous
+FROM agg
+""")
+
+
 def q_mirage_second_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.2 — Mirage longer-window re-analysis + veto for deferred
     series (rows-only: consensus vote is not SQL-expressible). The sf
@@ -1184,6 +1236,7 @@ REGISTRY.update({
     "boundary_static": (q_boundary_static, SQL_BOUNDARY_STATIC),
     "drop_off_cliff": (q_drop_off_cliff, SQL_DROP_OFF_CLIFF),
     "anomaly_episodes": (q_anomaly_episodes, SQL_ANOMALY_EPISODES),
+    "second_order_anomalous": (q_second_order, SQL_SECOND_ORDER),
     "mirage_second_stage": (q_mirage_second_stage, None),
 })
 

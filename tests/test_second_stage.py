@@ -192,6 +192,32 @@ def test_mirage_veto_and_confirm(spark):
     assert out.loc["conv-stats.statsd-0003"].final_sink == "vetoed"
 
 
+def test_is_anomalously_anomalous(spark):
+    """A11 (algorithms.py:1113-1154): first-ever trigger -> True;
+    same-datapoint re-trigger within 300 s -> False; an interval wildly
+    off the metric's own trigger cadence -> True; an on-cadence trigger
+    -> False."""
+    from skyline_spark.operators.cross_series import is_anomalously_anomalous
+    hist_rows = []
+    for i in range(12):  # regular 100 s trigger cadence
+        hist_rows.append(("m.cadence", float(i * 100), 5.0))
+        hist_rows.append(("m.burst", float(i * 100), 5.0))
+        hist_rows.append(("m.dedupe", float(i * 100), 5.0))
+    hist = spark.createDataFrame(
+        hist_rows, "metric string, trigger_ts double, datapoint double")
+    new = spark.createDataFrame(
+        [("m.cadence", 1200.0, 7.0),   # on-cadence -> not anomalous
+         ("m.burst", 5800.0, 7.0),     # 4700 s gap vs 100 s cadence -> True
+         ("m.dedupe", 1150.0, 5.0),    # same dp, 50 s <= 300 -> dedupe False
+         ("m.fresh", 10.0, 1.0)],      # no history -> True
+        "metric string, trigger_ts double, datapoint double")
+    out = is_anomalously_anomalous(hist, new).toPandas().set_index("metric")
+    assert bool(out.loc["m.fresh"].second_order_anomalous)
+    assert bool(out.loc["m.burst"].second_order_anomalous)
+    assert not bool(out.loc["m.dedupe"].second_order_anomalous)
+    assert not bool(out.loc["m.cadence"].second_order_anomalous)
+
+
 def test_mirage_periodic_check_due(spark):
     """MIRAGE_PERIODIC_CHECK (analyzer.py:4107-4120): a periodic metric
     is due when never checked or when its last check is older than the
