@@ -605,7 +605,8 @@ def _run_events_pipeline(spark: SparkSession, sf_dir: str):
     from skyline_spark.plans.pipeline import run_pipeline
     tdf = transcripts_from_events(spark, sf_dir)
     return run_pipeline(spark, tdf, _events_alert_config(spark),
-                        _events_cfg(), mirage_always=MIRAGE_ALWAYS)
+                        _events_cfg(), mirage_always=MIRAGE_ALWAYS,
+                        ionosphere_enabled=True)
 
 
 def q_consensus_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1267,8 +1268,38 @@ def q_anomaly_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anomaly_breakdown(res.verdicts)
 
 
+def q_ionosphere_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — the ionosphere echo flow (skyline/features_profile.py:
+    640-657): for every verdict routed to the ionosphere sink, compare
+    the series' current feature profile against its 'trained' profile
+    (here: the profile of the series' own first 60% window — the
+    deterministic stand-in for a past training snapshot) and emit the
+    match disposition (rows-only: the feature basket is an applyInPandas
+    kernel, pinned by pytest)."""
+    from skyline_spark.operators.features_profile import (
+        feature_profiles,
+        ionosphere_match,
+    )
+    res = _run_events_pipeline(spark, sf_dir)
+    anoms = res.routed_verdicts.where(F.col("sink") == "ionosphere") \
+        .select("conv_id", "metric", "datapoint")
+    parsed = res.parsed.where(F.col("value").isNotNull())
+    cur = feature_profiles(parsed)
+    t0 = parsed.groupBy("conv_id").agg(
+        F.min(epoch_seconds(F.col("ts"))).alias("__t0"),
+        F.max(epoch_seconds(F.col("ts"))).alias("__t1"))
+    head = parsed.join(t0, "conv_id").where(
+        epoch_seconds(F.col("ts"))
+        <= F.col("__t0") + 0.6 * (F.col("__t1") - F.col("__t0")))
+    trained = feature_profiles(head.drop("__t0", "__t1"))
+    out = ionosphere_match(anoms, trained, cur, percent_similar=10.0)
+    return out.select("conv_id", "metric", "ionosphere_matched",
+                      "final_disposition")
+
+
 REGISTRY.update({
     "run_summary": (q_run_summary, None),
     "illuminance": (q_illuminance, None),
     "anomaly_breakdown": (q_anomaly_breakdown, None),
+    "ionosphere_matches": (q_ionosphere_matches, None),
 })

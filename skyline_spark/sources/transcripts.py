@@ -53,7 +53,10 @@ from skyline_spark.schema import TRANSCRIPTS_SCHEMA
 from skyline_spark.synth import fixture_transcripts
 
 #: planted-variety constants (shared by the Spark and DuckDB derivations)
-SPIKE_CONVS = ("conv-purchase-0", "conv-error-0")
+#: purchase-0 -> anomalous sink (slack alerter); error-0 -> deferred
+#: (mirage namespace); signup-0 -> ionosphere sink (smtp, non-mirage,
+#: ionosphere enabled in the events pipeline)
+SPIKE_CONVS = ("conv-purchase-0", "conv-error-0", "conv-signup-0")
 SPIKE_OFFSET = 2000.0  # additive: triggers >= 7 of the 9 algorithms
 SPIKE_TAIL = 3
 BORING_CONV = "conv-signup-2"
