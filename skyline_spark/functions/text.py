@@ -91,6 +91,34 @@ def lang_id_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
             .drop("__best"))
 
 
+#: Karp–Rabin parameters (fixed, engine-portable: token values come from
+#: md5 prefixes so Spark and any oracle engine agree bit-for-bit)
+_KR_BASE = 1_000_003
+_KR_MOD = 2_147_483_647  # 2^31 - 1; acc*B + x < 2^52 fits in a long
+
+
+def rolling_hash_columns(df: DataFrame, k: int = 5,
+                         text_col: str = "text") -> DataFrame:
+    """Document fingerprint via a Karp–Rabin POLYNOMIAL ROLLING HASH:
+    each k-token window hashes to ``fold(acc*B + tok) mod M`` where the
+    per-token value is the first 8 hex chars of its md5 (engine-portable
+    integers); the doc fingerprint is the minimum window hash — a
+    content signature robust to reordering of distant parts. All native
+    (split/transform/aggregate), no Python."""
+    tokens = F.split(F.col(text_col), " ")
+    tok_h = F.transform(
+        tokens,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+    win = F.transform(
+        idx,
+        lambda i: F.aggregate(
+            F.slice(tok_h, i, k), F.lit(0).cast("long"),
+            lambda acc, x: (acc * _KR_BASE + x) % _KR_MOD))
+    return df.withColumn("rolling_fingerprint", F.array_min(win))
+
+
 def fingerprint_columns(df: DataFrame, shingle_k: int = 5,
                         text_col: str = "text") -> DataFrame:
     """Document fingerprint: the minimum md5 over k-token shingles (a

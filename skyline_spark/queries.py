@@ -798,11 +798,16 @@ WHERE g.n > 1 AND d.doc_id <> g.keep_id
 
 def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting + quality features per document (native exprs)."""
-    from skyline_spark.functions.text import quality_columns, token_count
+    from skyline_spark.functions.text import (
+        bpe_ish_token_count,
+        quality_columns,
+        token_count,
+    )
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    out = quality_columns(docs.withColumn("n_tok", token_count()))
-    return out.select("doc_id", "n_tok", "punct_ratio", "stopword_hits",
-                      "avg_token_len", "quality_score")
+    out = quality_columns(docs.withColumn("n_tok", token_count())
+                          .withColumn("n_tok_bpe", bpe_ish_token_count()))
+    return out.select("doc_id", "n_tok", "n_tok_bpe", "punct_ratio",
+                      "stopword_hits", "avg_token_len", "quality_score")
 
 
 SQL_TOKEN_STATS = """
@@ -812,6 +817,8 @@ WITH t AS (
     FROM documents)
 SELECT doc_id,
        len(toks) AS n_tok,
+       len(string_split_regex(regexp_replace(text,
+           '(\d+|[^\sA-Za-z0-9]+)', ' \1 ', 'g'), '\s+')) AS n_tok_bpe,
        round(length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
              / greatest(n_chars, 1), 6) AS punct_ratio,
        len(list_intersect(list_distinct([lower(x) for x in toks]),
@@ -865,11 +872,16 @@ FROM best WHERE rn = 1
 
 
 def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Min-shingle-md5 document fingerprint + full-text hash."""
-    from skyline_spark.functions.text import fingerprint_columns
+    """Min-shingle-md5 document fingerprint + full-text hash + the
+    Karp-Rabin rolling-hash fingerprint (min k-window polynomial hash)."""
+    from skyline_spark.functions.text import (
+        fingerprint_columns,
+        rolling_hash_columns,
+    )
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return fingerprint_columns(docs).select("doc_id", "fingerprint",
-                                            "content_hash")
+    out = rolling_hash_columns(fingerprint_columns(docs))
+    return out.select("doc_id", "fingerprint", "content_hash",
+                      "rolling_fingerprint")
 
 
 SQL_FINGERPRINT = """
@@ -878,7 +890,15 @@ SELECT doc_id,
        list_min([md5(array_to_string(toks[i:i+4], ' '))
                  for i in range(1, greatest(len(toks) - 4, 1) + 1)])
            AS fingerprint,
-       md5(text) AS content_hash
+       md5(text) AS content_hash,
+       list_min([
+           list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   [CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT)
+                    FOR tok IN toks[i:i+4]]),
+               (acc, x) -> (acc * 1000003 + x) % 2147483647)
+           FOR i IN range(1, greatest(len(toks) - 4, 1) + 1)])
+           AS rolling_fingerprint
 FROM t
 """
 
