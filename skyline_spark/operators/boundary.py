@@ -40,25 +40,36 @@ def _per_series_scalars(df: DataFrame, key: str, ts_col: str,
                         min_average_seconds: int = 0) -> DataFrame:
     """last value, last ts, resolution (last two ts), the windowed
     aggregates drop_off_cliff needs, and (when configured) the
-    min_average-window mean — one window pass + one group-by."""
-    w = Window.partitionBy(key).orderBy(F.col(ts_col).desc())
+    min_average-window mean.
+
+    SINGLE window pass + one group-by on the same key — the per-series
+    scalars (t_last, resolution) are attached as unbounded-partition
+    window maxima, NEVER materialized into a side table: a join against
+    a series-cardinality aggregate would have to broadcast billions of
+    rows at extreme series cardinality (the round-1 route-join trap)."""
+    worder = Window.partitionBy(key).orderBy(F.col(ts_col).desc())
+    wall = (Window.partitionBy(key)
+            .orderBy(F.col(ts_col).desc())
+            .rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
     te = epoch_seconds(F.col(ts_col))
-    d = (df.withColumn("__rn", F.row_number().over(w))
-         .withColumn("__te", te))
-    scal = d.groupBy(key).agg(
-        F.count("*").alias("n"),
-        F.max(F.when(F.col("__rn") == 1, F.col(value_col))).alias("v_last"),
-        F.max(F.when(F.col("__rn") == 1, F.col("__te"))).alias("t_last"),
-        F.max(F.when(F.col("__rn") == 2, F.col("__te"))).alias("t_prev"),
-    ).withColumn("resolution",
-                 (F.floor("t_last") - F.floor("t_prev")).cast("double"))
-    joined = d.join(F.broadcast(scal), key)
+    d = (df.withColumn("__te", te)
+         .withColumn("__rn", F.row_number().over(worder))
+         .withColumn("v_last",
+                     F.max(F.when(F.col("__rn") == 1,
+                                  F.col(value_col))).over(wall))
+         .withColumn("t_last", F.max("__te").over(wall))
+         .withColumn("t_prev",
+                     F.max(F.when(F.col("__rn") == 2,
+                                  F.col("__te"))).over(wall)))
+    d = d.withColumn("resolution",
+                     (F.floor("t_last") - F.floor("t_prev")).cast("double"))
     in10 = (F.col("__te") <= F.col("t_last")) & \
            (F.col("__te") > F.col("t_last") - 10 * F.col("resolution"))
     in_ma = (F.col("__te") <= F.col("t_last")) & \
             (F.col("__te") > F.col("t_last") - F.lit(min_average_seconds))
-    return joined.groupBy(key).agg(
-        F.max("n").alias("n"),
+    return d.groupBy(key).agg(
+        F.count("*").alias("n"),
         F.max("v_last").alias("v_last"),
         F.max("t_last").alias("t_last"),
         F.max("resolution").alias("resolution"),

@@ -57,16 +57,16 @@ def sigma_flags(buckets: DataFrame, key: str = "conv_id",
                 value_col: str = "value", k: float = 3.0) -> DataFrame:
     """Per-bucket 3-sigma flag vs the series' own mean/std — the
     simplest windowed anomaly marker used to drive anomaly_end logic
-    natively."""
-    stats = buckets.groupBy(key).agg(
-        F.avg(value_col).alias("__mean"),
-        F.stddev_samp(value_col).alias("__std"))
-    return (buckets.join(F.broadcast(stats), key)
-            .withColumn("anomalous",
-                        F.coalesce(
-                            F.abs(F.col(value_col) - F.col("__mean"))
-                            > k * F.col("__std"), F.lit(False)))
-            .drop("__mean", "__std"))
+    natively. Stats attach as unbounded-partition window aggregates
+    (one shuffle on the series key, reused by the downstream
+    sessionization window) — never a broadcast of a series-cardinality
+    side table."""
+    w = Window.partitionBy(key)
+    mean = F.avg(value_col).over(w)
+    std = F.stddev_samp(value_col).over(w)
+    return buckets.withColumn(
+        "anomalous",
+        F.coalesce(F.abs(F.col(value_col) - mean) > k * std, F.lit(False)))
 
 
 def is_anomalously_anomalous(trigger_history: DataFrame,
