@@ -46,14 +46,18 @@ def with_shingles(df: DataFrame, k: int = 3,
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text") -> DataFrame:
-    """Exact dedup via content-hash group-by: emits (doc_id, keep_id,
+    """Exact dedup via content-hash window: emits (doc_id, keep_id,
     content_hash) for every duplicate row, keep_id = min doc_id of the
-    group. One shuffle on the hash."""
+    group. One shuffle on the hash; group stats attach as partition
+    window aggregates (no side table — a dup-heavy 100 TB corpus has
+    an unbounded duplicate-group cardinality, so broadcasting the
+    groups would OOM)."""
+    from pyspark.sql import Window
     h = docs.select(F.col(id_col), F.md5(F.col(text_col)).alias("content_hash"))
-    groups = h.groupBy("content_hash").agg(
-        F.min(id_col).alias("keep_id"), F.count("*").alias("n"))
-    dups = h.join(F.broadcast(groups.where(F.col("n") > 1)), "content_hash")
-    return (dups.where(F.col(id_col) != F.col("keep_id"))
+    w = Window.partitionBy("content_hash")
+    d = (h.withColumn("keep_id", F.min(id_col).over(w))
+         .withColumn("__n", F.count("*").over(w)))
+    return (d.where((F.col("__n") > 1) & (F.col(id_col) != F.col("keep_id")))
             .select(id_col, "keep_id", "content_hash"))
 
 

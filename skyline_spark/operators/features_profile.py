@@ -85,8 +85,11 @@ def ionosphere_match(anomalies: DataFrame, trained_profiles: DataFrame,
                                   F.col("features_sum").alias("cur_sum"))
     trained = trained_profiles.select("conv_id",
                                       F.col("features_sum").alias("trained_sum"))
-    j = (anomalies.join(F.broadcast(cur), "conv_id", "left")
-         .join(F.broadcast(trained), "conv_id", "left"))
+    # profiles are SERIES-cardinality (potentially huge); anomalies are
+    # the small side — no explicit broadcast of the profile tables, the
+    # planner/AQE picks the build side from actual sizes
+    j = (anomalies.join(cur, "conv_id", "left")
+         .join(trained, "conv_id", "left"))
     pct_diff = F.abs(F.col("cur_sum") - F.col("trained_sum")) \
         / F.abs(F.col("trained_sum")) * 100.0
     matched = F.when(F.col("trained_sum").isNotNull()

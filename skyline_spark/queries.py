@@ -780,19 +780,31 @@ REGISTRY: dict[str, tuple] = {
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup groups: content hash -> keeper id + group size for
-    every text with > 1 occurrence."""
+    every text with > 1 occurrence. The documents table has no exact
+    duplicates, so the query plants a deterministic copy of every 50th
+    doc (id+100000) on BOTH sides — the check is non-trivial instead of
+    0-rows."""
     from skyline_spark.operators.dedup import exact_duplicates
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return exact_duplicates(docs).orderBy("doc_id")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text")
+    planted = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    return exact_duplicates(docs.unionByName(planted)).orderBy("doc_id")
 
 
 SQL_DEDUP_EXACT = """
+WITH alldocs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 100000 AS doc_id, text FROM documents
+    WHERE doc_id % 50 = 0)
 SELECT d.doc_id, g.keep_id, g.content_hash
-FROM (SELECT doc_id, md5(text) AS content_hash FROM documents) d
+FROM (SELECT doc_id, md5(text) AS content_hash FROM alldocs) d
 JOIN (SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
              count(*) AS n
-      FROM documents GROUP BY 1) g USING (content_hash)
+      FROM alldocs GROUP BY 1) g USING (content_hash)
 WHERE g.n > 1 AND d.doc_id <> g.keep_id
+ORDER BY d.doc_id
 """
 
 
