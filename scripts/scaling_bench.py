@@ -115,7 +115,9 @@ the retention trim, (b) the enrich and route joins are broadcast
 (series-cardinality build sides), and (c) everything upstream is
 embarrassingly partition-parallel scans.
 """
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as fh:
+    # BENCH/BASELINE.md is curated by hand (multi-run evidence + plan
+    # post-mortems); raw generated runs land beside it
+    with open(os.path.join(REPO, "BENCH", "SCALING_RUN.md"), "w") as fh:
         fh.write(md)
     print(json.dumps({"e": round(eff, 3), "r8": r8, "r32": r32}))
     return 0

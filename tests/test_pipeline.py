@@ -103,6 +103,39 @@ def test_text_passthrough_equality(result):
     assert diff.count() == 0
 
 
+def test_analyze_invariant_to_arrow_batch_size(spark):
+    """The batched mapInPandas analyze slices series out of Arrow
+    batches with a carry across batch boundaries — forcing tiny batches
+    (so every series straddles several) must produce IDENTICAL verdicts
+    to the default batch size."""
+    from skyline_spark.operators.analyze import analyze
+    from skyline_spark.operators.parse import parse_events
+    from skyline_spark.plans.pipeline import batch_now
+    from skyline_spark.synth import fixture_pipeline_config
+
+    tdf = synthetic_transcripts(spark)
+    parsed = parse_events(tdf)
+    now = batch_now(tdf)
+    cfg = fixture_pipeline_config()
+
+    def run():
+        return (analyze(parsed, cfg, now, rules=[])
+                .select("conv_id", "metric", "anomalous", "exception",
+                        "datapoint", "n_points", "last_ts")
+                .toPandas().sort_values("conv_id", ignore_index=True))
+
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    old = spark.conf.get(key)
+    try:
+        big = run()
+        spark.conf.set(key, "64")  # every series spans many batches
+        small = run()
+    finally:
+        spark.conf.set(key, old)
+    import pandas as pd
+    pd.testing.assert_frame_equal(big, small)
+
+
 def test_webapp_read_api(result):
     """§3.3 verification queries: /api?metric= time-bounded series fetch
     and /anomalies.json over the routed verdicts."""
