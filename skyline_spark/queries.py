@@ -665,6 +665,9 @@ def q_consensus_sql5(spark: SparkSession, sf_dir: str) -> DataFrame:
     now = batch_now(tdf)
     cfg = PipelineConfig(full_duration=FD, stale_period=STALE,
                          consensus=4, run_optimized_workflow=False,
+                         # the SQL twin models the raw-series vote; the
+                         # auto-derivative path has its own test + oracle
+                         analyze_derivatives=False,
                          algorithms=SQL5_ALGS)
     v = analyze(parsed, cfg, now, rules=[])
 
