@@ -75,28 +75,49 @@ def dedup_exact(docs: DataFrame, id_col: str = "doc_id",
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
+def _portable_hash(col, seed: int):
+    """60-bit integer from md5('<seed>:<value>') — bit-identical in any
+    engine with md5 (the DuckDB-oracle-checkable alternative to
+    xxhash64)."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(f"{seed}:"), col)),
+                              1, 15), 16, 10).cast("long")
+
+
 def with_minhash(df: DataFrame, num_hashes: int = 32,
-                 shingle_k: int = 3, text_col: str = "text") -> DataFrame:
+                 shingle_k: int = 3, text_col: str = "text",
+                 hash_mode: str = "xxhash64") -> DataFrame:
     """MinHash signature (array<long>, length num_hashes) per doc:
-    signature[i] = min over shingles of xxhash64(shingle, i). Fully
-    native; deterministic."""
+    signature[i] = min over shingles of hash_i(shingle). Fully native;
+    deterministic. ``hash_mode``: 'xxhash64' (fast, production) or
+    'md5' (engine-portable — the oracle twin computes the identical
+    signatures in ANSI SQL)."""
     df = with_shingles(df, k=shingle_k, text_col=text_col)
+    if hash_mode == "md5":
+        def hfn(s, i):
+            return _portable_hash(s, i)
+    else:
+        def hfn(s, i):
+            return F.xxhash64(s, F.lit(i))
     sig = F.array(*[
-        F.array_min(F.transform(
-            "shingles", lambda s, i=i: F.xxhash64(s, F.lit(i))))
+        F.array_min(F.transform("shingles", lambda s, i=i: hfn(s, i)))
         for i in range(num_hashes)
     ])
     return df.withColumn("minhash", sig).drop("tokens", "shingles")
 
 
 def lsh_candidate_pairs(with_sig: DataFrame, num_hashes: int = 32,
-                        bands: int = 8, id_col: str = "doc_id") -> DataFrame:
+                        bands: int = 8, id_col: str = "doc_id",
+                        hash_mode: str = "xxhash64") -> DataFrame:
     """Band the signature (bands × rows), bucket-join on (band, band
     hash): docs sharing any band bucket become candidate pairs
     (id_a < id_b). Shuffle key = band signature -> no all-pairs join."""
     rows_per_band = num_hashes // bands
+
+    def band_key(joined):
+        return (F.md5(joined) if hash_mode == "md5"
+                else F.xxhash64(joined).cast("string"))
     band_sigs = F.array(*[
-        F.xxhash64(F.array_join(
+        band_key(F.array_join(
             F.transform(F.slice("minhash", b * rows_per_band + 1,
                                 rows_per_band),
                         lambda x: x.cast("string")), ","))
@@ -116,12 +137,13 @@ def minhash_near_duplicates(docs: DataFrame, num_hashes: int = 32,
                             bands: int = 8, shingle_k: int = 3,
                             threshold: float = 0.6,
                             id_col: str = "doc_id",
-                            text_col: str = "text") -> DataFrame:
+                            text_col: str = "text",
+                            hash_mode: str = "xxhash64") -> DataFrame:
     """shingle -> minhash -> band -> bucket-join -> verify with exact
     Jaccard over shingle sets. Returns (id_a, id_b, jaccard) pairs with
     jaccard >= threshold."""
-    sigs = with_minhash(docs, num_hashes, shingle_k, text_col)
-    cands = lsh_candidate_pairs(sigs, num_hashes, bands, id_col)
+    sigs = with_minhash(docs, num_hashes, shingle_k, text_col, hash_mode)
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands, id_col, hash_mode)
     sh = with_shingles(docs, k=shingle_k, text_col=text_col) \
         .select(F.col(id_col), "shingles")
     j = (cands

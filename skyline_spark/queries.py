@@ -993,12 +993,51 @@ FROM ranked WHERE rank <= 3
 
 
 def q_minhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup pairs (rows-only: hash functions are not
-    reproducible in ANSI SQL; verified against planted dups in pytest
-    and against the exact n-gram Jaccard twin)."""
+    """MinHash+LSH near-dup pairs, FULLY oracle-checked: in 'md5' hash
+    mode every stage (shingles -> 32 minhash values -> 8 band keys ->
+    bucket-join candidates -> exact-Jaccard verify) is bit-identical in
+    ANSI SQL. The xxhash64 production mode is the same code path with a
+    faster hash (pytest planted-dup coverage)."""
     from skyline_spark.operators.dedup import minhash_near_duplicates
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return minhash_near_duplicates(docs, threshold=0.4)
+    return minhash_near_duplicates(docs, threshold=0.4, hash_mode="md5")
+
+
+SQL_MINHASH_NEAR_DUPS = r"""
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+sh AS (
+    SELECT doc_id,
+           CASE WHEN len(toks) >= 3
+                THEN list_distinct([array_to_string(toks[i:i+2], ' ')
+                                    FOR i IN range(1, greatest(len(toks) - 2, 1) + 1)])
+                ELSE [array_to_string(toks, ' ')] END AS shingles
+    FROM t),
+sig AS (
+    SELECT doc_id, shingles,
+           [list_min([CAST('0x' || substr(md5(CAST(h AS VARCHAR) || ':' || s), 1, 15) AS BIGINT)
+                      FOR s IN shingles])
+            FOR h IN range(0, 32)] AS minhash
+    FROM sh),
+banded AS (
+    SELECT doc_id,
+           unnest([{'band': b,
+                    'sig': md5(array_to_string(minhash[b*4+1:b*4+4], ','))}
+                   FOR b IN range(0, 8)], recursive := true) AS u
+    FROM sig),
+cands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM banded a JOIN banded b
+      ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+verified AS (
+    SELECT c.id_a, c.id_b,
+           round(CAST(len(list_intersect(sa.shingles, sb.shingles)) AS DOUBLE)
+                 / (len(sa.shingles) + len(sb.shingles)
+                    - len(list_intersect(sa.shingles, sb.shingles))), 6) AS jaccard
+    FROM cands c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.4
+"""
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1056,7 +1095,7 @@ REGISTRY.update({
     "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "embedding_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
-    "minhash_near_dups": (q_minhash_near_dups, None),
+    "minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH_NEAR_DUPS),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "embedding_near_dups_lsh": (q_embedding_near_dups_lsh, None),
     "simhash": (q_simhash, None),
