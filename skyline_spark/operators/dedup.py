@@ -163,22 +163,29 @@ def minhash_near_duplicates(docs: DataFrame, num_hashes: int = 32,
 # ---------------------------------------------------------------------------
 
 def with_simhash(docs: DataFrame, id_col: str = "doc_id",
-                 text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over token hashes: per bit, vote +1/-1 weighted by
-    token count; bit set iff the sum is positive. Implemented as
-    explode -> 64 conditional sums (all JVM-side aggregates)."""
+                 text_col: str = "text",
+                 hash_mode: str = "xxhash64") -> DataFrame:
+    """SimHash over token hashes: per bit, vote +1/-1 weighted by token
+    count; bit set iff the sum is positive. Implemented as explode ->
+    N conditional sums (all JVM-side aggregates). ``hash_mode``:
+    'xxhash64' -> 64-bit signature (production); 'md5' -> 60-bit
+    signature from md5-prefix integers, bit-identical in ANSI SQL (the
+    oracle twin)."""
+    nbits = 64 if hash_mode == "xxhash64" else 60
     toks = (with_tokens(docs, text_col)
             .select(F.col(id_col), F.explode("tokens").alias("tok")))
+    hexpr = (F.xxhash64("tok") if hash_mode == "xxhash64"
+             else _portable_hash(F.col("tok"), 0))
     weighted = (toks.groupBy(id_col, "tok").agg(F.count("*").alias("w"))
-                .withColumn("h", F.xxhash64("tok")))
+                .withColumn("h", hexpr))
     votes = [
         F.sum(F.when(F.shiftright("h", b).bitwiseAND(F.lit(1)) == 1,
                      F.col("w")).otherwise(-F.col("w"))).alias(f"b{b}")
-        for b in range(64)
+        for b in range(nbits)
     ]
     agg = weighted.groupBy(id_col).agg(*votes)
     sim = None
-    for b in range(64):
+    for b in range(nbits):
         bit = F.when(F.col(f"b{b}") > 0,
                      F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
         sim = bit if sim is None else sim.bitwiseXOR(bit)
@@ -187,11 +194,12 @@ def with_simhash(docs: DataFrame, id_col: str = "doc_id",
 
 def simhash_near_duplicates(docs: DataFrame, max_hamming: int = 3,
                             id_col: str = "doc_id",
-                            text_col: str = "text") -> DataFrame:
+                            text_col: str = "text",
+                            hash_mode: str = "xxhash64") -> DataFrame:
     """Near-dups by Hamming distance <= max_hamming via 4×16-bit chunk
     banding (pigeonhole: distance <= 3 -> at least one of 4 chunks
     equal), then exact popcount verification via bit_count."""
-    sh = with_simhash(docs, id_col, text_col)
+    sh = with_simhash(docs, id_col, text_col, hash_mode)
     chunks = sh.select(
         F.col(id_col), "simhash",
         F.posexplode(F.array(*[

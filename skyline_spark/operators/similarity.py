@@ -121,8 +121,8 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
     cands = (c.join(F.broadcast(q), ["tbl", "sig"])
              .where(F.col("cand_id") != F.col("query_id"))
              .select("query_id", "qvec", "cand_id", "cvec").distinct())
-    scored = cands.withColumn(
-        "sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 6))
+    scored = cands.withColumn(  # 4 dp before ranking (see brute_force_topk)
+        "sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 4))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
                                                F.col("cand_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))

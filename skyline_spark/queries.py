@@ -420,6 +420,147 @@ FROM (
 """)
 
 
+def q_stddev_from_moving_average(spark: SparkSession, sf_dir: str
+                                 ) -> DataFrame:
+    """A5 — |v_last - ewm_mean| > 3 * ewm_std, com=50, adjust=True,
+    bias=False (algorithms.py:386-416). Closed form over the ordered
+    series array: weights w_i=(1-a)^(n-1-i), debias (Σw)²/((Σw)²-Σw²) —
+    the same reduction in Spark aggregate-lambdas and DuckDB list
+    comprehensions (floats rounded to 4 dp)."""
+    df = _valid(spark, sf_dir)
+    r = 1.0 - 1.0 / 51.0
+    arr = F.array_sort(F.collect_list(
+        F.struct(F.col("ts"), F.col("turn_idx"), F.col("value"))))
+    g = df.groupBy("conv_id").agg(arr.alias("pts"))
+    vals = F.transform("pts", lambda s: s["value"])
+    n = F.size("pts")
+    g = g.select("conv_id", vals.alias("v"), n.alias("n"))
+    wv = F.zip_with(
+        F.transform(F.sequence(F.col("n") - 1, F.lit(0), F.lit(-1)),
+                    lambda e: F.pow(F.lit(r), e.cast("double"))),
+        F.col("v"), lambda w, x: F.struct(w.alias("w"), x.alias("x")))
+    g = g.select("conv_id", "n", F.col("v"), wv.alias("wv"))
+    acc0 = F.lit(0.0)
+    sw = F.aggregate("wv", acc0, lambda a, s: a + s["w"])
+    swx = F.aggregate("wv", acc0, lambda a, s: a + s["w"] * s["x"])
+    sw2 = F.aggregate("wv", acc0, lambda a, s: a + s["w"] * s["w"])
+    g = g.select("conv_id", "n", "v", "wv", sw.alias("sw"),
+                 (swx / sw).alias("m"), sw2.alias("sw2"))
+    svar = F.aggregate(
+        "wv", acc0, lambda a, s: a + s["w"] * (s["x"] - F.col("m")) ** 2)
+    var = (svar / F.col("sw")) * (F.col("sw") * F.col("sw")
+                                  / (F.col("sw") * F.col("sw") - F.col("sw2")))
+    g = g.select("conv_id",
+                 F.element_at("v", -1).alias("v_last"),
+                 F.col("m"), F.sqrt(var).alias("s"))
+    return g.select(
+        "conv_id", F.round("m", 4).alias("ewm_mean"),
+        F.round("s", 4).alias("ewm_std"),
+        (F.abs(F.col("v_last") - F.col("m")) > 3 * F.col("s"))
+        .alias("anomalous"))
+
+
+SQL_STDDEV_FROM_MOVING_AVG = _sql("""
+, ordered AS (
+    SELECT conv_id,
+           list(value ORDER BY ts, turn_idx) AS v
+    FROM valid GROUP BY conv_id),
+weighted AS (
+    SELECT conv_id, v, len(v) AS n,
+           [pow(1.0 - 1.0/51.0, CAST(len(v) - i AS DOUBLE))
+            FOR i IN range(1, len(v) + 1)] AS w
+    FROM ordered),
+sums AS (
+    SELECT conv_id, v, n, w,
+           list_sum(w) AS sw,
+           list_sum([w[i] * v[i] FOR i IN range(1, n + 1)]) AS swx,
+           list_sum([w[i] * w[i] FOR i IN range(1, n + 1)]) AS sw2
+    FROM weighted),
+m AS (SELECT *, swx / sw AS mu FROM sums),
+vr AS (
+    SELECT conv_id, v[n] AS v_last, mu,
+           sqrt((list_sum([w[i] * (v[i] - mu) * (v[i] - mu)
+                           FOR i IN range(1, n + 1)]) / sw)
+                * (sw * sw / (sw * sw - sw2))) AS s
+    FROM m)
+SELECT conv_id, round(mu, 4) AS ewm_mean, round(s, 4) AS ewm_std,
+       abs(v_last - mu) > 3 * s AS anomalous
+FROM vr
+""")
+
+
+def q_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — histogram_bins (algorithms.py:655-704): tail_avg falls in a
+    15-bin histogram bin with <= 20 members; the reference's explicit
+    loop treats bin 0 as ``t <= edges[0]`` and every other bin as the
+    half-open [edge_b, edge_{b+1}) — including its quirks: t in
+    (min, edge_1) or t >= max matches NO bin -> False. Native twin with
+    identical arithmetic on both sides; the UDF's np.histogram form is
+    pinned by golden pytest."""
+    df = _valid(spark, sf_dir)
+    wc = Window.partitionBy("conv_id")
+    wo = Window.partitionBy("conv_id").orderBy(F.col("ts").desc(),
+                                               F.col("turn_idx").desc())
+    d = (df.withColumn("__rn", F.row_number().over(wo))
+         .withColumn("vmin", F.min("value").over(wc))
+         .withColumn("vmax", F.max("value").over(wc))
+         .withColumn("n", F.count("*").over(wc))
+         .withColumn("tav", F.avg(F.when(F.col("__rn") <= 3,
+                                         F.col("value"))).over(wc)))
+    width = (F.col("vmax") - F.col("vmin")) / 15.0
+    d = d.withColumn("__w", width)
+    idx = F.least(F.floor((F.col("value") - F.col("vmin")) / F.col("__w")),
+                  F.lit(14))
+    tb = (F.when(F.col("tav") <= F.col("vmin"), F.lit(0))
+          .when(F.col("tav") >= F.col("vmin") + 15 * F.col("__w"), F.lit(None))
+          .when(F.floor((F.col("tav") - F.col("vmin")) / F.col("__w")) >= 1,
+                F.floor((F.col("tav") - F.col("vmin")) / F.col("__w")))
+          .otherwise(F.lit(None)))
+    d = d.withColumn("__tb", tb)
+    cnt_tb = F.sum(F.when(idx == F.col("__tb"), 1).otherwise(0)).over(wc)
+    anomalous = (F.when(F.col("__w") == 0, F.col("n") <= 20)
+                 .when(F.col("__tb").isNull(), F.lit(False))
+                 .otherwise(cnt_tb <= 20))
+    return (d.withColumn("__anom", anomalous)
+            .groupBy("conv_id")
+            .agg(_R6(F.max("tav")).alias("tail_avg"),
+                 F.max("__anom").alias("anomalous")))
+
+
+SQL_HISTOGRAM_BINS = _sql("""
+, ranked AS (
+    SELECT conv_id, value,
+           ROW_NUMBER() OVER (PARTITION BY conv_id
+                              ORDER BY ts DESC, turn_idx DESC) AS rn
+    FROM valid),
+stats AS (
+    SELECT conv_id, min(value) AS vmin, max(value) AS vmax,
+           count(*) AS n,
+           (max(value) - min(value)) / 15.0 AS w,
+           avg(CASE WHEN rn <= 3 THEN value END) AS tav
+    FROM ranked GROUP BY conv_id),
+tbin AS (
+    SELECT *,
+           CASE WHEN tav <= vmin THEN 0
+                WHEN tav >= vmin + 15 * w THEN NULL
+                WHEN floor((tav - vmin) / w) >= 1
+                    THEN floor((tav - vmin) / w)
+                ELSE NULL END AS tb
+    FROM stats),
+counted AS (
+    SELECT t.conv_id, t.n, t.w, t.tav, t.tb,
+           sum(CASE WHEN least(floor((r.value - t.vmin) / t.w), 14) = t.tb
+                    THEN 1 ELSE 0 END) AS cnt_tb
+    FROM ranked r JOIN tbin t USING (conv_id)
+    GROUP BY t.conv_id, t.n, t.w, t.tav, t.tb)
+SELECT conv_id, round(tav, 6) AS tail_avg,
+       CASE WHEN w = 0 THEN n <= 20
+            WHEN tb IS NULL THEN FALSE
+            ELSE cnt_tb <= 20 END AS anomalous
+FROM counted
+""")
+
+
 def q_first_hour_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 — tail_avg vs the first window of the analysis period
     (algorithms.py:327-351), window rescaled to the data cadence."""
@@ -769,6 +910,9 @@ REGISTRY: dict[str, tuple] = {
     "mean_subtraction_cumulation": (q_mean_subtraction_cumulation, SQL_MSC),
     "least_squares": (q_least_squares, SQL_LEAST_SQUARES),
     "first_hour_average": (q_first_hour_average, SQL_FIRST_HOUR_AVERAGE),
+    "histogram_bins": (q_histogram_bins, SQL_HISTOGRAM_BINS),
+    "stddev_from_moving_average": (q_stddev_from_moving_average,
+                                   SQL_STDDEV_FROM_MOVING_AVG),
     "flux_aggregate_1h": (q_flux_aggregate_1h, SQL_FLUX_AGGREGATE_1H),
     "correlate_pearson": (q_correlate, SQL_CORRELATE),
     "consensus_verdicts": (q_consensus_verdicts, None),
@@ -1041,19 +1185,90 @@ SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.4
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """64-bit SimHash per document (rows-only)."""
+    """SimHash signatures per document, oracle-checked bit-for-bit: the
+    'md5' hash mode votes over 60-bit md5-prefix token hashes, which
+    DuckDB reproduces exactly (the xxhash64 64-bit production mode is
+    the same code path, pytest-covered)."""
     from skyline_spark.operators.dedup import with_simhash
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return with_simhash(docs)
+    return with_simhash(docs, hash_mode="md5")
+
+
+def _simhash_sql() -> str:
+    votes = ",\n           ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN w ELSE -w END) AS b{b}"
+        for b in range(60))
+    bits = "\n     + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(60))
+    return f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+weighted AS (
+    SELECT doc_id, tok, count(*) AS w,
+           CAST('0x' || substr(md5('0:' || tok), 1, 15) AS BIGINT) AS h
+    FROM toks GROUP BY doc_id, tok),
+votes AS (
+    SELECT doc_id,
+           {votes}
+    FROM weighted GROUP BY doc_id)
+SELECT doc_id,
+       {bits} AS simhash
+FROM votes
+"""
+
+
+SQL_SIMHASH = _simhash_sql()
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OR-amplified hyperplane-LSH ANN top-3 (rows-only; recall measured
-    against the brute-force baseline in pytest)."""
+    """OR-amplified hyperplane-LSH ANN top-3, oracle-checked: the
+    hyperplanes are deterministic seeded literals, so the DuckDB twin
+    computes the identical bucket signatures, candidate set, and
+    re-rank (recall vs brute force additionally measured in pytest)."""
     from skyline_spark.operators.similarity import lsh_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 5)
     return lsh_topk(emb, q, k=3)
+
+
+def _ann_lsh_sql(n_planes: int = 6, n_tables: int = 4, dim: int = 64,
+                 seed: int = 42) -> str:
+    from skyline_spark.operators.similarity import hyperplanes
+    sig_exprs = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + 1000 * t)
+        bits = " + ".join(
+            "CASE WHEN list_dot_product(CAST(embedding AS DOUBLE[]), ["
+            + ",".join(repr(float(x)) for x in p)
+            + f"]) > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END"
+            for i, p in enumerate(planes))
+        sig_exprs.append(f"SELECT vec_id, embedding, {t} AS tbl,"
+                         f" ({bits}) AS sig FROM embeddings")
+    sigs = " UNION ALL ".join(sig_exprs)
+    return f"""
+WITH sigs AS ({sigs}),
+q AS (SELECT vec_id AS query_id, embedding AS qvec, tbl, sig
+      FROM sigs WHERE vec_id < 5),
+c AS (SELECT vec_id AS cand_id, embedding AS cvec, tbl, sig FROM sigs),
+cands AS (
+    SELECT DISTINCT q.query_id, q.qvec, c.cand_id, c.cvec
+    FROM c JOIN q ON c.tbl = q.tbl AND c.sig = q.sig
+    WHERE c.cand_id <> q.query_id),
+scored AS (
+    SELECT query_id, cand_id,
+           round(list_cosine_similarity(qvec, cvec), 4) AS sim
+    FROM cands),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, cand_id ASC) AS rank
+    FROM scored)
+SELECT query_id, cand_id, sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+"""
+
+
+SQL_ANN_LSH_TOPK = _ann_lsh_sql()
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1098,8 +1313,8 @@ REGISTRY.update({
     "minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH_NEAR_DUPS),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "embedding_near_dups_lsh": (q_embedding_near_dups_lsh, None),
-    "simhash": (q_simhash, None),
-    "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "ann_ivf_topk": (q_ivf_topk, None),
     "media_metadata": (q_media_metadata, SQL_MEDIA_METADATA),
 })
