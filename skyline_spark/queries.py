@@ -1557,6 +1557,81 @@ def q_anomaly_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anomaly_breakdown(res.verdicts)
 
 
+def q_feature_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — the ionosphere feature basket (features_profile.py:32-55;
+    tsfresh-flavored stand-in, SURVEY §2.9): the REAL applyInPandas
+    kernel's 15 features + features_sum, value-checked against a full
+    SQL twin (population std, linear-interp quantiles, lag-1
+    autocorrelation, OLS slope — all ANSI-expressible)."""
+    from skyline_spark.operators.features_profile import feature_profiles
+    out = feature_profiles(_valid(spark, sf_dir))
+    # per-column precision chosen so no value class sits ON a decimal
+    # rounding boundary: means of %.2f data are exact 5-decimal when n
+    # is 40k-ish (UNSAFE at 4 dp, safe at 6); plain sums are exact
+    # <=4-decimal but large-magnitude (engine diffs ~1e-7 abs -> 4 dp);
+    # features_sum mixes both -> 2 dp
+    prec = {"f_sum": 4, "f_abs_energy": 4, "features_sum": 2}
+    cols = [F.round(c, prec.get(c, 6)).alias(c)
+            for c in out.columns if c != "conv_id"]
+    return out.select("conv_id", *cols)
+
+
+SQL_FEATURE_PROFILES = _sql("""
+, base AS (
+    SELECT conv_id,
+           list(value ORDER BY epoch(ts)) AS l,
+           count(*) AS n,
+           avg(value) AS f_mean, stddev_pop(value) AS f_std,
+           median(value) AS f_median, min(value) AS f_min,
+           max(value) AS f_max, sum(value) AS f_sum,
+           sum(value * value) AS f_abs_energy,
+           quantile_cont(value, 0.25) AS f_q25,
+           quantile_cont(value, 0.75) AS f_q75,
+           regr_slope(value, epoch(ts)) AS raw_slope
+    FROM valid GROUP BY conv_id),
+derived AS (
+    SELECT conv_id, n, f_mean, f_std, f_median, f_min, f_max, f_sum,
+           f_abs_energy, f_q25, f_q75,
+           CASE WHEN n > 1
+                THEN list_sum([abs(l[i + 1] - l[i])
+                               FOR i IN range(1, n)]) / (n - 1)
+                ELSE 0.0 END AS f_mean_abs_change,
+           CAST(len(list_filter(l, x -> x > f_mean)) AS DOUBLE)
+               AS f_count_above_mean,
+           CAST(len(list_filter(l, x -> x < f_mean)) AS DOUBLE)
+               AS f_count_below_mean,
+           CASE WHEN f_std > 0
+                THEN (list_sum([pow(x - f_mean, 3) FOR x IN l]) / n)
+                     / pow(f_std, 3)
+                ELSE 0.0 END AS f_skewness_like,
+           CASE WHEN n > 1 AND f_std > 0
+                THEN list_sum([(l[i] - f_mean) * (l[i + 1] - f_mean)
+                               FOR i IN range(1, n)])
+                     / (f_std * f_std * (n - 1))
+                ELSE 0.0 END AS f_autocorr_lag1,
+           CASE WHEN n > 1 THEN coalesce(raw_slope, 0.0)
+                ELSE 0.0 END AS f_slope
+    FROM base)
+SELECT conv_id,
+       round(f_mean + f_std + f_median + f_min + f_max + f_sum
+             + f_abs_energy + f_mean_abs_change + f_count_above_mean
+             + f_count_below_mean + f_q25 + f_q75 + f_skewness_like
+             + f_autocorr_lag1 + f_slope, 2) AS features_sum,
+       round(f_mean, 6) AS f_mean, round(f_std, 6) AS f_std,
+       round(f_median, 6) AS f_median, round(f_min, 6) AS f_min,
+       round(f_max, 6) AS f_max, round(f_sum, 4) AS f_sum,
+       round(f_abs_energy, 4) AS f_abs_energy,
+       round(f_mean_abs_change, 6) AS f_mean_abs_change,
+       round(f_count_above_mean, 6) AS f_count_above_mean,
+       round(f_count_below_mean, 6) AS f_count_below_mean,
+       round(f_q25, 6) AS f_q25, round(f_q75, 6) AS f_q75,
+       round(f_skewness_like, 6) AS f_skewness_like,
+       round(f_autocorr_lag1, 6) AS f_autocorr_lag1,
+       round(f_slope, 6) AS f_slope
+FROM derived
+""")
+
+
 def q_ionosphere_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — the ionosphere echo flow (skyline/features_profile.py:
     640-657): for every verdict routed to the ionosphere sink, compare
@@ -1590,5 +1665,6 @@ REGISTRY.update({
     "run_summary": (q_run_summary, None),
     "illuminance": (q_illuminance, None),
     "anomaly_breakdown": (q_anomaly_breakdown, None),
+    "feature_profiles": (q_feature_profiles, SQL_FEATURE_PROFILES),
     "ionosphere_matches": (q_ionosphere_matches, None),
 })
