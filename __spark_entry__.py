@@ -3,10 +3,14 @@
 ``entry(spark)`` runs the flagship parse -> enrich -> analyze -> route
 pipeline over transcripts derived deterministically from the sf0.001
 events table. ``queries()``/``oracle_sql()`` expose the operator registry
-(skyline_spark.queries.REGISTRY): every ANSI-SQL-expressible operator
-carries a DuckDB oracle; the consensus vote (grubbs needs Student-t ISF,
-ks_test needs KS+ADF) is rows-only and covered by the golden-fixture
-pytest suite instead.
+(skyline_spark.queries.REGISTRY): 37 of 46 queries carry a full DuckDB
+value oracle — including the analyze kernel itself restricted to the 5
+SQL-expressible algorithms (consensus_vote_sql5), MinHash/SimHash/LSH in
+engine-portable md5 hash mode, and the ionosphere feature basket. The 9
+rows-only queries are exactly the ones whose numerics are not
+ANSI-expressible (the full 9-algorithm vote needs Student-t ISF and
+KS+ADF) or approximate variants of an oracled exact twin; those are
+pinned by the golden-fixture + property pytest suite.
 """
 
 from __future__ import annotations
