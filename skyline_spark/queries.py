@@ -1504,6 +1504,119 @@ FROM agg
 """)
 
 
+def _vote_sql_block(fd: int, sfx: str, src_filter: str = "") -> str:
+    """The consensus_vote_sql5 CTE chain parameterized by window and
+    suffix — reused by the mirage twin at its second-order window."""
+    return f"""
+series{sfx} AS (
+    SELECT v.conv_id, epoch(v.ts) AS x, v.value AS y, b.now
+    FROM valid v, batch b WHERE epoch(v.ts) > b.now - {fd}{src_filter}),
+ordered{sfx} AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY x DESC) AS rnd
+    FROM series{sfx}),
+base{sfx} AS (
+    SELECT conv_id, count(*) AS n, max(now) AS now,
+           max(CASE WHEN rnd = 1 THEN x END) AS last_x,
+           max(CASE WHEN rnd = 1 THEN y END) AS v1,
+           max(CASE WHEN rnd = 2 THEN y END) AS v2,
+           max(CASE WHEN rnd = 3 THEN y END) AS v3,
+           count(DISTINCT CASE WHEN rnd <= {BOREDOM_N} THEN y END)
+               AS tail_distinct,
+           avg(y) AS mean, stddev_samp(y) AS std, median(y) AS med,
+           avg(CASE WHEN rnd > 1 THEN y END) AS head_mean,
+           stddev_samp(CASE WHEN rnd > 1 THEN y END) AS head_std,
+           regr_slope(y, x) AS m, regr_intercept(y, x) AS c
+    FROM ordered{sfx} GROUP BY conv_id),
+exc{sfx} AS (
+    SELECT *,
+           CASE WHEN n < {MIN_LEN} THEN 'TooShort'
+                WHEN now - last_x > {STALE} THEN 'Stale'
+                WHEN tail_distinct = 1 THEN 'Boring' END AS exception,
+           CASE WHEN n >= 3 THEN (v1 + v2 + v3) / 3.0 ELSE v1 END AS tav
+    FROM base{sfx}),
+madx{sfx} AS (
+    SELECT o.conv_id, median(abs(o.y - b.med)) AS mad_dev,
+           max(CASE WHEN o.rnd = 1 THEN abs(o.y - b.med) END) AS last_dev
+    FROM ordered{sfx} o JOIN exc{sfx} b USING (conv_id) GROUP BY o.conv_id),
+fh{sfx} AS (
+    SELECT o.conv_id, avg(o.y) AS fmean, stddev_samp(o.y) AS fstd
+    FROM ordered{sfx} o JOIN exc{sfx} b USING (conv_id)
+    WHERE o.x > b.last_x - {fd} AND o.x < b.last_x - {fd} + 3600
+    GROUP BY o.conv_id),
+resid{sfx} AS (
+    SELECT o.conv_id, stddev_samp(o.y - (b.m * o.x + b.c)) AS rstd,
+           avg(CASE WHEN o.rnd <= 3 THEN o.y - (b.m * o.x + b.c) END) AS rt3
+    FROM ordered{sfx} o JOIN exc{sfx} b USING (conv_id) GROUP BY o.conv_id),
+votes{sfx} AS (
+    SELECT e.conv_id, e.exception, e.now, e.last_x, round(e.v1, 6) AS datapoint,
+           CASE WHEN e.exception IS NOT NULL THEN FALSE
+                ELSE (CAST(NOT coalesce(abs(e.tav - f.fmean) > 3 * f.fstd,
+                                        FALSE) AS INT)
+                    + CAST(NOT coalesce(abs(e.tav - e.mean) > 3 * e.std,
+                                        FALSE) AS INT)
+                    + CAST(NOT coalesce(abs(e.v1 - e.head_mean)
+                                        > 3 * e.head_std, FALSE) AS INT)
+                    + CAST(NOT (CASE WHEN m.mad_dev = 0 THEN FALSE
+                                     ELSE m.last_dev / m.mad_dev > 6 END)
+                           AS INT)
+                    + CAST(NOT coalesce(abs(r.rt3) > 3 * r.rstd
+                                        AND round(r.rstd, 0) <> 0
+                                        AND round(r.rt3, 0) <> 0, FALSE)
+                           AS INT)) <= 1 END AS anomalous
+    FROM exc{sfx} e LEFT JOIN madx{sfx} m USING (conv_id)
+    LEFT JOIN fh{sfx} f USING (conv_id) LEFT JOIN resid{sfx} r USING (conv_id))
+"""
+
+
+def q_mirage_sql5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 — the REAL mirage_reanalyze operator (per-series re-window
+    at SECOND_ORDER_RESOLUTION, stale-check discard, confirm/veto)
+    restricted to the 5 SQL-expressible algorithms at consensus 4, so
+    the second stage is value-checked against a DuckDB twin. With
+    MIRAGE_ALWAYS the deferral depends only on the (SQL-able) exception
+    filters, never on the 9-algorithm vote."""
+    from skyline_spark.operators.analyze import analyze
+    from skyline_spark.operators.cross_series import mirage_reanalyze
+    from skyline_spark.plans.pipeline import batch_now
+    tdf = transcripts_from_events(spark, sf_dir)
+    parsed = parse_events(tdf)
+    now = batch_now(tdf)
+    cfg = PipelineConfig(full_duration=FD, stale_period=STALE,
+                         consensus=4, run_optimized_workflow=False,
+                         analyze_derivatives=False, algorithms=SQL5_ALGS)
+    first = analyze(parsed, cfg, now, rules=[])
+    deferred = (first
+                .where((F.col("metric") == "error.turns.rate")
+                       & F.col("exception").isNull())
+                .withColumn("hours_to_resolve", F.lit(336))
+                .select("conv_id", "metric", "hours_to_resolve",
+                        "datapoint", "last_ts"))
+    out = mirage_reanalyze(spark, parsed, deferred, cfg, now=now,
+                           mirage_stale_seconds=2 * 86400)
+    return out.select("conv_id", "mirage_anomalous", "final_sink")
+
+
+SQL_MIRAGE_SQL5 = (
+    _PROLOGUE
+    .replace("__TRANSCRIPTS__", DUCKDB_TRANSCRIPTS_SQL)
+    .replace("__EVENT_RE__", EVENT_RE)
+    + ","
+    + _vote_sql_block(FD, "_a")
+    + ","
+    + _vote_sql_block(336 * 3600, "_m",
+                      " AND v.conv_id LIKE 'conv-error-%'")
+    + f"""
+SELECT a.conv_id,
+       CASE WHEN a.now - a.last_x > {2 * 86400} THEN NULL
+            ELSE coalesce(m.anomalous, FALSE) END AS mirage_anomalous,
+       CASE WHEN a.now - a.last_x > {2 * 86400} THEN 'discarded_stale'
+            WHEN coalesce(m.anomalous, FALSE) THEN 'anomalous'
+            ELSE 'vetoed' END AS final_sink
+FROM votes_a a LEFT JOIN votes_m m USING (conv_id)
+WHERE a.conv_id LIKE 'conv-error-%' AND a.exception IS NULL
+""")
+
+
 def q_mirage_second_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.2 — Mirage longer-window re-analysis + veto for deferred
     series (rows-only: consensus vote is not SQL-expressible). The sf
@@ -1528,6 +1641,7 @@ REGISTRY.update({
     "anomaly_episodes": (q_anomaly_episodes, SQL_ANOMALY_EPISODES),
     "second_order_anomalous": (q_second_order, SQL_SECOND_ORDER),
     "mirage_second_stage": (q_mirage_second_stage, None),
+    "mirage_vote_sql5": (q_mirage_sql5, SQL_MIRAGE_SQL5),
 })
 
 
