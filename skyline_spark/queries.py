@@ -509,12 +509,14 @@ def q_histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          F.col("value"))).over(wc)))
     width = (F.col("vmax") - F.col("vmin")) / 15.0
     d = d.withColumn("__w", width)
-    idx = F.least(F.floor((F.col("value") - F.col("vmin")) / F.col("__w")),
-                  F.lit(14))
+    # try_divide: constant series have width 0 (ANSI mode raises on /0);
+    # the width-0 case is decided by its own branch below
+    idx = F.least(F.floor(F.try_divide(F.col("value") - F.col("vmin"),
+                                       F.col("__w"))), F.lit(14))
+    tdiv = F.floor(F.try_divide(F.col("tav") - F.col("vmin"), F.col("__w")))
     tb = (F.when(F.col("tav") <= F.col("vmin"), F.lit(0))
           .when(F.col("tav") >= F.col("vmin") + 15 * F.col("__w"), F.lit(None))
-          .when(F.floor((F.col("tav") - F.col("vmin")) / F.col("__w")) >= 1,
-                F.floor((F.col("tav") - F.col("vmin")) / F.col("__w")))
+          .when(tdiv >= 1, tdiv)
           .otherwise(F.lit(None)))
     d = d.withColumn("__tb", tb)
     cnt_tb = F.sum(F.when(idx == F.col("__tb"), 1).otherwise(0)).over(wc)
@@ -709,8 +711,13 @@ def q_correlate(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("value").alias("vb"))
     pairs = left.join(right, "bucket_start").where(
         F.col("conv_a") < F.col("conv_b"))
+    # Pearson via try_divide: a zero-variance side (constant series)
+    # yields NULL like DuckDB's corr, instead of the ANSI /0 error
+    # F.corr raises in Spark 4 ANSI mode
+    r = F.try_divide(F.covar_samp("va", "vb"),
+                     F.stddev_samp("va") * F.stddev_samp("vb"))
     out = pairs.groupBy("conv_a", "conv_b").agg(
-        F.count("*").alias("n"), F.corr("va", "vb").alias("r"))
+        F.count("*").alias("n"), r.alias("r"))
     return (out.where(F.col("n") >= 20)
             .select("conv_a", "conv_b", "n", F.round("r", 4).alias("r")))
 
