@@ -61,6 +61,12 @@ class PipelineConfig:
     # NON_DERIVATIVE_MONOTONIC_METRICS analogue: metric names never
     # auto-differenced even when strictly increasing
     non_derivative_metrics: tuple[str, ...] = ()
+    # ANALYZER_MAD_LOW_PRIORITY_METRICS (skyline/settings.py:868,
+    # docs/analyzer.rst:150-171): run a cheap mean-absolute-deviation
+    # prefilter on the last N points of LOW-priority metrics (no smtp
+    # alert setting) and skip the three-sigma suite when the last step
+    # is inside the MAD. 0 disables; the reference recommends <= 15.
+    mad_low_priority_n: int = 0
     # CUSTOM_ALGORITHMS registry entries
     # (skyline/analyzer/algorithms.py:1513-1724; see
     # skyline_spark.functions.custom_algorithms)

@@ -74,10 +74,33 @@ def run_selected_algorithm(ts: np.ndarray, values: np.ndarray, now: float,
                            cfg: PipelineConfig,
                            custom_stale_period: float | None = None,
                            full_duration: int | None = None,
-                           metric: str | None = None) -> Verdict:
+                           metric: str | None = None,
+                           low_priority: bool = False) -> Verdict:
     """Run the exception filters, any configured custom algorithms
     (§2.10), the 9-algorithm suite with early exit, and the consensus
     vote for one (pre-sorted, deduplicated) series."""
+    # ANALYZER_MAD_LOW_PRIORITY_METRICS prefilter
+    # (skyline/analyzer/analyzer.py:3768-3793): for low-priority metrics
+    # (no smtp alert setting), mean-absolute-deviation over the last N
+    # points; when the last step |v[-2]-v[-1]| is inside the MAD the
+    # whole suite (incl. exception classification — the reference skips
+    # BEFORE run_selected_algorithm) is skipped as not-anomalous.
+    # Sparse series (< N points) fall through to the normal path
+    # (:3779-3780), as does n < 2 (the reference's IndexError -> except
+    # -> check_for_anomalous=True).
+    n_mad = getattr(cfg, "mad_low_priority_n", 0)
+    if n_mad and low_priority and values.size >= max(n_mad, 2):
+        tail = values[-n_mad:]
+        mad = float(np.mean(np.abs(tail - np.mean(tail))))
+        if abs(float(values[-2]) - float(values[-1])) < mad:
+            return Verdict(
+                anomalous=False, ensemble=[],
+                algorithms_run=["mad_prefilter"], triggered=[],
+                datapoint=float(values[-1]), exception=None,
+                negatives_found=False, n_points=int(values.size),
+                last_ts=float(ts[-1]),
+                from_ts=float(ts[1] if ts.size > 1 else ts[0]),
+            )
     exc = classify_exception(ts, values, now, cfg, custom_stale_period)
     if exc is not None:
         return Verdict(

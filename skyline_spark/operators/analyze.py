@@ -69,6 +69,10 @@ def _make_partition_analyzer(cfg: PipelineConfig, now: float,
             rule = {}
         auto_det = (cfg.analyze_derivatives
                     and metric not in cfg.non_derivative_metrics)
+        # low priority = no smtp alert setting (docs/analyzer.rst:150);
+        # resolvable only when enrichment rules ride in the closure
+        low_priority = (rules is not None
+                        and rule.get("alerter") != "smtp")
         with warnings.catch_warnings():
             warnings.simplefilter("ignore", RuntimeWarning)
             ts, values = preprocess_series(ts, values, now, cfg,
@@ -76,7 +80,8 @@ def _make_partition_analyzer(cfg: PipelineConfig, now: float,
                                            auto_detect_derivative=auto_det)
             v = run_selected_algorithm(ts, values, now, cfg,
                                        custom_stale_period=csp,
-                                       metric=metric)
+                                       metric=metric,
+                                       low_priority=low_priority)
         elapsed_ms = (time.perf_counter() - start) * 1000.0
         sor = rule.get("second_order_resolution_hours")
         return (conv_id, metric, v.anomalous, v.ensemble, v.triggered,

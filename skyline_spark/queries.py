@@ -563,6 +563,53 @@ FROM counted
 """)
 
 
+def q_mad_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZER_MAD_LOW_PRIORITY_METRICS decision per series
+    (analyzer.py:3768-3793): mean-absolute-deviation over the last 10
+    points vs the last step |v[-2]-v[-1]| — skipped=true means the
+    three-sigma suite would not run for a low-priority metric."""
+    df = _valid(spark, sf_dir)
+    w = Window.partitionBy("conv_id").orderBy(F.col("ts").desc(),
+                                              F.col("turn_idx").desc())
+    d = df.withColumn("__rn", F.row_number().over(w))
+    agg = d.groupBy("conv_id").agg(
+        F.count("*").alias("n"),
+        F.avg(F.when(F.col("__rn") <= 10, F.col("value"))).alias("tmean"),
+        F.max(F.when(F.col("__rn") == 1, F.col("value"))).alias("v1"),
+        F.max(F.when(F.col("__rn") == 2, F.col("value"))).alias("v2"))
+    mad = d.join(agg.select("conv_id", "tmean"), "conv_id") \
+        .where(F.col("__rn") <= 10).groupBy("conv_id").agg(
+            F.avg(F.abs(F.col("value") - F.col("tmean"))).alias("mad"))
+    out = agg.join(mad, "conv_id")
+    return out.select(
+        "conv_id", _R6("mad").alias("mad"),
+        ((F.col("n") >= 10)
+         & (F.abs(F.col("v2") - F.col("v1")) < F.col("mad")))
+        .alias("skipped"))
+
+
+SQL_MAD_PREFILTER = _sql("""
+, ranked AS (
+    SELECT conv_id, value,
+           ROW_NUMBER() OVER (PARTITION BY conv_id
+                              ORDER BY ts DESC, turn_idx DESC) AS rn
+    FROM valid),
+agg AS (
+    SELECT conv_id, count(*) AS n,
+           avg(CASE WHEN rn <= 10 THEN value END) AS tmean,
+           max(CASE WHEN rn = 1 THEN value END) AS v1,
+           max(CASE WHEN rn = 2 THEN value END) AS v2
+    FROM ranked GROUP BY conv_id),
+madx AS (
+    SELECT r.conv_id, avg(abs(r.value - a.tmean)) AS mad
+    FROM ranked r JOIN agg a USING (conv_id)
+    WHERE r.rn <= 10 GROUP BY r.conv_id)
+SELECT conv_id, round(mad, 6) AS mad,
+       (n >= 10 AND abs(v2 - v1) < mad) AS skipped
+FROM agg JOIN madx USING (conv_id)
+""")
+
+
 def q_first_hour_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A3 — tail_avg vs the first window of the analysis period
     (algorithms.py:327-351), window rescaled to the data cadence."""
@@ -920,6 +967,7 @@ REGISTRY: dict[str, tuple] = {
     "histogram_bins": (q_histogram_bins, SQL_HISTOGRAM_BINS),
     "stddev_from_moving_average": (q_stddev_from_moving_average,
                                    SQL_STDDEV_FROM_MOVING_AVG),
+    "mad_prefilter": (q_mad_prefilter, SQL_MAD_PREFILTER),
     "flux_aggregate_1h": (q_flux_aggregate_1h, SQL_FLUX_AGGREGATE_1H),
     "correlate_pearson": (q_correlate, SQL_CORRELATE),
     "consensus_verdicts": (q_consensus_verdicts, None),

@@ -59,6 +59,30 @@ def test_custom_consensus_override(noisy):
     assert run_selected_algorithm(ts, v, float(ts[-1]), cfg2).anomalous is False
 
 
+def test_mad_low_priority_prefilter(noisy):
+    """ANALYZER_MAD_LOW_PRIORITY_METRICS (analyzer.py:3768-3793): a
+    quiet LOW-priority series skips the suite via the MAD prefilter;
+    high-priority series and big last steps go through the full vote."""
+    ts, v = noisy
+    cfg = PipelineConfig(mad_low_priority_n=10)
+    quiet = run_selected_algorithm(ts, v, float(ts[-1]), cfg,
+                                   low_priority=True)
+    assert quiet.algorithms_run == ["mad_prefilter"]
+    assert quiet.anomalous is False and quiet.exception is None
+    # high-priority: full suite runs regardless
+    hi = run_selected_algorithm(ts, v, float(ts[-1]), cfg,
+                                low_priority=False)
+    assert "mad_prefilter" not in hi.algorithms_run
+    assert len(hi.algorithms_run) > 1
+    # low-priority with a big last step: prefilter lets it through
+    v2 = v.copy()
+    v2[-1] += 500.0
+    spiky = run_selected_algorithm(ts, v2, float(ts[-1]), cfg,
+                                   low_priority=True)
+    assert "mad_prefilter" not in spiky.algorithms_run
+    assert spiky.anomalous is True
+
+
 def test_custom_post_3sigma_and_run_only_if_consensus(noisy):
     """algorithms.py:1855-1995: post-3sigma custom results append to the
     SAME ensemble and count in the vote; run_only_if_consensus skips the
