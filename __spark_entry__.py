@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship parse -> enrich -> analyze -> route
 pipeline over transcripts derived deterministically from the sf0.001
 events table. ``queries()``/``oracle_sql()`` expose the operator registry
-(skyline_spark.queries.REGISTRY): 37 of 46 queries carry a full DuckDB
+(skyline_spark.queries.REGISTRY): 39 of 48 queries carry a full DuckDB
 value oracle — including the analyze kernel itself restricted to the 5
 SQL-expressible algorithms (consensus_vote_sql5), MinHash/SimHash/LSH in
 engine-portable md5 hash mode, and the ionosphere feature basket. The 9
