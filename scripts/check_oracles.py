@@ -85,10 +85,25 @@ def main() -> int:
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False,
                                           check_exact=False, atol=2e-6, rtol=1e-6)
-            print(f"OK    {name}: {len(a)} rows match")
         except AssertionError as e:
             print(f"FAIL  {name}: value mismatch\n{str(e)[:600]}")
             failures += 1
+            continue
+        # the driver hashes byte-exact value reprs, so -0.0 vs 0.0 (equal
+        # under ==, hidden by round()) is a real hash mismatch — check the
+        # sign bit of every zero explicitly
+        szero = [
+            c for c in a.columns
+            if pd.api.types.is_float_dtype(a[c])
+            and bool(np.any((a[c].to_numpy() == 0) & (b[c].to_numpy() == 0)
+                            & (np.signbit(a[c].to_numpy())
+                               != np.signbit(b[c].to_numpy()))))
+        ]
+        if szero:
+            print(f"FAIL  {name}: signed-zero mismatch in {szero}")
+            failures += 1
+        else:
+            print(f"OK    {name}: {len(a)} rows match")
     print(f"\n{failures} failures")
     return 1 if failures else 0
 

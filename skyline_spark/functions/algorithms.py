@@ -209,13 +209,22 @@ def least_squares(ts: np.ndarray, values: np.ndarray,
     """
     x = ts.astype(np.float64)
     y = values
-    if x.size < 2 or np.ptp(x) == 0:
-        return None  # degenerate fit: reference lstsq NaNs -> error -> None
-    xm = float(np.mean(x))
-    x0 = x - xm
-    m = float(np.dot(x0, y)) / float(np.dot(x0, x0))
-    c = float(np.mean(y)) - m * xm
-    errors = y - (m * x + c)
+    if x.size < 2:
+        # reference lstsq does NOT error on a rank-deficient 1-row A
+        # (min-norm solution, zero residual) -> falls through to the
+        # len(errors) < 3 guard -> False, not a recorded error
+        return False
+    if np.ptp(x) == 0:
+        # constant-x (all-duplicate timestamps): lstsq min-norm solution
+        # fits y_hat = mean(y) for every row, so the residuals are the
+        # mean-centered values and the test proceeds on those
+        errors = y - float(np.mean(y))
+    else:
+        xm = float(np.mean(x))
+        x0 = x - xm
+        m = float(np.dot(x0, y)) / float(np.dot(x0, x0))
+        c = float(np.mean(y)) - m * xm
+        errors = y - (m * x + c)
     if errors.size < 3:
         return False
     std_dev = _std1(errors)

@@ -52,16 +52,17 @@ def quality_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
     avg_tok_len = (n_chars - (n_tokens - 1)) / n_tokens
     df = (df
           .withColumn("n_tokens", n_tokens)
-          .withColumn("punct_ratio", F.round(punct / F.greatest(n_chars, F.lit(1)), 6))
+          .withColumn("punct_ratio", (F.round(punct / F.greatest(n_chars, F.lit(1)), 6)
+                                  + F.lit(0.0)))
           .withColumn("stopword_hits", stop_hits)
-          .withColumn("avg_token_len", F.round(avg_tok_len, 6)))
+          .withColumn("avg_token_len", (F.round(avg_tok_len, 6) + F.lit(0.0))))
     score = (
         F.least(F.col("n_tokens") / 64.0, F.lit(1.0)) * 0.4
         + F.least(F.col("stopword_hits") / 5.0, F.lit(1.0)) * 0.3
         + F.when((F.col("avg_token_len") >= 3) & (F.col("avg_token_len") <= 8),
                  0.3).otherwise(0.0)
     )
-    return df.withColumn("quality_score", F.round(score, 6))
+    return df.withColumn("quality_score", (F.round(score, 6) + F.lit(0.0)))
 
 
 def lang_id_columns(df: DataFrame, text_col: str = "text") -> DataFrame:

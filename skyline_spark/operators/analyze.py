@@ -39,7 +39,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from skyline_spark.functions.spark_utils import epoch_seconds
@@ -187,22 +187,37 @@ def empty_series_verdicts(transcripts: DataFrame, parsed: DataFrame,
       'DeletedByRoomba', skyline/horizon/roomba.py:293-298).
 
     Computed natively in a SINGLE aggregation pass over the parsed rows
-    (one scan, map-side partial agg); unioned with the UDF verdicts so
-    garbage rows never enter the Python stage."""
+    (one scan, map-side partial agg on (conv_id, metric), then a window
+    over the already series-cardinality groups); unioned with the UDF
+    verdicts so garbage rows never enter the Python stage.
+
+    DeletedByRoomba verdicts CARRY their parsed metric so the router's
+    exact (conv_id, metric) join matches the conv's event turns and the
+    exception label + verdict columns ride along; metric stays NULL only
+    for truly unparsed EmptyTimeseries conversations (whose turns also
+    parse metric=NULL, matching via the null-safe join)."""
     valid = F.col("value").isNotNull()
     in_window = valid & (epoch_seconds(F.col("ts"))
                          > F.lit(now - cfg.full_duration))
-    flags = parsed.groupBy("conv_id").agg(
+    groups = parsed.groupBy("conv_id", "metric").agg(
         F.max(valid.cast("int")).alias("__has_any"),
         F.max(in_window.cast("int")).alias("__has_window"))
+    conv_any = F.max("__has_any").over(Window.partitionBy("conv_id"))
+    flags = groups.withColumn("__conv_any", conv_any)
+    roomba = (F.col("__has_any") == 1) & (F.col("__has_window") == 0)
+    # EmptyTimeseries: a conv with zero valid events anywhere emits one
+    # verdict per parsed (metric) group — usually just the NULL-metric
+    # group, but a value-unparseable event group gets its own row so its
+    # turns still match the exact (conv_id, metric) route join
+    empty = F.col("__conv_any") == 0
     empties = (
-        flags.where(F.col("__has_window") == 0)
-        .select("conv_id",
+        flags.where(roomba | empty)
+        .select("conv_id", "metric",
                 F.when(F.col("__has_any") == 1, F.lit("DeletedByRoomba"))
                 .otherwise(F.lit("EmptyTimeseries")).alias("__exc")))
     return empties.select(
         "conv_id",
-        F.lit(None).cast("string").alias("metric"),
+        F.col("metric"),
         F.lit(False).alias("anomalous"),
         F.lit(None).cast("array<boolean>").alias("ensemble"),
         F.lit(None).cast("array<string>").alias("triggered"),

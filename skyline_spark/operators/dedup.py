@@ -153,7 +153,7 @@ def minhash_near_duplicates(docs: DataFrame, num_hashes: int = 32,
                          F.col("shingles").alias("sh_b")), "id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-    return (j.withColumn("jaccard", F.round(inter / union, 6))
+    return (j.withColumn("jaccard", (F.round(inter / union, 6) + F.lit(0.0)))
             .where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
 
@@ -241,7 +241,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 1,
     pairs = a.join(b, block_col).where(F.col("id_a") < F.col("id_b"))
     inter = F.size(F.array_intersect("t_a", "t_b")).cast("double")
     union = F.size(F.array_union("t_a", "t_b")).cast("double")
-    return (pairs.withColumn("jaccard", F.round(inter / union, 6))
+    return (pairs.withColumn("jaccard", (F.round(inter / union, 6) + F.lit(0.0)))
             .where(F.col("jaccard") >= min_jaccard)
             .select("id_a", "id_b", "jaccard"))
 
@@ -264,7 +264,7 @@ def embedding_near_duplicates_exact(embeddings: DataFrame,
     b = embeddings.select(F.col(id_col).alias("id_b"), F.col(block_col),
                           F.col(vec_col).alias("v_b"))
     pairs = a.join(b, block_col).where(F.col("id_a") < F.col("id_b"))
-    sim = F.round(cosine(F.col("v_a"), F.col("v_b")), 4)
+    sim = F.round(cosine(F.col("v_a"), F.col("v_b")), 4) + F.lit(0.0)
     return (pairs.withColumn("sim", sim)
             .where(F.col("sim") >= min_cosine)
             .select("id_a", "id_b", "sim"))
@@ -292,7 +292,7 @@ def embedding_near_duplicates(embeddings: DataFrame,
     cands = (a.join(b, ["tbl", "sig"])
              .where(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b", "v_a", "v_b").distinct())
-    sim = F.round(cosine(F.col("v_a"), F.col("v_b")), 4)
+    sim = F.round(cosine(F.col("v_a"), F.col("v_b")), 4) + F.lit(0.0)
     return (cands.withColumn("sim", sim)
             .where(F.col("sim") >= min_cosine)
             .select("id_a", "id_b", "sim"))

@@ -50,7 +50,7 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
     # exactly one 0.xxxxx45 value); 4 dp makes the comparison robust while
     # keeping the ranking deterministic on both sides
     scored = (c.join(F.broadcast(q), F.col("cand_id") != F.col("query_id"))
-              .withColumn("sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 4)))
+              .withColumn("sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 4) + F.lit(0.0)))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
                                                F.col("cand_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -122,7 +122,7 @@ def lsh_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
              .where(F.col("cand_id") != F.col("query_id"))
              .select("query_id", "qvec", "cand_id", "cvec").distinct())
     scored = cands.withColumn(  # 4 dp before ranking (see brute_force_topk)
-        "sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 4))
+        "sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 4) + F.lit(0.0))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
                                                F.col("cand_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -203,7 +203,7 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 3,
                              "cell")
              .where(F.col("cand_id") != F.col("query_id")))
     scored = cands.withColumn(
-        "sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 4))
+        "sim", F.round(cosine(F.col("qvec"), F.col("cvec")), 4) + F.lit(0.0))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
                                                F.col("cand_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))

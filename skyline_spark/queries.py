@@ -82,7 +82,30 @@ def _now_col(df: DataFrame, ts_col: str = "ts") -> DataFrame:
     return df.crossJoin(F.broadcast(scalar))
 
 
-_R6 = lambda c: F.round(c, 6)  # noqa: E731
+# Rounding helpers canonicalize IEEE signed zero (`x + 0.0` maps -0.0 to
+# 0.0): Spark's round(-5e-9, 6) yields 0.0 where DuckDB yields -0.0 —
+# equal under `==` but different under the driver's byte-level value
+# hash. Applied symmetrically: every Spark-side rounded output uses
+# _R6/_R4/_RP, every oracle SQL rounded output gets `+ 0.0` via _pz()
+# at registry finalization (bottom of this module).
+_R6 = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+_R4 = lambda c: F.round(c, 4) + F.lit(0.0)  # noqa: E731
+
+
+def _RP(c, p: int):
+    """round to p decimals with signed-zero canonicalization."""
+    return F.round(c, p) + F.lit(0.0)
+
+
+def _pz(sql: str) -> str:
+    """Rewrite every rounded SQL output column ``round(..., p) AS`` to
+    ``round(..., p) + 0.0 AS`` (signed-zero canonicalization, see _R6).
+    The suffix match works for arbitrarily nested/multi-line round()
+    expressions; comparison-position rounds (``round(x, 0) <> 0``) are
+    untouched."""
+    for p in ("6", "4", "2"):
+        sql = sql.replace(f", {p}) AS ", f", {p}) + 0.0 AS ")
+    return sql
 
 
 # ---------------------------------------------------------------------------
@@ -448,14 +471,19 @@ def q_stddev_from_moving_average(spark: SparkSession, sf_dir: str
                  (swx / sw).alias("m"), sw2.alias("sw2"))
     svar = F.aggregate(
         "wv", acc0, lambda a, s: a + s["w"] * (s["x"] - F.col("m")) ** 2)
-    var = (svar / F.col("sw")) * (F.col("sw") * F.col("sw")
-                                  / (F.col("sw") * F.col("sw") - F.col("sw2")))
+    # (Σw)² - Σw² == 0 exactly for a single-point series; Spark-4 ANSI
+    # raises DIVIDE_BY_ZERO on plain `/`, so the debias ratio uses
+    # try_divide (NULL for n<2, mirroring the Python kernel's n<2 guard
+    # and the SQL twin's CASE WHEN n < 2 THEN NULL)
+    var = (svar / F.col("sw")) * F.try_divide(
+        F.col("sw") * F.col("sw"),
+        F.col("sw") * F.col("sw") - F.col("sw2"))
     g = g.select("conv_id",
                  F.element_at("v", -1).alias("v_last"),
                  F.col("m"), F.sqrt(var).alias("s"))
     return g.select(
-        "conv_id", F.round("m", 4).alias("ewm_mean"),
-        F.round("s", 4).alias("ewm_std"),
+        "conv_id", _R4("m").alias("ewm_mean"),
+        _R4("s").alias("ewm_std"),
         (F.abs(F.col("v_last") - F.col("m")) > 3 * F.col("s"))
         .alias("anomalous"))
 
@@ -479,9 +507,10 @@ sums AS (
 m AS (SELECT *, swx / sw AS mu FROM sums),
 vr AS (
     SELECT conv_id, v[n] AS v_last, mu,
-           sqrt((list_sum([w[i] * (v[i] - mu) * (v[i] - mu)
-                           FOR i IN range(1, n + 1)]) / sw)
-                * (sw * sw / (sw * sw - sw2))) AS s
+           CASE WHEN n < 2 THEN NULL
+                ELSE sqrt((list_sum([w[i] * (v[i] - mu) * (v[i] - mu)
+                                     FOR i IN range(1, n + 1)]) / sw)
+                          * (sw * sw / (sw * sw - sw2))) END AS s
     FROM m)
 SELECT conv_id, round(mu, 4) AS ewm_mean, round(s, 4) AS ewm_std,
        abs(v_last - mu) > 3 * s AS anomalous
@@ -766,7 +795,7 @@ def q_correlate(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = pairs.groupBy("conv_a", "conv_b").agg(
         F.count("*").alias("n"), r.alias("r"))
     return (out.where(F.col("n") >= 20)
-            .select("conv_a", "conv_b", "n", F.round("r", 4).alias("r")))
+            .select("conv_a", "conv_b", "n", _R4("r").alias("r")))
 
 
 SQL_CORRELATE = _sql("""
@@ -1158,12 +1187,78 @@ WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.25
 """
 
 
-def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed embedding near-dup pairs (rows-only; recall vs the
-    exact twin in pytest)."""
-    from skyline_spark.operators.dedup import embedding_near_duplicates
+def _augmented_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table plus 50 deterministic near-dup twins: twin i
+    doubles coordinate (i mod 64) of vec_id i. Doubling coordinate j
+    yields cosine (1+c)/sqrt(1+3c) with c = v_j²/|v|² — minimized at
+    c=1/3 to 0.9428, so every planted pair has sim in [0.943, 1]
+    REGARDLESS of the data, i.e. inside hyperplane-LSH's designed
+    high-similarity regime. ×2.0 is exact in both float32 and float64,
+    so Spark and DuckDB build bit-identical twins."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return embedding_near_duplicates(emb, min_cosine=0.25)
+    twins = (emb.where(F.col("vec_id") < 50)
+             .select((F.col("vec_id") + 1_000_000).alias("vec_id"), "label",
+                     F.transform(
+                         "embedding",
+                         lambda x, i: F.when(i == F.col("vec_id") % 64,
+                                             x.cast("double") * 2.0)
+                         .otherwise(x.cast("double"))).alias("embedding")))
+    base = emb.select("vec_id", "label",
+                      F.transform("embedding",
+                                  lambda x: x.cast("double")).alias("embedding"))
+    return base.unionByName(twins)
+
+
+_SQL_AUG_EMB = """
+aug AS (
+    SELECT vec_id, label,
+           [CAST(x AS DOUBLE) FOR x IN embedding] AS embedding
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000, label,
+           [CASE WHEN i - 1 = vec_id % 64
+                 THEN CAST(embedding[i] AS DOUBLE) * 2.0
+                 ELSE CAST(embedding[i] AS DOUBLE) END
+            FOR i IN range(1, len(embedding) + 1)] AS embedding
+    FROM embeddings WHERE vec_id < 50)
+"""
+
+
+def q_embedding_near_dups_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup RECALL gate (driver-pinned): run
+    the production OR-amplified hyperplane-LSH path over the augmented
+    table (50 planted sim>=0.943 twins), intersect with the oracled
+    exact twin's pair set at min_cosine=0.9, and emit
+    (n_exact, recall_floor, recall_ge_floor). The oracle computes
+    n_exact exactly in DuckDB and asserts recall_ge_floor=TRUE — so a
+    silent recall regression (bad signatures, broken banding, lost
+    candidates) flips the value hash, not just a pytest."""
+    from skyline_spark.operators.dedup import (
+        embedding_near_duplicates,
+        embedding_near_duplicates_exact,
+    )
+    aug = _augmented_embeddings(spark, sf_dir)
+    lsh = embedding_near_duplicates(aug, min_cosine=0.9) \
+        .select("id_a", "id_b")
+    exact = embedding_near_duplicates_exact(aug, min_cosine=0.9) \
+        .select("id_a", "id_b")
+    stats = (exact.join(lsh.withColumn("__f", F.lit(1)), ["id_a", "id_b"],
+                        "left")
+             .agg(F.count(F.lit(1)).alias("n_exact"),
+                  F.count("__f").alias("n_found")))
+    return stats.select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.lit(0.8).alias("recall_floor"),
+        (F.col("n_found") >= F.col("n_exact") * 0.8).alias("recall_ge_floor"))
+
+
+SQL_EMBEDDING_NEAR_DUPS_LSH = f"""
+WITH {_SQL_AUG_EMB.strip()}
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       0.8 AS recall_floor, TRUE AS recall_ge_floor
+FROM aug a JOIN aug b ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.9
+"""
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1327,13 +1422,46 @@ SQL_ANN_LSH_TOPK = _ann_lsh_sql()
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF ANN top-3 for the first 5 vec_ids (rows-only; recall vs brute
-    force measured in pytest — cell-join candidate generation, never
-    N x Q)."""
-    from skyline_spark.operators.similarity import ivf_topk
+    """IVF ANN RECALL gate (driver-pinned): run the production IVF path
+    (deterministic Lloyd quantizer, cell equi-join, nprobe=2 of 8) for
+    the first 5 vec_ids at k=3, intersect with the oracled brute-force
+    exact top-k pair set, and emit (n_exact, recall_floor,
+    recall_ge_floor). The oracle computes n_exact (the exact top-k's
+    cardinality) in DuckDB and asserts recall_ge_floor=TRUE — measured
+    recall@3 is 0.867 at sf0.01 / 0.933 at sf0.001, so the 0.7 floor
+    has margin while still catching a broken quantizer or cell join
+    (which sends recall to ~0)."""
+    from skyline_spark.operators.similarity import brute_force_topk, ivf_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     q = emb.where(F.col("vec_id") < 5)
-    return ivf_topk(emb, q, k=3)
+    approx = ivf_topk(emb, q, k=3, nprobe=2) \
+        .select("query_id", "cand_id")
+    exact = brute_force_topk(emb, q, k=3).select("query_id", "cand_id")
+    stats = (exact.join(approx.withColumn("__f", F.lit(1)),
+                        ["query_id", "cand_id"], "left")
+             .agg(F.count(F.lit(1)).alias("n_exact"),
+                  F.count("__f").alias("n_found")))
+    return stats.select(
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.lit(0.7).alias("recall_floor"),
+        (F.col("n_found") >= F.col("n_exact") * 0.7).alias("recall_ge_floor"))
+
+
+SQL_ANN_IVF_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+           WHERE vec_id < 5),
+scored AS (
+    SELECT q.query_id, e.vec_id AS cand_id,
+           round(list_cosine_similarity(q.qvec, e.embedding), 4) AS sim
+    FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
+ranked AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, cand_id ASC) AS rank
+    FROM scored)
+SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       0.7 AS recall_floor, TRUE AS recall_ge_floor
+FROM ranked WHERE rank <= 3
+"""
 
 
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1367,10 +1495,11 @@ REGISTRY.update({
     "embedding_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH_NEAR_DUPS),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
-    "embedding_near_dups_lsh": (q_embedding_near_dups_lsh, None),
+    "embedding_near_dups_lsh": (q_embedding_near_dups_lsh,
+                                SQL_EMBEDDING_NEAR_DUPS_LSH),
     "simhash": (q_simhash, SQL_SIMHASH),
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
-    "ann_ivf_topk": (q_ivf_topk, None),
+    "ann_ivf_topk": (q_ivf_topk, SQL_ANN_IVF_TOPK),
     "media_metadata": (q_media_metadata, SQL_MEDIA_METADATA),
 })
 
@@ -1537,22 +1666,25 @@ SQL_SECOND_ORDER = SQL_ANOMALY_EPISODES.replace(
 FROM runs WHERE anomalous GROUP BY conv_id, run_id
 """,
     """, eps AS (
-    SELECT conv_id, epoch(min(bucket_start)) AS t
+    SELECT conv_id, epoch(min(bucket_start)) AS t, 0.0 AS dp
     FROM runs WHERE anomalous GROUP BY conv_id, run_id),
 ordered_eps AS (
-    SELECT conv_id, t,
+    SELECT conv_id, t, dp,
            ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY t DESC) AS rnd,
-           t - lag(t) OVER (PARTITION BY conv_id ORDER BY t) AS iv
+           t - lag(t) OVER (PARTITION BY conv_id ORDER BY t) AS iv,
+           lag(dp) OVER (PARTITION BY conv_id ORDER BY t) AS prev_dp
     FROM eps),
 agg AS (
     SELECT conv_id, count(CASE WHEN rnd > 1 THEN 1 END) AS n_hist,
            avg(iv) AS m, stddev_samp(iv) AS s,
            max(CASE WHEN rnd = 1 THEN iv END) AS last_int,
-           max(CASE WHEN rnd = 1 THEN t END) AS trigger_ts
+           max(CASE WHEN rnd = 1 THEN t END) AS trigger_ts,
+           max(CASE WHEN rnd = 1 THEN dp END) AS new_dp,
+           max(CASE WHEN rnd = 1 THEN prev_dp END) AS last_dp
     FROM ordered_eps GROUP BY conv_id)
 SELECT conv_id, trigger_ts,
        CASE WHEN n_hist = 0 THEN TRUE
-            WHEN last_int <= 300 THEN FALSE
+            WHEN new_dp = last_dp AND last_int <= 300 THEN FALSE
             ELSE coalesce(abs(last_int - m) > 3 * s, FALSE)
        END AS second_order_anomalous
 FROM agg
@@ -1740,7 +1872,7 @@ def q_feature_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # <=4-decimal but large-magnitude (engine diffs ~1e-7 abs -> 4 dp);
     # features_sum mixes both -> 2 dp
     prec = {"f_sum": 4, "f_abs_energy": 4, "features_sum": 2}
-    cols = [F.round(c, prec.get(c, 6)).alias(c)
+    cols = [_RP(c, prec.get(c, 6)).alias(c)
             for c in out.columns if c != "conv_id"]
     return out.select("conv_id", *cols)
 
@@ -1837,3 +1969,15 @@ REGISTRY.update({
     "feature_profiles": (q_feature_profiles, SQL_FEATURE_PROFILES),
     "ionosphere_matches": (q_ionosphere_matches, None),
 })
+
+
+def _finalize_registry() -> None:
+    """Apply signed-zero canonicalization (_pz) to every oracle SQL
+    string exactly once, at module load — the symmetric counterpart of
+    the Spark-side _R6/_R4/_RP helpers."""
+    for name, (fn, sql) in list(REGISTRY.items()):
+        if sql is not None:
+            REGISTRY[name] = (fn, _pz(sql))
+
+
+_finalize_registry()

@@ -247,6 +247,45 @@ def test_undeclared_counter_auto_differenced(spark):
     assert raw.n_points == 200  # kill switch: analyzed undifferenced
 
 
+def test_deleted_by_roomba_turns_carry_exception(spark):
+    """A conv whose events all fell out of retention gets a
+    DeletedByRoomba verdict KEYED BY ITS PARSED METRIC, so the exact
+    (conv_id, metric) route join attaches the exception label and
+    verdict columns to the conv's event turns (round-2 regression: the
+    NULL-metric verdict missed the join and the turns lost their
+    exception attribution)."""
+    import datetime as dt
+
+    from skyline_spark.schema import TRANSCRIPTS_SCHEMA
+    cfg = fixture_pipeline_config()
+    base = dt.datetime(2024, 6, 1)
+    rows = []
+    for i in range(150):  # fresh conv defines the batch watermark
+        rows.append(("conv-fresh", i, "user",
+                     f"evt {i} metric=app.fresh.turns.rate "
+                     f"value={float(i % 9) + 0.5:.2f}",
+                     None, base + dt.timedelta(seconds=60 * i)))
+    old = base - dt.timedelta(seconds=cfg.full_duration + 30 * 86400)
+    for i in range(50):  # every event far outside full_duration
+        rows.append(("conv-roomba", i, "user",
+                     f"evt {i} metric=app.roomba.turns.rate "
+                     f"value={float(i % 5) + 0.5:.2f}",
+                     None, old + dt.timedelta(seconds=60 * i)))
+    tdf = spark.createDataFrame(rows, schema=TRANSCRIPTS_SCHEMA)
+    adf = spark.createDataFrame(
+        [("app", "smtp", 3600, None, False, None)],
+        schema=ALERT_CONFIG_SCHEMA)
+    res = run_pipeline(spark, tdf, adf, cfg, persist_intermediates=False)
+    v = res.routed_verdicts.toPandas().set_index("conv_id")
+    assert v.loc["conv-roomba", "exception"] == "DeletedByRoomba"
+    assert v.loc["conv-roomba", "metric"] == "app.roomba.turns.rate"
+    rt = res.routed_turns.toPandas()
+    roomba = rt[rt.conv_id == "conv-roomba"]
+    assert len(roomba) == 50
+    assert (roomba.sink == "exception").all()
+    assert (roomba.exception == "DeletedByRoomba").all()
+
+
 def test_golden_verdict_values(result):
     _, _, v = result
     row = v.loc["conv-app.server-0001"]
