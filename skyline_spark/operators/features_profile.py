@@ -22,11 +22,43 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+#: 40 features — the numpy-closed-form tranche of tsfresh's
+#: EfficientFCParameters basket (reference golden CSVs
+#: /root/reference/tests/baseline/*.features.transposed.csv; tsfresh
+#: names in parentheses where ours differ). Location/count features are
+#: emitted as RAW indices/counts (integer-exact in every engine) rather
+#: than tsfresh's n-normalized ratios — ratios of integers can land
+#: exactly on a decimal rounding boundary and flip cross-engine.
 FEATURE_NAMES = (
     "mean", "std", "median", "min", "max", "sum", "abs_energy",
     "mean_abs_change", "count_above_mean", "count_below_mean",
     "q25", "q75", "skewness_like", "autocorr_lag1", "slope",
+    # round-3 tranche:
+    "length", "rms",                      # (root_mean_square)
+    "kurtosis_like",                      # population m4/std^4
+    "variation_coeff",                    # (variation_coefficient)
+    "cid_ce",                             # sqrt sum of squared diffs
+    "abs_sum_of_changes",                 # (absolute_sum_of_changes)
+    "range_val", "abs_max", "q05", "q95",
+    "intercept",                          # OLS intercept on ts - ts[0]
+    "mean_change", "mean_second_derivative",
+    "num_crossing_mean",                  # (number_crossing_m, m=mean)
+    "num_peaks",                          # (number_peaks, n=1)
+    "longest_strike_above_mean", "longest_strike_below_mean",
+    "first_loc_max", "last_loc_max",      # raw 0-based indices
+    "first_loc_min", "last_loc_min",
+    "count_unique", "has_duplicate",
+    "has_duplicate_max", "has_duplicate_min",
 )
+
+
+def _longest_run(flags: np.ndarray) -> float:
+    """Length of the longest run of True in a boolean array."""
+    if not flags.any():
+        return 0.0
+    edges = np.flatnonzero(np.diff(
+        np.concatenate(([0], flags.astype(np.int8), [0]))))
+    return float((edges[1::2] - edges[::2]).max())
 
 
 def compute_features(ts: np.ndarray, values: np.ndarray) -> dict[str, float]:
@@ -41,17 +73,54 @@ def compute_features(ts: np.ndarray, values: np.ndarray) -> dict[str, float]:
     ac1 = float(np.dot(centered[:-1], centered[1:]) / (std * std * (n - 1))) \
         if n > 1 and std > 0 else 0.0
     x = ts - ts[0]
-    slope = float(np.polyfit(x, v, 1)[0]) if n > 1 and np.ptp(x) > 0 else 0.0
+    if n > 1 and np.ptp(x) > 0:
+        coef = np.polyfit(x, v, 1)
+        slope, intercept = float(coef[0]), float(coef[1])
+    else:
+        slope, intercept = 0.0, 0.0
     m3 = float(np.mean(centered ** 3) / (std ** 3)) if std > 0 else 0.0
+    m4 = float(np.mean(centered ** 4) / (std ** 4)) if std > 0 else 0.0
+    vmax, vmin = float(v.max()), float(v.min())
+    above, below = v > mean, v < mean
     return {
         "mean": mean, "std": std, "median": float(np.median(v)),
-        "min": float(v.min()), "max": float(v.max()), "sum": float(v.sum()),
+        "min": vmin, "max": vmax, "sum": float(v.sum()),
         "abs_energy": float(np.dot(v, v)),
         "mean_abs_change": float(diffs.mean()),
-        "count_above_mean": float((v > mean).sum()),
-        "count_below_mean": float((v < mean).sum()),
+        "count_above_mean": float(above.sum()),
+        "count_below_mean": float(below.sum()),
         "q25": float(np.percentile(v, 25)), "q75": float(np.percentile(v, 75)),
         "skewness_like": m3, "autocorr_lag1": ac1, "slope": slope,
+        "length": float(n),
+        "rms": float(np.sqrt(np.dot(v, v) / n)),
+        "kurtosis_like": m4,
+        "variation_coeff": std / mean if mean != 0 else 0.0,
+        "cid_ce": float(np.sqrt(np.sum(np.diff(v) ** 2))) if n > 1 else 0.0,
+        "abs_sum_of_changes": float(diffs.sum()) if n > 1 else 0.0,
+        "range_val": vmax - vmin,
+        "abs_max": max(abs(vmax), abs(vmin)),
+        "q05": float(np.percentile(v, 5)), "q95": float(np.percentile(v, 95)),
+        "intercept": intercept,
+        "mean_change": float((v[-1] - v[0]) / (n - 1)) if n > 1 else 0.0,
+        "mean_second_derivative":
+            float((v[-1] - v[-2] - v[1] + v[0]) / (2.0 * (n - 2)))
+            if n > 2 else 0.0,
+        "num_crossing_mean":
+            float(np.sum(np.diff(above.astype(np.int8)) != 0))
+            if n > 1 else 0.0,
+        "num_peaks":
+            float(np.sum((v[1:-1] > v[:-2]) & (v[1:-1] > v[2:])))
+            if n > 2 else 0.0,
+        "longest_strike_above_mean": _longest_run(above),
+        "longest_strike_below_mean": _longest_run(below),
+        "first_loc_max": float(np.argmax(v)),
+        "last_loc_max": float(n - 1 - np.argmax(v[::-1])),
+        "first_loc_min": float(np.argmin(v)),
+        "last_loc_min": float(n - 1 - np.argmin(v[::-1])),
+        "count_unique": float(np.unique(v).size),
+        "has_duplicate": float(np.unique(v).size < n),
+        "has_duplicate_max": float(np.sum(v == vmax) > 1),
+        "has_duplicate_min": float(np.sum(v == vmin) > 1),
     }
 
 

@@ -1871,7 +1871,8 @@ def q_feature_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is 40k-ish (UNSAFE at 4 dp, safe at 6); plain sums are exact
     # <=4-decimal but large-magnitude (engine diffs ~1e-7 abs -> 4 dp);
     # features_sum mixes both -> 2 dp
-    prec = {"f_sum": 4, "f_abs_energy": 4, "features_sum": 2}
+    prec = {"f_sum": 4, "f_abs_energy": 4, "f_abs_sum_of_changes": 4,
+            "features_sum": 2}
     cols = [_RP(c, prec.get(c, 6)).alias(c)
             for c in out.columns if c != "conv_id"]
     return out.select("conv_id", *cols)
@@ -1888,11 +1889,16 @@ SQL_FEATURE_PROFILES = _sql("""
            sum(value * value) AS f_abs_energy,
            quantile_cont(value, 0.25) AS f_q25,
            quantile_cont(value, 0.75) AS f_q75,
-           regr_slope(value, epoch(ts)) AS raw_slope
+           quantile_cont(value, 0.05) AS f_q05,
+           quantile_cont(value, 0.95) AS f_q95,
+           count(DISTINCT value) AS n_uniq,
+           min(epoch(ts)) AS t0,
+           regr_slope(value, epoch(ts)) AS raw_slope,
+           regr_intercept(value, epoch(ts)) AS raw_icpt
     FROM valid GROUP BY conv_id),
 derived AS (
     SELECT conv_id, n, f_mean, f_std, f_median, f_min, f_max, f_sum,
-           f_abs_energy, f_q25, f_q75,
+           f_abs_energy, f_q25, f_q75, f_q05, f_q95,
            CASE WHEN n > 1
                 THEN list_sum([abs(l[i + 1] - l[i])
                                FOR i IN range(1, n)]) / (n - 1)
@@ -1911,13 +1917,81 @@ derived AS (
                      / (f_std * f_std * (n - 1))
                 ELSE 0.0 END AS f_autocorr_lag1,
            CASE WHEN n > 1 THEN coalesce(raw_slope, 0.0)
-                ELSE 0.0 END AS f_slope
+                ELSE 0.0 END AS f_slope,
+           CAST(n AS DOUBLE) AS f_length,
+           sqrt(f_abs_energy / n) AS f_rms,
+           CASE WHEN f_std > 0
+                THEN (list_sum([pow(x - f_mean, 4) FOR x IN l]) / n)
+                     / pow(f_std, 4)
+                ELSE 0.0 END AS f_kurtosis_like,
+           CASE WHEN f_mean <> 0 THEN f_std / f_mean
+                ELSE 0.0 END AS f_variation_coeff,
+           CASE WHEN n > 1
+                THEN sqrt(list_sum([(l[i + 1] - l[i]) * (l[i + 1] - l[i])
+                                    FOR i IN range(1, n)]))
+                ELSE 0.0 END AS f_cid_ce,
+           CASE WHEN n > 1
+                THEN list_sum([abs(l[i + 1] - l[i]) FOR i IN range(1, n)])
+                ELSE 0.0 END AS f_abs_sum_of_changes,
+           f_max - f_min AS f_range_val,
+           greatest(abs(f_max), abs(f_min)) AS f_abs_max,
+           CASE WHEN n > 1
+                THEN coalesce(raw_icpt, 0.0) + coalesce(raw_slope, 0.0) * t0
+                ELSE 0.0 END AS f_intercept,
+           CASE WHEN n > 1 THEN (l[n] - l[1]) / (n - 1)
+                ELSE 0.0 END AS f_mean_change,
+           CASE WHEN n > 2
+                THEN (l[n] - l[n - 1] - l[2] + l[1]) / (2.0 * (n - 2))
+                ELSE 0.0 END AS f_mean_second_derivative,
+           CASE WHEN n > 1
+                THEN CAST(list_sum([CASE WHEN (l[i] > f_mean)
+                                             <> (l[i + 1] > f_mean)
+                                        THEN 1 ELSE 0 END
+                                    FOR i IN range(1, n)]) AS DOUBLE)
+                ELSE 0.0 END AS f_num_crossing_mean,
+           CASE WHEN n > 2
+                THEN CAST(list_sum([CASE WHEN l[i] > l[i - 1]
+                                              AND l[i] > l[i + 1]
+                                        THEN 1 ELSE 0 END
+                                    FOR i IN range(2, n)]) AS DOUBLE)
+                ELSE 0.0 END AS f_num_peaks,
+           CAST(coalesce(list_max([length(p) FOR p IN string_split(
+                    list_aggregate([CASE WHEN x > f_mean THEN '1'
+                                        ELSE '0' END FOR x IN l],
+                                   'string_agg', ''), '0')]), 0) AS DOUBLE)
+               AS f_longest_strike_above_mean,
+           CAST(coalesce(list_max([length(p) FOR p IN string_split(
+                    list_aggregate([CASE WHEN x < f_mean THEN '1'
+                                        ELSE '0' END FOR x IN l],
+                                   'string_agg', ''), '0')]), 0) AS DOUBLE)
+               AS f_longest_strike_below_mean,
+           CAST(list_position(l, f_max) - 1 AS DOUBLE) AS f_first_loc_max,
+           CAST(n - list_position(list_reverse(l), f_max) AS DOUBLE)
+               AS f_last_loc_max,
+           CAST(list_position(l, f_min) - 1 AS DOUBLE) AS f_first_loc_min,
+           CAST(n - list_position(list_reverse(l), f_min) AS DOUBLE)
+               AS f_last_loc_min,
+           CAST(n_uniq AS DOUBLE) AS f_count_unique,
+           CASE WHEN n_uniq < n THEN 1.0 ELSE 0.0 END AS f_has_duplicate,
+           CASE WHEN len(list_filter(l, x -> x = f_max)) > 1
+                THEN 1.0 ELSE 0.0 END AS f_has_duplicate_max,
+           CASE WHEN len(list_filter(l, x -> x = f_min)) > 1
+                THEN 1.0 ELSE 0.0 END AS f_has_duplicate_min
     FROM base)
 SELECT conv_id,
        round(f_mean + f_std + f_median + f_min + f_max + f_sum
              + f_abs_energy + f_mean_abs_change + f_count_above_mean
              + f_count_below_mean + f_q25 + f_q75 + f_skewness_like
-             + f_autocorr_lag1 + f_slope, 2) AS features_sum,
+             + f_autocorr_lag1 + f_slope + f_length + f_rms
+             + f_kurtosis_like + f_variation_coeff + f_cid_ce
+             + f_abs_sum_of_changes + f_range_val + f_abs_max + f_q05
+             + f_q95 + f_intercept + f_mean_change
+             + f_mean_second_derivative + f_num_crossing_mean + f_num_peaks
+             + f_longest_strike_above_mean + f_longest_strike_below_mean
+             + f_first_loc_max + f_last_loc_max + f_first_loc_min
+             + f_last_loc_min + f_count_unique + f_has_duplicate
+             + f_has_duplicate_max + f_has_duplicate_min, 2)
+           AS features_sum,
        round(f_mean, 6) AS f_mean, round(f_std, 6) AS f_std,
        round(f_median, 6) AS f_median, round(f_min, 6) AS f_min,
        round(f_max, 6) AS f_max, round(f_sum, 4) AS f_sum,
@@ -1928,7 +2002,32 @@ SELECT conv_id,
        round(f_q25, 6) AS f_q25, round(f_q75, 6) AS f_q75,
        round(f_skewness_like, 6) AS f_skewness_like,
        round(f_autocorr_lag1, 6) AS f_autocorr_lag1,
-       round(f_slope, 6) AS f_slope
+       round(f_slope, 6) AS f_slope,
+       round(f_length, 6) AS f_length, round(f_rms, 6) AS f_rms,
+       round(f_kurtosis_like, 6) AS f_kurtosis_like,
+       round(f_variation_coeff, 6) AS f_variation_coeff,
+       round(f_cid_ce, 6) AS f_cid_ce,
+       round(f_abs_sum_of_changes, 4) AS f_abs_sum_of_changes,
+       round(f_range_val, 6) AS f_range_val,
+       round(f_abs_max, 6) AS f_abs_max,
+       round(f_q05, 6) AS f_q05, round(f_q95, 6) AS f_q95,
+       round(f_intercept, 6) AS f_intercept,
+       round(f_mean_change, 6) AS f_mean_change,
+       round(f_mean_second_derivative, 6) AS f_mean_second_derivative,
+       round(f_num_crossing_mean, 6) AS f_num_crossing_mean,
+       round(f_num_peaks, 6) AS f_num_peaks,
+       round(f_longest_strike_above_mean, 6)
+           AS f_longest_strike_above_mean,
+       round(f_longest_strike_below_mean, 6)
+           AS f_longest_strike_below_mean,
+       round(f_first_loc_max, 6) AS f_first_loc_max,
+       round(f_last_loc_max, 6) AS f_last_loc_max,
+       round(f_first_loc_min, 6) AS f_first_loc_min,
+       round(f_last_loc_min, 6) AS f_last_loc_min,
+       round(f_count_unique, 6) AS f_count_unique,
+       round(f_has_duplicate, 6) AS f_has_duplicate,
+       round(f_has_duplicate_max, 6) AS f_has_duplicate_max,
+       round(f_has_duplicate_min, 6) AS f_has_duplicate_min
 FROM derived
 """)
 
