@@ -2070,6 +2070,122 @@ REGISTRY.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# queries — ported custom algorithms (§2.10) with ANSI twins
+# ---------------------------------------------------------------------------
+
+def q_custom_abs_stddev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — the ported abs_stddev_from_median custom algorithm
+    (skyline/custom_algorithms/abs_stddev_from_median.py:75-90) run
+    per-series through the REAL python function, value-checked against
+    its ANSI twin (median ± 3 sample-std fence on the last point)."""
+    import pandas as pd
+
+    from skyline_spark.functions.custom_algorithms import (
+        abs_stddev_from_median,
+    )
+
+    def fp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "turn_idx"], kind="stable")
+        a, s = abs_stddev_from_median(None, pdf["value"].to_numpy(), {})
+        return pd.DataFrame([{"conv_id": pdf["conv_id"].iloc[0],
+                              "anomalous": a, "score": s}])
+
+    return _valid(spark, sf_dir).select("conv_id", "turn_idx", "ts", "value") \
+        .groupBy("conv_id") \
+        .applyInPandas(fp, "conv_id string, anomalous boolean, score double")
+
+
+SQL_CUSTOM_ABS_STDDEV = _sql("""
+, g AS (
+    SELECT conv_id, median(value) AS med, stddev_samp(value) AS s,
+           max(CASE WHEN rn = 1 THEN value END) AS v_last
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id
+                                       ORDER BY epoch(ts) DESC,
+                                                turn_idx DESC) AS rn
+          FROM valid)
+    GROUP BY conv_id)
+SELECT conv_id,
+       coalesce(v_last > med + 3 * s OR v_last < med - 3 * s, FALSE)
+           AS anomalous,
+       CASE WHEN coalesce(v_last > med + 3 * s
+                          OR v_last < med - 3 * s, FALSE)
+            THEN 1.0 ELSE 0.0 END AS score
+FROM g
+""")
+
+
+def q_custom_significant_change(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """§2.10 — the ported significant_change_window_percent_sustained
+    custom algorithm (skyline/custom_algorithms/
+    significant_change_window_percent_sustained.py:154-197) per series,
+    rescaled to the events cadence (6 h resample buckets over the
+    trailing 7 d), vs its ANSI twin (bucket medians -> median -> percent
+    fence; NULL where the zero base makes the percent undeterminable)."""
+    import pandas as pd
+
+    from skyline_spark.functions.custom_algorithms import (
+        significant_change_window_percent_sustained,
+    )
+    params = {"window": 21600, "period": 604800, "percent": 10.0}
+
+    def fp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts_epoch", "turn_idx"], kind="stable")
+        a, s = significant_change_window_percent_sustained(
+            pdf["ts_epoch"].to_numpy(), pdf["value"].to_numpy(), params)
+        return pd.DataFrame([{"conv_id": pdf["conv_id"].iloc[0],
+                              "anomalous": a, "score": s}])
+
+    proj = _valid(spark, sf_dir).select(
+        "conv_id", "turn_idx", epoch_seconds(F.col("ts")).alias("ts_epoch"),
+        "value")
+    return proj.groupBy("conv_id") \
+        .applyInPandas(fp, "conv_id string, anomalous boolean, score double")
+
+
+SQL_CUSTOM_SIGNIFICANT_CHANGE = _sql("""
+, lastv AS (
+    SELECT conv_id,
+           max(CASE WHEN rn = 1 THEN value END) AS v_last,
+           max(CASE WHEN rn = 1 THEN x END) AS t_last
+    FROM (SELECT conv_id, value, epoch(ts) AS x,
+                 ROW_NUMBER() OVER (PARTITION BY conv_id
+                                    ORDER BY epoch(ts) DESC,
+                                             turn_idx DESC) AS rn
+          FROM valid)
+    GROUP BY conv_id),
+bucketed AS (
+    SELECT v.conv_id,
+           CAST(floor(epoch(v.ts) / 21600) AS BIGINT) AS b,
+           median(v.value) AS bmed
+    FROM valid v JOIN lastv l USING (conv_id)
+    WHERE epoch(v.ts) >= l.t_last - 604800
+    GROUP BY 1, 2),
+meds AS (
+    SELECT conv_id, median(bmed) AS med FROM bucketed GROUP BY conv_id),
+verdicts AS (
+    SELECT l.conv_id,
+           CASE WHEN m.med = 0 AND l.v_last = 0 THEN FALSE
+                WHEN m.med = 0 THEN NULL
+                ELSE abs((l.v_last - m.med) / m.med * 100.0) > 10.0
+           END AS anomalous
+    FROM lastv l JOIN meds m USING (conv_id))
+SELECT conv_id, anomalous,
+       CASE WHEN anomalous IS NULL THEN NULL
+            WHEN anomalous THEN 1.0 ELSE 0.0 END AS score
+FROM verdicts
+""")
+
+
+REGISTRY.update({
+    "custom_abs_stddev_from_median": (q_custom_abs_stddev,
+                                      SQL_CUSTOM_ABS_STDDEV),
+    "custom_significant_change": (q_custom_significant_change,
+                                  SQL_CUSTOM_SIGNIFICANT_CHANGE),
+})
+
+
 def _finalize_registry() -> None:
     """Apply signed-zero canonicalization (_pz) to every oracle SQL
     string exactly once, at module load — the symmetric counterpart of

@@ -41,6 +41,70 @@ def test_shipped_custom_algorithms(noisy):
     assert level_shift(ts, v, {"window": 10})[0] is False
 
 
+def test_ported_custom_algorithms(noisy):
+    """Round-3 tranche of reference custom algorithms
+    (skyline/custom_algorithms/): abs_stddev_from_median,
+    single_value_anomaly, m66, macd, spectral_entropy,
+    significant_change_window_percent_sustained."""
+    from skyline_spark.functions.custom_algorithms import (
+        abs_stddev_from_median,
+        m66,
+        macd,
+        significant_change_window_percent_sustained as scwps,
+        single_value_anomaly,
+        spectral_entropy,
+    )
+    ts, v = noisy
+
+    spiked = v.copy()
+    spiked[-1] = 200.0
+    assert abs_stddev_from_median(ts, spiked, {}) == (True, 1.0)
+    assert abs_stddev_from_median(ts, v, {}) == (False, 0.0)
+
+    const = np.full(50, 7.0)
+    broke = const.copy()
+    broke[-1] = 9.0
+    mid = const.copy()
+    mid[10] = 9.0  # singleton NOT at the end -> not anomalous
+    assert single_value_anomaly(ts[:50], broke, {}) == (True, 1.0)
+    assert single_value_anomaly(ts[:50], const, {}) == (False, 0.0)
+    assert single_value_anomaly(ts[:50], mid, {}) == (False, 0.0)
+
+    # the repeated rolling medians filter transient noise; the robust
+    # m66 signal is a sustained level step whose transition spikes the
+    # smoothed-series rolling std (anomaly_window covers the transition)
+    stepped_up = v.copy()
+    stepped_up[-40:] += 50
+    assert m66(ts, stepped_up, {"anomaly_window": 40}) == (True, 1.0)
+    assert m66(ts, v, {"anomaly_window": 40}) == (False, 0.0)
+    assert m66(ts[:10], v[:10], {}) == (None, None)  # too short
+
+    stepped = v.copy()
+    stepped[-5:] += 100  # fresh step: macd line still in the top bin
+    assert macd(ts, stepped, {}) == (True, 1.0)
+    assert macd(ts, stepped, {"feature": "macd_histogram"}) == (True, 1.0)
+    assert macd(ts, v, {"anomaly_window": 10}) == (False, 0.0)
+
+    siney = v.copy()
+    siney[-80:] = 100 + 10 * np.sin(2 * np.pi * np.arange(80) / 10)
+    assert spectral_entropy(ts, siney, {}) == (True, 1.0)  # ordered tail
+    assert spectral_entropy(ts, v, {}) == (False, 0.0)  # white noise
+
+    flat = np.full(1200, 100.0)
+    jump = flat.copy()
+    jump[-1] = 150.0
+    small = flat.copy()
+    small[-1] = 102.0
+    sustained = flat.copy()
+    sustained[-3:] = 150.0
+    assert scwps(ts[:1200], jump, {}) == (True, 1.0)
+    assert scwps(ts[:1200], small, {}) == (False, 0.0)
+    assert scwps(ts[:1200], sustained, {"times_in_a_row": 3}) == (True, 1.0)
+    zero_base = np.zeros(1200)
+    zero_base[-1] = 5.0  # median 0 -> percent undeterminable
+    assert scwps(ts[:1200], zero_base, {}) == (None, None)
+
+
 def test_custom_consensus_override(noisy):
     """A consensus_override custom algorithm decides by itself even when
     the 3-sigma suite votes not-anomalous."""
