@@ -2,13 +2,15 @@
 columns with typed metadata, processed through Arrow-batched
 ``mapInPandas`` operators.
 
-The container has no image/audio codecs, so the *decode* kernels are
-deterministic stubs behind ``_decode_image_stub`` / gated imports — but
-every Spark-side piece is real and tested: the binary schema, the
-mapInPandas batch iteration, output schemas, partition-preserving
-projection, and batch-size independence. Swapping the stub for
-PIL/torchaudio is a one-function change.
-"""
+The AUDIO path is a REAL codec: ``synth_wav_media``/``decode_audio``
+write and parse genuine RIFF/WAVE 16-bit PCM payloads with the stdlib
+``wave`` module. The container has no image/video codecs, so those
+*decode* kernels remain deterministic stubs behind
+``_decode_image_stub`` — but every Spark-side piece is real and tested:
+the binary schema, the mapInPandas batch iteration, output schemas,
+partition-preserving projection, and batch-size independence. Swapping
+the image stub for PIL is a one-function change, exactly like the wave
+swap-in."""
 
 from __future__ import annotations
 
@@ -110,6 +112,75 @@ def extract_features(media: DataFrame, n_features: int = 8) -> DataFrame:
 
     return media.select("media_id", "payload").mapInPandas(
         featurize, schema=out_schema)
+
+
+def synth_wav_media(spark, n: int = 64, sample_rate: int = 8000,
+                    n_samples: int = 800) -> DataFrame:
+    """Deterministic REAL WAV payloads: 16-bit PCM mono sine waves whose
+    frequency is keyed by media_id, written with the stdlib ``wave``
+    codec inside mapInPandas (Arrow batches of binary rows — the same
+    shape a parquet/Iceberg binary column arrives in)."""
+    base = spark.range(n).select(F.col("id").alias("media_id"))
+    cols = [f.name for f in MEDIA_SCHEMA.fields]
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+        for pdf in batches:
+            rows = []
+            for mid in pdf["media_id"]:
+                # bin-aligned: 20 Hz steps are exact multiples of the
+                # sample_rate/n_samples = 10 Hz FFT resolution at defaults
+                freq = 100.0 + (int(mid) % 32) * 20.0
+                t = np.arange(n_samples, dtype=np.float64) / sample_rate
+                samples = (np.sin(2 * np.pi * freq * t)
+                           * 12000).astype("<i2")
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(sample_rate)
+                    w.writeframes(samples.tobytes())
+                rows.append((int(mid), "audio", buf.getvalue(),
+                             "audio/wav", int(mid)))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return base.mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def decode_audio(media: DataFrame) -> DataFrame:
+    """REAL audio decode — NOT a stub: parses RIFF/WAVE payloads with
+    the stdlib ``wave`` codec and emits per-item audio features
+    (sample_rate, channels, frames, duration, RMS, peak) through the
+    same mapInPandas interface as the stubbed image path. Undecodable
+    payloads degrade to NULL features instead of failing the batch."""
+    out_schema = ("media_id long, sample_rate int, n_channels int, "
+                  "n_frames long, duration_s double, rms double, peak int")
+
+    def dec(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+        import wave
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    with wave.open(io.BytesIO(payload)) as w:
+                        sr = w.getframerate()
+                        nch = w.getnchannels()
+                        nf = w.getnframes()
+                        raw = w.readframes(nf)
+                    x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
+                    rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
+                    peak = int(np.abs(x).max()) if x.size else 0
+                    rows.append((mid, sr, nch, nf, nf / sr, rms, peak))
+                except (wave.Error, EOFError, AttributeError, TypeError):
+                    rows.append((mid, None, None, None, None, None, None))
+            yield pd.DataFrame(rows, columns=["media_id", "sample_rate",
+                                              "n_channels", "n_frames",
+                                              "duration_s", "rms", "peak"])
+
+    return media.where(F.col("kind") == "audio") \
+        .select("media_id", "payload").mapInPandas(dec, schema=out_schema)
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 64,

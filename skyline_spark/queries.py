@@ -874,6 +874,78 @@ SQL5_ALGS = ("first_hour_average", "stddev_from_average",
              "least_squares")
 
 
+def q_sink_counts_sql5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 — the REAL routing decision tree (route_verdicts: exception
+    -> normal -> mirage-deferred -> ionosphere -> anomalous, plus the
+    MIRAGE_ALWAYS force and the empty/roomba union) over the 5-algorithm
+    restricted kernel, so the per-sink count VECTOR is value-checked
+    against DuckDB — not just row-counted. Enrichment rules ride in
+    (error = mirage+smtp, click/signup = smtp, purchase = slack, view
+    unmatched), ionosphere enabled with no recent alerts."""
+    from skyline_spark.operators.analyze import analyze, empty_series_verdicts
+    from skyline_spark.operators.enrich import rules_from_config
+    from skyline_spark.operators.route import route_verdicts
+    from skyline_spark.plans.pipeline import batch_now
+    tdf = transcripts_from_events(spark, sf_dir)
+    parsed = parse_events(tdf)
+    now = batch_now(tdf)
+    cfg = PipelineConfig(full_duration=FD, stale_period=STALE,
+                         consensus=4, run_optimized_workflow=False,
+                         analyze_derivatives=False, algorithms=SQL5_ALGS)
+    rules = rules_from_config(_events_alert_config(spark))
+    v = analyze(parsed, cfg, now, rules=rules)
+    allv = v.unionByName(empty_series_verdicts(tdf, parsed, cfg, now))
+    routed = route_verdicts(allv, mirage_always=MIRAGE_ALWAYS,
+                            ionosphere_enabled=True, now=now)
+    return routed.groupBy("sink").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_SINK_COUNTS_SQL5 = (
+    _PROLOGUE
+    .replace("__TRANSCRIPTS__", DUCKDB_TRANSCRIPTS_SQL)
+    .replace("__EVENT_RE__", EVENT_RE)
+    + ","
+    + "__VOTE_BLOCK__"
+    + f"""
+, conv_metric AS (
+    SELECT conv_id, max(metric) AS metric FROM valid GROUP BY conv_id),
+enriched AS (
+    SELECT v.conv_id, v.exception, v.anomalous, m.metric,
+           CASE WHEN string_split(m.metric, '.')[1]
+                     IN ('click', 'error', 'signup') THEN 'smtp'
+                WHEN string_split(m.metric, '.')[1] = 'purchase'
+                    THEN 'slack' END AS alerter,
+           string_split(m.metric, '.')[1] = 'error' AS is_mirage
+    FROM votes_a v JOIN conv_metric m USING (conv_id)),
+routed AS (
+    SELECT CASE WHEN metric = 'error.turns.rate' AND exception IS NULL
+                    THEN 'deferred'
+                WHEN exception IS NOT NULL THEN 'exception'
+                WHEN NOT anomalous THEN 'normal'
+                WHEN is_mirage THEN 'deferred'
+                WHEN alerter = 'smtp' THEN 'ionosphere'
+                ELSE 'anomalous' END AS sink
+    FROM enriched),
+groups AS (
+    SELECT p.conv_id, p.metric,
+           max(CASE WHEN p.value IS NOT NULL THEN 1 ELSE 0 END) AS has_any,
+           max(CASE WHEN p.value IS NOT NULL
+                         AND epoch(p.ts) > b.now - {FD}
+                    THEN 1 ELSE 0 END) AS has_window
+    FROM parsed p, batch b GROUP BY p.conv_id, p.metric),
+conv_any AS (
+    SELECT conv_id, max(has_any) AS ca FROM groups GROUP BY conv_id),
+empties AS (
+    SELECT g.conv_id FROM groups g JOIN conv_any c USING (conv_id)
+    WHERE (g.has_any = 1 AND g.has_window = 0) OR c.ca = 0),
+all_sinks AS (
+    SELECT sink FROM routed
+    UNION ALL
+    SELECT 'exception' AS sink FROM empties)
+SELECT sink, CAST(count(*) AS BIGINT) AS n FROM all_sinks GROUP BY sink
+""")
+
+
 def q_consensus_sql5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5/2.6 — the EXACT analyze kernel (preprocess -> exception
     filters -> ensemble -> consensus vote, skyline/analyzer/
@@ -1464,6 +1536,20 @@ FROM ranked WHERE rank <= 3
 """
 
 
+def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal REAL-codec path (rows-only; WAV parsing is not
+    ANSI-expressible): genuine RIFF/WAVE 16-bit PCM payloads written and
+    decoded with the stdlib wave codec through the same mapInPandas
+    interface as the stubbed image path. The roundtrip values (params,
+    sine RMS, dominant FFT bin) are pinned by
+    tests/test_dataops.py::test_real_wav_codec_roundtrip."""
+    from skyline_spark.operators.multimodal import (
+        decode_audio,
+        synth_wav_media,
+    )
+    return decode_audio(synth_wav_media(spark, n=64))
+
+
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload synth + mapInPandas metadata
     decode. The decode kernel is a deterministic stub (no codecs in the
@@ -1501,6 +1587,7 @@ REGISTRY.update({
     "ann_lsh_topk": (q_ann_lsh_topk, SQL_ANN_LSH_TOPK),
     "ann_ivf_topk": (q_ivf_topk, SQL_ANN_IVF_TOPK),
     "media_metadata": (q_media_metadata, SQL_MEDIA_METADATA),
+    "audio_decode": (q_audio_decode, None),
 })
 
 
@@ -1822,6 +1909,11 @@ def q_mirage_second_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("conv_id", "metric", "mirage_anomalous", "final_sink")
 
 
+# resolve the vote-block placeholder now that _vote_sql_block exists
+SQL_SINK_COUNTS_SQL5 = SQL_SINK_COUNTS_SQL5.replace(
+    "__VOTE_BLOCK__", _vote_sql_block(FD, "_a"))
+
+
 REGISTRY.update({
     "boundary_static": (q_boundary_static, SQL_BOUNDARY_STATIC),
     "drop_off_cliff": (q_drop_off_cliff, SQL_DROP_OFF_CLIFF),
@@ -1829,6 +1921,7 @@ REGISTRY.update({
     "second_order_anomalous": (q_second_order, SQL_SECOND_ORDER),
     "mirage_second_stage": (q_mirage_second_stage, None),
     "mirage_vote_sql5": (q_mirage_sql5, SQL_MIRAGE_SQL5),
+    "sink_counts_sql5": (q_sink_counts_sql5, SQL_SINK_COUNTS_SQL5),
 })
 
 
