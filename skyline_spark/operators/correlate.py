@@ -75,12 +75,83 @@ def max_shift_correlation(ts_a: np.ndarray, v_a: np.ndarray,
                        _bucketize(ts_b, v_b, step), max_shift_steps)
 
 
+def luminol_cross_correlation(ts_a: np.ndarray, v_a: np.ndarray,
+                              ts_b: np.ndarray, v_b: np.ndarray,
+                              max_shift_seconds: int = 60,
+                              shift_impact: float = 0.05
+                              ) -> tuple[float, int, float]:
+    """The luminol DefaultCorrelator cross-correlation (the library the
+    reference's process_correlations.py:1327 drives; the algorithm is
+    public — LinkedIn luminol, correlator_algorithms/default_correlator):
+
+    - both series normalized by their own maximum;
+    - mean/std computed ONCE over the aligned arrays; every delay's
+      coefficient is Σ (a_i - ā)(b_{i+d} - b̄) / (n·σa·σb) with the FULL-n
+      denominator, so partial overlap inherently discounts large shifts
+      (unlike a per-overlap Pearson, which re-normalizes);
+    - the delay sweep covers the grid steps whose time offset is within
+      ``max_shift_seconds`` (upper bound exclusive, the library's range
+      convention);
+    - ``shifted_coefficient`` additionally applies the linear
+      shift-impact discount r·(1 - shift_impact·|Δt|/max_shift).
+
+    Returns (coefficient, shift_seconds, shifted_coefficient) of the
+    max-coefficient delay (max by VALUE, not absolute value — luminol
+    correlates positively). Alignment: intersection of timestamps (the
+    analyzer feeds series on a shared resolution grid, where luminol's
+    union-align is the identity).
+    """
+    common, ia, ib = np.intersect1d(ts_a, ts_b, return_indices=True)
+    if common.size < 2:
+        return 0.0, 0, 0.0
+    a = v_a[ia].astype(np.float64)
+    b = v_b[ib].astype(np.float64)
+    if a.max() != 0:
+        a = a / a.max()
+    if b.max() != 0:
+        b = b / b.max()
+    n = a.size
+    a0, b0 = a - a.mean(), b - b.mean()
+    denom = float(a.std() * b.std() * n)  # population std, fixed n
+    allowed = 0
+    for i in range(n):
+        if common[i] - common[0] > max_shift_seconds:
+            allowed = i
+            break
+    lo, hi = (-allowed, allowed) if allowed else (0, 1)
+    best = None  # (coefficient, shift_seconds)
+    best_shifted = None
+    for delay in range(lo, hi):
+        dsec = float(common[abs(delay)] - common[0])
+        if delay < 0:
+            dsec = -dsec
+        if delay >= 0:
+            s = float(np.dot(a0[:n - delay], b0[delay:]))
+        else:
+            s = float(np.dot(a0[-delay:], b0[:n + delay]))
+        r = s / denom if denom != 0 else s
+        shifted = r * (1.0 - shift_impact * abs(dsec) / max_shift_seconds) \
+            if max_shift_seconds else r
+        if best is None or r > best[0]:
+            best = (r, int(dsec))
+        if best_shifted is None or shifted > best_shifted:
+            best_shifted = shifted
+    return best[0], best[1], best_shifted
+
+
 def luminosity_correlations(parsed: DataFrame, anomalies: DataFrame,
                             window_s: int = 1200, step_s: int = 60,
                             max_shift_s: int = 120,
-                            threshold: float = 0.9) -> DataFrame:
+                            threshold: float = 0.9,
+                            mode: str = "pearson_shift") -> DataFrame:
     """For each anomaly row (conv_id, last_ts), correlate every other
-    series' ±window against the anomalous series' window."""
+    series' ±window against the anomalous series' window.
+
+    ``mode``: 'pearson_shift' (max |Pearson| over bucket shifts, the
+    fast default) or 'luminol' (luminol-DefaultCorrelator fidelity:
+    fixed-denominator cross-correlation, normalize-by-max, threshold on
+    the signed coefficient, plus a shifted_coefficient column —
+    process_correlations.py:1324-1342 semantics)."""
     anoms = anomalies.select(F.col("conv_id").alias("anom_conv"),
                              F.col("last_ts").cast("double").alias("anom_ts"))
     # each anomaly covers <= 3 coarse buckets of width window_s
@@ -131,6 +202,31 @@ def luminosity_correlations(parsed: DataFrame, anomalies: DataFrame,
             yield pd.DataFrame(out, columns=["anom_conv", "cand_conv",
                                              "coefficient", "shift_seconds"])
 
+    def luminol_rows(batches):
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                if len(r.tpv) < 5:
+                    continue
+                ta = np.array([p["sb"] * step_s for p in r.tpv], dtype=float)
+                va = np.array([p["v"] for p in r.tpv], dtype=float)
+                tb = np.array([p["sb"] * step_s for p in r.pv], dtype=float)
+                vb = np.array([p["v"] for p in r.pv], dtype=float)
+                coef, shift, shifted = luminol_cross_correlation(
+                    ta, va, tb, vb, max_shift_seconds=max_shift_s)
+                out.append((r.anom_conv, r.conv_id, round(coef, 6),
+                            int(shift), round(shifted, 6)))
+            yield pd.DataFrame(out, columns=["anom_conv", "cand_conv",
+                                             "coefficient", "shift_seconds",
+                                             "shifted_coefficient"])
+
+    if mode == "luminol":
+        out = joined.mapInPandas(
+            luminol_rows,
+            schema="anom_conv string, cand_conv string, coefficient double, "
+                   "shift_seconds int, shifted_coefficient double")
+        # is_correlated(threshold): the SIGNED coefficient clears the bar
+        return out.where(F.col("coefficient") >= threshold)
     out = joined.mapInPandas(
         corr_rows,
         schema="anom_conv string, cand_conv string, coefficient double, "

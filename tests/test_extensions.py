@@ -264,3 +264,82 @@ def test_luminosity_lagged_correlation(spark):
     r = out.iloc[0]
     assert abs(r.coefficient) >= 0.95
     assert abs(r.shift_seconds) == 120
+
+
+def _hand_luminol(ts, a, b, max_shift=120.0, impact=0.05):
+    """Independent literal transcription of the published luminol
+    DefaultCorrelator math — the hand-computed twin the kernel is
+    pinned against (no shared code with the operator)."""
+    a = a / a.max()
+    b = b / b.max()
+    n = len(a)
+    am, bm = a.mean(), b.mean()
+    denom = a.std() * b.std() * n
+    allowed = next((i for i in range(n) if ts[i] - ts[0] > max_shift), 0)
+    lo, hi = (-allowed, allowed) if allowed else (0, 1)
+    cors, shifted = [], []
+    for d in range(lo, hi):
+        dsec = ts[abs(d)] - ts[0]
+        if d < 0:
+            dsec = -dsec
+        s = sum((a[i] - am) * (b[i + d] - bm)
+                for i in range(n) if 0 <= i + d < n)
+        r = s / denom
+        cors.append((r, dsec))
+        shifted.append(r * (1 - impact * abs(dsec) / max_shift))
+    best = max(cors, key=lambda x: x[0])
+    return best[0], best[1], max(shifted)
+
+
+def test_luminol_correlator_fidelity(spark):
+    """The 'luminol' correlation mode: fixed-denominator
+    cross-correlation with normalize-by-max and shift-impact discount
+    (process_correlations.py:1324-1342 semantics). The kernel must match
+    a hand-computed twin exactly, find the planted 2-step lag, and the
+    distributed mode='luminol' path must surface the same pair."""
+    from skyline_spark.operators.correlate import (
+        luminol_cross_correlation,
+        luminosity_correlations,
+    )
+    n = 60
+    ts = np.arange(n, dtype=float) * 60.0
+    a = np.sin(np.arange(n) / 3.0) * 10 + 100
+    b = np.roll(a, 2)  # b lags a by exactly 2 grid steps (120 s)
+
+    coef, shift, shifted = luminol_cross_correlation(
+        ts, a, ts, b, max_shift_seconds=180)
+    h_coef, h_shift, h_shifted = _hand_luminol(ts, a.copy(), b.copy(),
+                                               max_shift=180.0)
+    assert np.isclose(coef, h_coef, rtol=0, atol=1e-12)
+    assert shift == h_shift == 120.0
+    assert np.isclose(shifted, h_shifted, rtol=0, atol=1e-12)
+    # fixed-n denominator: partial overlap discounts the coefficient
+    # below a re-normalized Pearson, but the true lag still wins big
+    assert coef > 0.9
+    assert shifted <= coef
+    # zero-lag identical series: coefficient 1 at shift 0
+    c0, s0, _ = luminol_cross_correlation(ts, a, ts, a.copy(),
+                                          max_shift_seconds=180)
+    assert np.isclose(c0, 1.0) and s0 == 0
+
+    # distributed path, mode='luminol'
+    rng = np.random.RandomState(3)
+    base_ts = 1_700_000_000.0
+    gts = base_ts - (n - 1) * 60 + np.arange(n) * 60.0
+    noise = rng.normal(100, 10, n)
+    rows = []
+    for name, vals in (("anom", a), ("follower", b), ("noise", noise)):
+        for t, v in zip(gts, vals):
+            rows.append((name, float(v), pd.Timestamp(t, unit="s")))
+    parsed = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "value", "ts"]))
+    anomalies = spark.createDataFrame(
+        [("anom", float(gts[-1]))], "conv_id string, last_ts double")
+    out = luminosity_correlations(parsed, anomalies, window_s=3600,
+                                  step_s=60, max_shift_s=180,
+                                  threshold=0.9, mode="luminol").toPandas()
+    assert set(out.cand_conv) == {"follower"}
+    r = out.iloc[0]
+    assert r.coefficient >= 0.9
+    assert r.shift_seconds == 120
+    assert r.shifted_coefficient <= r.coefficient
