@@ -34,6 +34,26 @@ def main() -> int:
     timings: dict[str, float] = {}
     n_turns = spark.read.parquet(f"{sf_dir}/events.parquet").count()
 
+    # ---- input cardinalities (cheap aggregations, NOT timed) ----------
+    # recorded so every BENCH_rN is self-attributing: a per-query wall
+    # change can be traced to input growth vs plan regression (the r02
+    # q7 2.5x was untraceable from artifacts alone — it was the planted
+    # view%40 split growing the correlate pair-set 214k -> 562k rows)
+    from skyline_spark import queries as Qm
+    from skyline_spark.operators import preprocess as _pp
+    valid = Qm._valid(spark, sf_dir)
+    n_valid = valid.count()
+    n_series = valid.select("conv_id").distinct().count()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    hourly = _pp.downsample(valid, 3600, method="mean")
+    per_bucket = hourly.groupBy("bucket_start").count()
+    q7_pairs = int(per_bucket.agg(F.sum(
+        F.col("count") * (F.col("count") - 1) / 2)).first()[0] or 0)
+    inputs = {"events": n_turns, "valid_events": n_valid,
+              "series": n_series, "documents": n_docs,
+              "embeddings": n_emb, "q7_pair_rows": q7_pairs}
+
     fast = os.environ.get("SPARK_GRAFT_BENCH_FAST", "") == "1"
 
     def timed(name: str, make_df, runs: int = 2) -> None:
@@ -105,12 +125,28 @@ def main() -> int:
     timed("q8_minhash_near_dups", minhash_production)
     timed("q9_cosine_topk", lambda: Q.q_cosine_topk(spark, sf_dir))
 
+    # primary input table per query (rows), keyed like `queries`
+    input_rows = {
+        "q1_pipeline_end_to_end": n_turns,
+        f"q1r_pipeline_replicated_{replicas}x": n_turns * replicas,
+        "q2_parse_events": n_turns,
+        "q3_exception_filters": n_valid,
+        "q4_downsample_1h": n_valid,
+        "q5_flux_aggregate_1h": n_turns,
+        "q6_least_squares": n_valid,
+        "q7_correlate_pearson": q7_pairs,
+        "q8_minhash_near_dups": n_docs,
+        "q9_cosine_topk": n_emb,
+    }
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "end-to-end parse->route pipeline + headline operators, total wall seconds",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "inputs": inputs,
+        "input_rows": input_rows,
         "sf": sf,
         "turns": n_turns,
         "pipeline_turns_per_sec": round(n_turns / timings["q1_pipeline_end_to_end"], 1),

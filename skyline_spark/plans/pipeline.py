@@ -47,7 +47,8 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
                  ionosphere_enabled: bool = False,
                  recent_alerts: DataFrame | None = None,
                  persist_intermediates: bool = True,
-                 broadcast_verdicts_max_rows: int = 1_000_000) -> PipelineResult:
+                 broadcast_verdicts_max_bytes: int = 128 << 20
+                 ) -> PipelineResult:
     cfg = cfg or PipelineConfig()
     if now is None:
         now = batch_now(transcripts)
@@ -78,8 +79,16 @@ def run_pipeline(spark: SparkSession, transcripts: DataFrame,
         # broadcast of billions of verdict rows would OOM the driver).
         # Without the gate, AQE only converts AFTER the fact side's
         # shuffle WRITE has happened — the write itself is the cost.
-        n_verdicts = all_verdicts.count()
-        broadcast_verdicts = n_verdicts <= broadcast_verdicts_max_rows
+        # The gate is a BYTE budget, not a row count: verdict rows carry
+        # ensemble/triggered/algorithms_run arrays plus the waterfall
+        # struct, so 1M rows can be hundreds of MB — row counting is the
+        # wrong unit on a 4-8 GiB production driver. After the count
+        # materializes the cache, the InMemoryRelation's stats report
+        # the ACTUAL cached size, not an estimate.
+        all_verdicts.count()
+        est_bytes = int(all_verdicts._jdf.queryExecution()
+                        .optimizedPlan().stats().sizeInBytes())
+        broadcast_verdicts = est_bytes <= broadcast_verdicts_max_bytes
 
     routed_v = route_verdicts(all_verdicts, mirage_always=mirage_always,
                               ionosphere_enabled=ionosphere_enabled,

@@ -70,6 +70,36 @@ def test_route_join_broadcast_is_size_based_not_forced(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
 
 
+def test_broadcast_gate_is_byte_budget(spark):
+    """The verdict-broadcast gate budgets BYTES (actual cached size from
+    the InMemoryRelation stats), not rows: with the default budget the
+    tiny fixture verdicts broadcast; with a 1-byte budget the SAME
+    verdicts (same row count) must fall back to a shuffle join."""
+    tdf = synthetic_transcripts(spark)
+    adf = spark.createDataFrame(fixture_alert_config(),
+                                schema=ALERT_CONFIG_SCHEMA)
+
+    def plan(budget):
+        res = run_pipeline(spark, tdf, adf, fixture_pipeline_config(),
+                           persist_intermediates=True,
+                           broadcast_verdicts_max_bytes=budget)
+        p = res.routed_turns._jdf.queryExecution().executedPlan().toString()
+        res.verdicts.unpersist()
+        return p
+
+    # auto-broadcast off so the plan shows the GATE's decision, not the
+    # planner's own small-table conversion
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        assert "BroadcastHashJoin" in plan(128 << 20)
+        small = plan(1)  # same verdicts, same rows — byte budget says no
+        assert "BroadcastHashJoin" not in small
+        assert "SortMergeJoin" in small or "ShuffledHashJoin" in small
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_single_wide_exchange_on_analyze_path(plans):
     verdict_plan, _ = plans
     # exactly TWO (conv_id, metric) exchanges: the one group exchange

@@ -400,6 +400,42 @@ def test_streaming_full_pipeline_foreachbatch(spark, tmp_path):
     assert "anomalous" in sinks and "exception" in sinks
 
 
+def test_streaming_flux_multibatch_equals_batch(spark, tmp_path):
+    """Batch-vs-streaming parity under INCREMENTAL state: the events
+    table split into 3 time-interleaved file drops (event_id mod 3, so
+    every window keeps receiving rows across micro-batches) must drain
+    to the IDENTICAL aggregate as the one-shot batch plan — pinning the
+    streaming state updates, not just a single-batch replay."""
+    import os
+
+    from skyline_spark.operators.aggregate import flux_aggregate
+    from skyline_spark.streaming.flux_agg import (
+        run_to_memory,
+        streaming_flux_aggregate,
+    )
+    src = "/root/testdata/sf0.001/events.parquet"
+    ev = spark.read.parquet(src)
+    srcdir = str(tmp_path / "events_mb")
+    os.makedirs(srcdir, exist_ok=True)
+    for i in range(3):
+        ev.where(F.col("event_id") % 3 == i).coalesce(1) \
+            .write.parquet(f"{srcdir}/d{i}")
+    stream = (spark.readStream.schema(ev.schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{srcdir}/d*"))
+    agg = streaming_flux_aggregate(stream, 3600)
+    q = run_to_memory(agg, "flux_mb", str(tmp_path / "ckpt_mb"))
+    q.awaitTermination(180)
+    assert len(q.recentProgress) >= 3  # genuinely incremental
+    got = spark.sql("select * from flux_mb").toPandas() \
+        .sort_values(["namespace", "bucket_start"]).reset_index(drop=True)
+    want = flux_aggregate(ev, 3600, namespace_col="event_type").toPandas() \
+        .sort_values(["namespace", "bucket_start"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["namespace", "bucket_start", "avg", "sum", "min", "max"]],
+        want[["namespace", "bucket_start", "avg", "sum", "min", "max"]],
+        check_dtype=False)
+
+
 def test_streaming_flux_aggregate(spark, tmp_path):
     """availableNow streaming run over the events table must equal the
     batch aggregation."""
