@@ -289,6 +289,272 @@ def significant_change_window_percent_sustained(ts: np.ndarray,
     return bool(anomalous), float(score)
 
 
+def custom_median_absolute_deviation(ts: np.ndarray, values: np.ndarray,
+                                     params: dict):
+    """The shipped custom MAD variant — same statistic as the 3-sigma
+    suite's A1 but with a fixed threshold of 6 and a (True, 1.0) /
+    (False, 0.0) score shape
+    (skyline/custom_algorithms/median_absolute_deviation.py:99-113)."""
+    med = float(np.median(values))
+    demed = np.abs(values - med)
+    mad = float(np.median(demed))
+    if mad == 0:
+        return False, 0.0
+    return (True, 1.0) if demed[-1] / mad > 6 else (False, 0.0)
+
+
+def lad(ts: np.ndarray, values: np.ndarray, params: dict):
+    """Large-deviations anomaly detection
+    (skyline/custom_algorithms/lad.py:187-247): z-normalize (mean-center
+    only when std is 0), rate-function entropy -z²/2, scores = -entropy
+    min-max normalized, label points above the ``threshold`` percentile
+    (default 95), anomalous when a label lands in the last
+    ``anomaly_window`` (default 1)."""
+    threshold = int(params.get("threshold", 95))
+    anomaly_window = int(params.get("anomaly_window", 1))
+    std = float(np.std(values))
+    z = (values - float(np.mean(values))) / std if std != 0 \
+        else values - float(np.mean(values))
+    scores = np.square(z) / 2.0
+    lo, hi = float(np.min(scores)), float(np.max(scores))
+    scores = (scores - lo) / (hi - lo) if hi != lo \
+        else np.zeros_like(scores)
+    labels = scores > np.percentile(scores, threshold)
+    hit = bool(labels[-anomaly_window:].any())
+    return hit, (1.0 if hit else 0.0)
+
+
+def last_same_hours(ts: np.ndarray, values: np.ndarray, params: dict):
+    """Last value vs the 3-sigma (population) band of the values at
+    exactly ts_last - k·86400 within ``sample_period``
+    (skyline/custom_algorithms/last_same_hours.py:144-207). Quirks kept:
+    needs >= 3 days of span else (None, None); the daily chain stops at
+    the first missing exact timestamp (the reference's descending scan
+    never re-syncs after a miss); <= 1 collected points -> (False, 0.0)
+    via the reference's ``if not anomalous`` fall-through."""
+    sample_period = int(params.get("sample_period", 259200))
+    end_ts = int(ts[-1])
+    if end_ts - int(ts[0]) < 259200:
+        return None, None
+    tt = ts.astype(np.int64)
+    same_hour: list[float] = []
+    target = end_ts - 86400
+    oldest = end_ts - sample_period
+    while target >= oldest:
+        hit = np.flatnonzero(tt == target)
+        if hit.size == 0:
+            break
+        same_hour.append(float(values[hit[0]]))
+        target -= 86400
+    if len(same_hour) > 1:
+        mean = float(np.mean(same_hour))
+        std = float(np.std(same_hour))
+        v = float(values[-1])
+        if v > mean + 3 * std or v < mean - 3 * std:
+            return True, 1.0
+    return False, 0.0
+
+
+_SR_EPSILON = 1e-8
+
+
+def _sr_pad_same(x: np.ndarray, ksize: int, method: str,
+                 side: str) -> np.ndarray:
+    """'same'-length padding before a valid convolution — constant-0 /
+    replicate / reflect, bilateral / left / right (the alibi-detect
+    pad_same the reference vendors,
+    skyline/custom_algorithm_sources/spectral_residual/
+    spectral_residual.py:207-293)."""
+    pad = ksize - 1
+    if side == "bilateral":
+        pr = pad // 2
+        pl = pad - pr
+    elif side == "left":
+        pl, pr = pad, 0
+    else:
+        pl, pr = 0, pad
+    if method == "replicate":
+        left, right = np.tile(x[0], pl), np.tile(x[-1], pr)
+    elif method == "reflect":
+        left = x[1:pl + 1][::-1]
+        right = x[-pr - 1:-1][::-1] if pr > 0 else np.array([])
+    else:
+        left, right = np.zeros(pl), np.zeros(pr)
+    return np.concatenate([left, x, right])
+
+
+def spectral_residual(ts: np.ndarray, values: np.ndarray, params: dict):
+    """Saliency-map spectral residual (Ren et al. 2019,
+    arXiv:1906.03821), the math of the alibi-detect implementation the
+    reference vendors (skyline/custom_algorithms/spectral_residual.py:
+    296-440 wrapper defaults at :221-278): estimate n_est_points future
+    points from the last-gradient, FFT -> log-amplitude minus its
+    window_amp moving average -> inverse FFT saliency, iscore =
+    (sr - local-mean(sr)) / local-mean(sr) with a preceding-only
+    window_local kernel, threshold inferred at the ``threshold_perc``
+    percentile of the scores, anomalous when an outlier lands in the
+    last ``anomaly_window`` (default 1 -> promoted to 3, the leading-
+    edge quirk at :274-278)."""
+    threshold = params.get("threshold")
+    threshold_perc = float(params.get("threshold_perc", 99.0))
+    window_amp = int(params.get("window_amp", 20))
+    window_local = int(params.get("window_local", 20))
+    n_est = int(params.get("estimate_points", 20))
+    n_grad = int(params.get("gradient_points", 5))
+    amp_method = params.get("padding_amp_method", "reflect")
+    local_method = params.get("padding_local_method", "reflect")
+    amp_side = params.get("padding_amp_side", "bilateral")
+    anomaly_window = int(params.get("anomaly_window", 1))
+    if anomaly_window == 1:
+        anomaly_window = 3
+    try:
+        x = values.astype(np.float64)
+        t = ts.astype(np.float64)
+        if x.size <= max(window_local, window_amp, n_grad + 1):
+            return None, None
+        # pad estimated points so the tail sits mid-window (:369-389)
+        dx = x[-1] - x[-n_grad - 1:-1]
+        dt = t[-1] - t[-n_grad - 1:-1]
+        grads = float(np.mean(dx / dt) * np.mean(dt))
+        x_pad = np.concatenate([x, np.tile(x[-n_grad] + grads, n_est)])
+        # saliency map (:296-344)
+        fft = np.fft.fft(x_pad)
+        log_amp = np.log(np.abs(fft) + _SR_EPSILON)
+        phase = np.angle(fft)
+        bias, sym = log_amp[:1], log_amp[1:]
+        freq = sym[:(len(sym) + 1) // 2]
+        conv_amp = np.ones(window_amp) / window_amp
+        ma_freq = np.convolve(
+            _sr_pad_same(freq, window_amp, amp_method, amp_side),
+            conv_amp, "valid")
+        ma_log_amp = np.concatenate([
+            bias, ma_freq,
+            (ma_freq[:-1] if len(sym) % 2 == 1 else ma_freq)[::-1]])
+        sr = np.abs(np.fft.ifft(np.exp(log_amp - ma_log_amp
+                                       + 1j * phase)))[:-n_est]
+        # preceding-only local average: [0, 1/w, ..., 1/w] (:155-163)
+        conv_local = np.ones(window_local + 1) / window_local
+        conv_local[0] = 0.0
+        ma_sr = np.convolve(
+            _sr_pad_same(sr, window_local + 1, local_method, "left"),
+            conv_local, "valid")
+        iscore = (sr - ma_sr) / (ma_sr + _SR_EPSILON)
+        thr = float(threshold) if threshold is not None \
+            else float(np.percentile(iscore, threshold_perc))
+        outliers = iscore > thr
+        hit = bool(outliers[-anomaly_window:].any())
+        return hit, (1.0 if hit else 0.0)
+    except Exception:
+        return None, None
+
+
+def lof(ts: np.ndarray, values: np.ndarray, params: dict):
+    """Local outlier factor over the 1-D value space, reproducing
+    sklearn's ``LocalOutlierFactor(novelty=True).fit(X).predict(X)``
+    flow the reference runs (skyline/custom_algorithms/lof.py:175-207):
+    fit-neighbors exclude self, query-neighbors (the same points) keep
+    self at distance 0, outlier when mean lrd-ratio > 1.5 (the novelty
+    offset), anomalous when an outlier lands in the last
+    ``anomaly_window``. kNN via the sorted-order window (O(n·k)), not an
+    all-pairs matrix."""
+    n_neighbors = int(params.get("n_neighbors", 20))
+    anomaly_window = int(params.get("anomaly_window", 1))
+    n = values.size
+    k = min(n_neighbors, n - 1)
+    if k < 1:
+        return False, 0.0
+    order = np.argsort(values, kind="stable")
+    xs = values[order].astype(np.float64)
+    # candidate neighbors of sorted-position i live in [i-k, i+k]
+    offs = np.arange(-k, k + 1)
+    pos = np.clip(np.arange(n)[:, None] + offs[None, :], 0, n - 1)
+    dist = np.abs(xs[pos] - xs[:, None])
+    # out-of-range clipped duplicates: mark so they sort last
+    valid = (np.arange(n)[:, None] + offs[None, :] == pos)
+    self_col = k  # offset 0
+    big = np.inf
+    d_fit = dist.copy()
+    d_fit[~valid] = big
+    d_fit[:, self_col] = big            # fit: exclude self
+    sel = np.argsort(d_fit, axis=1, kind="stable")[:, :k]
+    nd_fit = np.take_along_axis(d_fit, sel, 1)
+    ni_fit = np.take_along_axis(pos, sel, 1)
+    k_dist = nd_fit[:, -1]
+    reach = np.maximum(nd_fit, k_dist[ni_fit])
+    lrd_fit = 1.0 / (reach.mean(axis=1) + 1e-10)
+    # query pass: same points, self included at distance 0
+    d_q = dist.copy()
+    d_q[~valid] = big
+    sel_q = np.argsort(d_q, axis=1, kind="stable")[:, :k]
+    nd_q = np.take_along_axis(d_q, sel_q, 1)
+    ni_q = np.take_along_axis(pos, sel_q, 1)
+    reach_q = np.maximum(nd_q, k_dist[ni_q])
+    lrd_q = 1.0 / (reach_q.mean(axis=1) + 1e-10)
+    score_samples = -(lrd_fit[ni_q] / lrd_q[:, None]).mean(axis=1)
+    outlier_sorted = score_samples < -1.5   # novelty offset_ = -1.5
+    outlier = np.empty(n, dtype=bool)
+    outlier[order] = outlier_sorted
+    hit = bool(outlier[-anomaly_window:].any())
+    return hit, (1.0 if hit else 0.0)
+
+
+def _iforest_avg_path(m: np.ndarray | int) -> np.ndarray | float:
+    """Average BST unsuccessful-search path length c(m) (Liu et al.
+    2008, eq. 1) — sklearn's _average_path_length: 0 for m<=1, 1 for
+    m==2, else 2·H(m-1) - 2(m-1)/m."""
+    m_arr = np.atleast_1d(np.asarray(m, dtype=np.float64))
+    out = np.zeros_like(m_arr)
+    out[m_arr == 2] = 1.0
+    big = m_arr > 2
+    mb = m_arr[big]
+    out[big] = 2.0 * (np.log(mb - 1.0) + np.euler_gamma) \
+        - 2.0 * (mb - 1.0) / mb
+    return out if np.ndim(m) else float(out[0])
+
+
+def isolation_forest(ts: np.ndarray, values: np.ndarray, params: dict):
+    """Isolation forest over the standardized 1-D value space
+    (skyline/custom_algorithms/isolation_forest.py:218-247: scale,
+    IsolationForest(contamination='auto').fit/predict, outlier when the
+    anomaly score crosses the auto offset -0.5, anomalous when an
+    outlier lands in the last ``anomaly_window``). The reference rides
+    sklearn's unseeded RNG; this port is the same forest (100 trees,
+    256-point subsamples, uniform split thresholds, depth cap
+    ceil(log2(psi))) with a fixed seed for determinism."""
+    anomaly_window = int(params.get("anomaly_window", 1))
+    n_trees = int(params.get("n_estimators", 100))
+    seed = int(params.get("seed", 0))
+    n = values.size
+    if n < 2:
+        return False, 0.0
+    std = float(np.std(values))
+    x = (values - float(np.mean(values))) / std if std != 0 \
+        else values - float(np.mean(values))
+    rng = np.random.RandomState(seed)
+    psi = min(256, n)
+    max_depth = int(np.ceil(np.log2(max(psi, 2))))
+    depths = np.zeros(n, dtype=np.float64)
+
+    def grow(sample: np.ndarray, ev: np.ndarray, depth: int) -> None:
+        if depth >= max_depth or sample.size <= 1 \
+                or float(sample.min()) == float(sample.max()):
+            depths[ev] += depth + _iforest_avg_path(sample.size)
+            return
+        q = rng.uniform(float(sample.min()), float(sample.max()))
+        left = x[ev] < q
+        grow(sample[sample < q], ev[left], depth + 1)
+        grow(sample[sample >= q], ev[~left], depth + 1)
+
+    everything = np.arange(n)
+    for _ in range(n_trees):
+        grow(x[rng.choice(n, psi, replace=False)], everything, 0)
+    score_samples = -np.power(
+        2.0, -(depths / n_trees) / _iforest_avg_path(psi))
+    outlier = score_samples < -0.5      # contamination='auto' offset_
+    hit = bool(outlier[-anomaly_window:].any())
+    return hit, (1.0 if hit else 0.0)
+
+
 SHIPPED = {
     "sigma": sigma, "level_shift": level_shift, "iqr_outlier": iqr_outlier,
     "abs_stddev_from_median": abs_stddev_from_median,
@@ -296,4 +562,8 @@ SHIPPED = {
     "m66": m66, "macd": macd, "spectral_entropy": spectral_entropy,
     "significant_change_window_percent_sustained":
         significant_change_window_percent_sustained,
+    "median_absolute_deviation": custom_median_absolute_deviation,
+    "lad": lad, "last_same_hours": last_same_hours,
+    "spectral_residual": spectral_residual,
+    "lof": lof, "isolation_forest": isolation_forest,
 }

@@ -105,6 +105,94 @@ def test_ported_custom_algorithms(noisy):
     assert scwps(ts[:1200], zero_base, {}) == (None, None)
 
 
+def test_ported_custom_algorithms_tranche2(noisy):
+    """Second round-3 tranche (skyline/custom_algorithms/):
+    median_absolute_deviation (custom 6x variant), lad, last_same_hours,
+    spectral_residual, lof, isolation_forest."""
+    from skyline_spark.functions.custom_algorithms import (
+        custom_median_absolute_deviation as cmad,
+        isolation_forest,
+        lad,
+        last_same_hours,
+        lof,
+        spectral_residual,
+    )
+    ts, v = noisy
+
+    spiked = v.copy()
+    spiked[-1] = 200.0
+    assert cmad(ts, spiked, {}) == (True, 1.0)
+    assert cmad(ts, v, {}) == (False, 0.0)
+    assert cmad(ts, np.full(10, 3.0), {}) == (False, 0.0)  # MAD 0 guard
+
+    assert lad(ts, spiked, {}) == (True, 1.0)
+    assert lad(ts, v, {}) == (False, 0.0)
+    # threshold 95 flags the top 5% everywhere: a window wider than 5%
+    # of the series always contains one -> anomalous even on noise
+    assert lad(ts, v, {"anomaly_window": 200}) == (True, 1.0)
+
+    # last_same_hours: hourly cadence over 4 days, daily-repeating peak
+    hts = np.arange(0, 4 * 86400 + 3600, 3600, dtype=np.float64)
+    hv = np.full(hts.size, 10.0)
+    hv[np.flatnonzero(hts % 86400 == 0)] = 100.0  # daily spike incl last
+    assert last_same_hours(hts, hv, {}) == (False, 0.0)  # repeating=normal
+    solo = hv.copy()
+    solo[-1] = 500.0  # this day's peak is way off the daily band
+    assert last_same_hours(hts, solo, {}) == (True, 1.0)
+    # < 3 days of data -> undeterminable
+    assert last_same_hours(hts[:48], hv[:48], {}) == (None, None)
+
+    assert spectral_residual(ts, spiked, {}) == (True, 1.0)
+    sr_quiet = spectral_residual(ts, v, {})
+    assert sr_quiet[0] is False
+    assert spectral_residual(ts[:10], v[:10], {}) == (None, None)
+
+    assert lof(ts, spiked, {}) == (True, 1.0)
+    assert lof(ts, v, {}) == (False, 0.0)
+    assert lof(ts[:1], v[:1], {}) == (False, 0.0)
+
+    assert isolation_forest(ts, spiked, {}) == (True, 1.0)
+    assert isolation_forest(ts, v, {}) == (False, 0.0)
+    # deterministic: same seed, same verdict both calls
+    assert isolation_forest(ts, spiked, {}) == \
+        isolation_forest(ts, spiked, {})
+
+
+def test_lof_windowed_knn_equals_all_pairs():
+    """The O(n·k) sorted-window kNN inside lof() must agree with a naive
+    all-pairs distance-matrix LOF (same fit-excludes-self /
+    query-includes-self novelty flow) on random data with ties."""
+    from skyline_spark.functions.custom_algorithms import lof
+
+    def naive_outliers(x, k):
+        n = x.size
+        k = min(k, n - 1)
+        d = np.abs(x[:, None] - x[None, :])
+        d_fit = d.copy()
+        np.fill_diagonal(d_fit, np.inf)
+        sel = np.argsort(d_fit, 1, kind="stable")[:, :k]
+        nd = np.take_along_axis(d_fit, sel, 1)
+        k_dist = nd[:, -1]
+        lrd = 1 / (np.maximum(nd, k_dist[sel]).mean(1) + 1e-10)
+        sel_q = np.argsort(d, 1, kind="stable")[:, :k]
+        nd_q = np.take_along_axis(d, sel_q, 1)
+        lrd_q = 1 / (np.maximum(nd_q, k_dist[sel_q]).mean(1) + 1e-10)
+        return -(lrd[sel_q] / lrd_q[:, None]).mean(1) < -1.5
+
+    rng = np.random.RandomState(7)
+    for _ in range(10):
+        n = rng.randint(5, 300)
+        x = np.round(rng.normal(0, 1, n), rng.choice([1, 2, 6]))
+        if rng.rand() < 0.5:
+            x[rng.randint(n)] += 20
+        ts = np.arange(n, dtype=float)
+        k = int(rng.choice([3, 5, 20]))
+        out = naive_outliers(x.astype(float), k)
+        assert lof(ts, x, {"n_neighbors": k})[0] == bool(out[-1:].any())
+        assert lof(ts, x, {"n_neighbors": k,
+                           "anomaly_window": n})[0] == bool(out.any())
+
+
 def test_custom_consensus_override(noisy):
     """A consensus_override custom algorithm decides by itself even when
     the 3-sigma suite votes not-anomalous."""
