@@ -555,6 +555,433 @@ def isolation_forest(ts: np.ndarray, values: np.ndarray, params: dict):
     return hit, (1.0 if hit else 0.0)
 
 
+def _find_peaks(y: np.ndarray, distance: int) -> np.ndarray:
+    """Local maxima with plateau-midpoint selection and min-distance
+    thinning by height priority — the scipy.signal.find_peaks(distance=)
+    semantics the reference calls (anomalous_daily_peak.py:229-232);
+    scipy itself is absent from this container."""
+    n = y.size
+    mids = []
+    heights = []
+    i = 1
+    while i < n - 1:
+        if y[i - 1] < y[i]:
+            j = i
+            while j < n - 1 and y[j + 1] == y[i]:
+                j += 1
+            if j < n - 1 and y[j + 1] < y[i]:
+                mids.append((i + j) // 2)
+                heights.append(y[i])
+                i = j
+        i += 1
+    peaks = np.asarray(mids, dtype=np.int64)
+    if peaks.size == 0 or distance <= 1:
+        return peaks
+    keep = np.ones(peaks.size, dtype=bool)
+    priority = np.argsort(np.asarray(heights))
+    for pi in range(peaks.size - 1, -1, -1):
+        j = priority[pi]
+        if not keep[j]:
+            continue
+        k = j - 1
+        while k >= 0 and peaks[j] - peaks[k] < distance:
+            keep[k] = False
+            k -= 1
+        k = j + 1
+        while k < peaks.size and peaks[k] - peaks[j] < distance:
+            keep[k] = False
+            k += 1
+    return peaks[keep]
+
+
+def anomalous_daily_peak(ts: np.ndarray, values: np.ndarray, params: dict):
+    """Is the current anomaly just the normal daily peak?
+    (skyline/custom_algorithms/anomalous_daily_peak.py:160-546) — a
+    mirage-side NEGATING check: True = genuinely anomalous, False = a
+    repetitive daily peak within 3-sigma of the other days' peak-period
+    sums. Quirks kept: low resolution (>900s) or <5.25 days of data
+    return (True, 1.0); non-aligned values are flattened to the mean
+    before peak finding; peak periods are the 4-of-7 consecutive values
+    whose sum is closest to the anomaly period's sum; the daily-gap
+    window is the literal integer range 83000..88999."""
+    number_of_daily_peaks = int(params.get("number_of_daily_peaks", 3))
+    within_pct = float(params.get("within_percent_of_normal_peaks", 0.0))
+    try:
+        tt = ts.astype(np.int64)
+        diffs = np.diff(tt)
+        uniq, counts = np.unique(diffs, return_counts=True)
+        resolution = int(uniq[np.argmax(counts)])
+        if resolution > 900:
+            return True, 1.0
+        if int(tt[-1] - tt[0]) < 446400:
+            return True, 1.0
+        anomaly_ts = int(tt[-1])
+        mean = float(np.mean(values))
+        # flatten values outside the +/-3-point daily windows (:182-215)
+        aligned: set[int] = {anomaly_ts}
+        for i in range(1, 7):
+            t0 = anomaly_ts - 86400 * i
+            aligned.add(t0)
+            for ii in range(1, 4):
+                aligned.add(t0 - resolution * ii)
+        for ii in range(1, 4):
+            aligned.add(anomaly_ts - resolution * ii)
+        y = values.astype(np.float64).copy()
+        flat = np.array([int(t) not in aligned and int(t) < anomaly_ts
+                         for t in tt])
+        y[flat] = mean
+        # trailing mean pad so an end-of-series peak still registers
+        y_pad = np.concatenate([y, np.full(7, mean)])
+        distance = int((3600 / resolution) * 23)
+        peaks = _find_peaks(y_pad, distance)
+        if peaks.size == 0:
+            return True, 1.0
+        n = tt.size
+        anomaly_index = n - 1
+        peak_set = set(int(p) for p in peaks)
+        in_window = anomaly_index in peak_set
+        anomaly_peak_index = anomaly_index
+        if not in_window:
+            # the reference scans offsets -6..-2 and +1..+5 (:246-258 —
+            # note -1 is excluded by its range(-allow_for, -1))
+            allow_for = 6 if resolution <= 600 else 4
+            for p in peaks:
+                for off in list(range(-allow_for, -1)) + \
+                        list(range(1, allow_for)):
+                    if anomaly_index == p + off:
+                        in_window = True
+                        anomaly_peak_index = int(p)
+                        break
+                if in_window:
+                    break
+        if not in_window:
+            return True, 1.0
+        # peak periods: 3 before .. 3 after (last peak: 3 before only),
+        # values collected in DESCENDING ts order (:274-308)
+        period_indices = {}
+        for idx, p in enumerate(peaks):
+            p = int(p)
+            last = (p == int(peaks[-1]))
+            period_indices[idx] = set(
+                range(p - 3, p + 1) if last else range(p - 3, p + 4))
+        peak_periods: dict[int, list[tuple[int, float]]] = \
+            {idx: [] for idx in period_indices}
+        peak_timestamps = []
+        for i in range(n - 1, -1, -1):
+            for idx, indices in period_indices.items():
+                if i in indices:
+                    peak_periods[idx].append((int(tt[i]), float(values[i])))
+                    if i in peak_set:
+                        peak_timestamps.append(int(tt[i]))
+                    break
+        # keep peaks whose gap to the next is ~24h (:310-317)
+        gaps = [-d for d in np.diff(peak_timestamps)]
+        daily_peaks = [peak_timestamps[i] for i, g in enumerate(gaps)
+                       if 83000 <= g < 89000
+                       or peak_timestamps[i] == anomaly_ts]
+        if len(daily_peaks) < number_of_daily_peaks:
+            return True, 1.0
+        target_ts = daily_peaks[-1]
+        target_sum = 0.0
+        for idx, period in peak_periods.items():
+            if target_ts in [p[0] for p in period]:
+                target_sum = sum(p[1] for p in period)
+        # closest-sum 4-of-7 window per period (:376-398)
+        peak_period_values = {}
+        for peak_ts in reversed(daily_peaks):
+            for idx, period in peak_periods.items():
+                p_ts = [p[0] for p in period]
+                if peak_ts not in p_ts:
+                    continue
+                vals = [p[1] for p in period]
+                window_sum = sum(vals[:4])
+                closest, closest_vals = window_sum, vals[:4]
+                for i in range(1, len(vals) - 3):
+                    window_sum = window_sum - vals[i - 1] + vals[i + 3]
+                    if abs(window_sum - target_sum) < \
+                            abs(closest - target_sum):
+                        closest, closest_vals = window_sum, vals[i:i + 4]
+                if sum(closest_vals) == 0:
+                    continue
+                peak_period_values[idx] = (peak_ts, sum(closest_vals))
+        if len(peak_period_values) < number_of_daily_peaks:
+            return True, 1.0
+        anomaly_peak_ts = int(tt[anomaly_peak_index])
+        peak_values = [s for (p_ts, s) in peak_period_values.values()
+                       if p_ts != anomaly_peak_ts]
+        anomaly_sum = sum(s for (p_ts, s) in peak_period_values.values()
+                          if p_ts == anomaly_peak_ts)
+        if len(peak_values) < number_of_daily_peaks:
+            return True, 1.0
+        if anomaly_sum == 0:
+            return True, 1.0
+        mean_s = float(np.mean(peak_values))
+        std_s = float(np.std(peak_values))
+        diff = float(anomaly_sum - mean_s)
+        anomalous = bool(abs(diff) > 3 * std_s)
+        if within_pct and anomalous:
+            pct = _percent_different(abs(diff), 3 * std_s)
+            pct = 100.0 if pct is None else abs(pct)
+            if pct <= within_pct:
+                anomalous = False
+        return anomalous, (1.0 if anomalous else 0.0)
+    except Exception:
+        return None, None
+
+
+def _kneedle_convex_increasing(y: np.ndarray) -> int | None:
+    """Knee index of a convex increasing curve per the Kneedle paper
+    (Satopaa et al. 2011, S=1) — the container has no kneed, so this is
+    the paper's offline algorithm: normalize, difference curve
+    x_n - y_n, candidate = local maxima, knee fires when the difference
+    drops below (max - S·mean Δx) before the next maximum."""
+    n = y.size
+    if n < 3:
+        return None
+    x_n = np.arange(n, dtype=np.float64) / (n - 1)
+    lo, hi = float(np.min(y)), float(np.max(y))
+    if hi == lo:
+        return None
+    y_n = (y - lo) / (hi - lo)
+    diff = x_n - y_n
+    maxima = [i for i in range(1, n - 1)
+              if diff[i] >= diff[i - 1] and diff[i] >= diff[i + 1]]
+    if not maxima:
+        return None
+    s_dx = 1.0 * float(np.mean(np.diff(x_n)))
+    knee = None
+    mi = 0
+    thr = diff[maxima[0]] - s_dx
+    for i in range(maxima[0] + 1, n):
+        if mi + 1 < len(maxima) and i == maxima[mi + 1]:
+            mi += 1
+            thr = diff[maxima[mi]] - s_dx
+            continue
+        if diff[i] < thr:
+            knee = maxima[mi]
+            break
+    return knee
+
+
+def _dbscan_labels(X: np.ndarray, eps: float, min_samples: int) -> np.ndarray:
+    """Plain DBSCAN (Ester et al. 1996) with per-point on-demand
+    neighborhoods — O(n²) time, O(n) memory, no sklearn in container.
+    Self counts toward min_samples and the radius is inclusive, matching
+    sklearn.cluster.DBSCAN."""
+    n = X.shape[0]
+    labels = np.full(n, -1, dtype=np.int64)
+    visited = np.zeros(n, dtype=bool)
+    eps2 = eps * eps
+
+    def neighbors(i: int) -> np.ndarray:
+        return np.flatnonzero(((X - X[i]) ** 2).sum(axis=1) <= eps2)
+
+    cluster = -1
+    for i in range(n):
+        if visited[i]:
+            continue
+        visited[i] = True
+        nb = neighbors(i)
+        if nb.size < min_samples:
+            continue
+        cluster += 1
+        labels[i] = cluster
+        queue = list(nb)
+        qi = 0
+        while qi < len(queue):
+            q = int(queue[qi])
+            qi += 1
+            if labels[q] == -1:
+                labels[q] = cluster
+            if not visited[q]:
+                visited[q] = True
+                nq = neighbors(q)
+                if nq.size >= min_samples:
+                    queue.extend(nq)
+    return labels
+
+
+def dbscan(ts: np.ndarray, values: np.ndarray, params: dict):
+    """DBSCAN outlier detection over (rolling mean, rolling var)
+    features (skyline/custom_algorithms/dbscan.py:270-536). Quirks kept:
+    eps is the knee INDEX of the sorted kNN-distance curve (not the
+    distance at the knee — dbscan.py:363-377), falling back to
+    int(0.95·n); a fit with 0 outliers or more than a third outliers is
+    refit at eps·2; >n/3 outliers after labeling makes the verdict
+    unreliable -> (None, None)."""
+    window = int(params.get("window", 3))
+    min_samples = int(params.get("min_samples", 4))
+    eps_percentile = int(params.get("eps_percentile", 95))
+    anomaly_window = int(params.get("anomaly_window", 1))
+    try:
+        x = values.astype(np.float64)
+        n = x.size
+        if n < window + min_samples:
+            return None, None
+        sw = np.lib.stride_tricks.sliding_window_view(x, window)
+        feats = np.column_stack([sw.mean(axis=1), sw.var(axis=1)])
+        m = feats.shape[0]
+        # sorted kNN distance curve, column 1 (dbscan.py:365-371): the
+        # distance to each point's nearest non-self neighbor, sorted
+        k = min(min_samples, m)
+        d1 = np.empty(m)
+        for i in range(m):
+            d = np.sqrt(((feats - feats[i]) ** 2).sum(axis=1))
+            d1[i] = np.partition(d, 1)[1] if m > 1 else 0.0
+        curve = np.sort(d1)
+        eps = _kneedle_convex_increasing(curve)
+        if eps is None or eps <= 0:
+            eps = int((m / 100) * eps_percentile)
+        lbl = _dbscan_labels(feats, float(eps), min_samples)
+        outlier_count = int((lbl == -1).sum())
+        if outlier_count == 0 or outlier_count > n / 3:
+            lbl = _dbscan_labels(feats, float(eps) * 2, min_samples)
+        # left-pad the window warmup as inliers (:476-479)
+        scores = np.concatenate([np.zeros(n - m), (lbl == -1).astype(float)])
+        hit = bool(scores[-anomaly_window:].any())
+        if float((lbl == -1).sum()) > n / 3:
+            return None, None       # unreliable parameter fit (:501-510)
+        return hit, (1.0 if hit else 0.0)
+    except Exception:
+        return None, None
+
+
+def _fft_extrapolation(values: np.ndarray, n_predict: int = 10,
+                       n_harmonics: int = 4) -> np.ndarray:
+    """Fourier extrapolation padding (skyline/functions/
+    timeseries_predictions/fft_extrapolation.py:109-140): linear detrend
+    by the fitted slope only, keep the 1+2·n_harmonics largest-amplitude
+    FFT components, reconstruct over n+n_predict samples, re-add the
+    slope. NaNs forward-filled (mean when leading) per :92-103. Returns
+    the n original values followed by n_predict predictions."""
+    x = values.astype(np.float64).copy()
+    nan = np.isnan(x)
+    if nan.all():
+        return x
+    if nan.any():
+        mean_value = float(np.nanmean(x))
+        last = mean_value
+        for i in range(x.size):
+            if nan[i]:
+                x[i] = last
+            else:
+                last = x[i]
+    n = x.size
+    t = np.arange(n, dtype=np.float64)
+    p = np.polyfit(t, x, 1)
+    x_freqdom = np.fft.fft(x - p[0] * t)
+    f = np.fft.fftfreq(n)
+    order = np.argsort(-np.absolute(x_freqdom), kind="stable")
+    t2 = np.arange(n + n_predict, dtype=np.float64)
+    sig = np.zeros(t2.size)
+    for i in order[:1 + n_harmonics * 2]:
+        sig += (np.absolute(x_freqdom[i]) / n) * \
+            np.cos(2 * np.pi * f[i] * t2 + np.angle(x_freqdom[i]))
+    return sig + p[0] * t2
+
+
+def low_variance_anomalous_peak_trough(ts: np.ndarray, values: np.ndarray,
+                                       params: dict):
+    """Is the flagged point an anomalous peak (or trough) relative to the
+    series' other peaks? (skyline/custom_algorithms/
+    low_variance_anomalous_peak_trough.py:190-680) — a mirage-side
+    second-opinion check whose default verdict is the passed-in
+    ``currently_anomalous``. Quirks kept: near-monotonic series (>=95%
+    one-signed diffs and >=98% of total change) skip analysis; peaks are
+    found on the Fourier-extrapolated series so an end-of-series peak
+    registers; >20 peaks are trimmed to the 10 largest (troughs: 10
+    smallest); the trough branch's "other" basket is the positional
+    ``trough_values[0:-2]``, not value-filtered like the peak branch."""
+    currently_anomalous = bool(params.get("currently_anomalous", False))
+    anomaly_window = int(params.get("anomaly_window", 4))
+    sig = float(params.get("sigma", 3))
+    try:
+        v = values.astype(np.float64)
+        n = v.size
+        last_index = n - 1
+        if n < 3:
+            return currently_anomalous, None
+        diffs = np.diff(v)
+        inc_zero = float((diffs >= 0).sum())
+        dec_zero = float((diffs <= 0).sum())
+        if inc_zero / n * 100 >= 95.0 or dec_zero / n * 100 >= 95.0:
+            inc_sum = float(diffs[diffs > 0].sum())
+            dec_sum = float(-diffs[diffs < 0].sum())
+            total = inc_sum + dec_sum
+            if total > 0:
+                pi, pd_ = inc_sum / total * 100, dec_sum / total * 100
+                if (pi >= 98.0 and pd_ < 2.0) or (pd_ >= 98.0 and pi < 2.0):
+                    return currently_anomalous, None
+        anomalous: bool | None = True
+        if anomaly_window < 10:
+            tail_avg = float(np.mean(v[-anomaly_window:]))
+        else:
+            tail_avg = float(np.mean(v[-4:]))
+        trough_mode = tail_avg < float(np.mean(v))
+        y_pred = _fft_extrapolation(v, n_predict=10)
+        extrema = _find_peaks(-y_pred if trough_mode else y_pred, 1)
+        extrema = [int(i) for i in extrema if i <= last_index]
+        if len(extrema) <= 1:
+            return True, None
+        all_extrema = list(extrema)
+        tail_window = set(range(last_index - 4, last_index + 1))
+        if not tail_window & set(extrema):
+            return True, None
+        # trim many extrema to the 10 most extreme (:385-418)
+        if len(extrema) > 20:
+            by_value = sorted(extrema, key=lambda i: v[i], reverse=True)
+            extrema = sorted(by_value[:10]) if not trough_mode \
+                else sorted(by_value[-10:])
+        check_index = None
+        for i in range(last_index - 4, last_index + 1):
+            if i in extrema:
+                check_index = i
+        if check_index is None:
+            return True, None       # trimmed away (:398-404)
+        check_value = float(v[check_index])
+        vals = [float(v[i]) for i in extrema]
+        if len(vals) == 1:
+            return True, 1.0
+        mean_v, med_v = float(np.mean(vals)), float(np.median(vals))
+        std_v = float(np.std(vals))
+        s = 1.0 if not trough_mode else -1.0
+        threshold = mean_v + s * sig * std_v
+        all_vals = [float(v[i]) for i in all_extrema]
+        if len(all_vals) <= 2:
+            return True, None
+        all_med = float(np.median(all_vals))
+        all_std = float(np.std(all_vals))
+        all_med_threshold = all_med + s * sig * all_std
+        use_median = any((x > all_med_threshold) if not trough_mode
+                         else (x < all_med_threshold) for x in all_vals)
+        outlier_in_vals = False
+        if not trough_mode:
+            others = [x for x in vals if x != check_value]
+            if others:
+                o_thr = float(np.mean(others)) + sig * float(np.std(others))
+                if check_value > o_thr:
+                    use_median = outlier_in_vals = True
+            else:
+                use_median = outlier_in_vals = True
+        else:
+            others = vals[0:-2]
+            if others:
+                o_thr = float(np.mean(others)) - sig * float(np.std(others))
+                if check_value < o_thr:
+                    use_median = outlier_in_vals = True
+            else:
+                use_median = outlier_in_vals = True
+        if use_median:
+            threshold = med_v + s * sig * std_v
+        if outlier_in_vals:
+            threshold = all_med_threshold
+        anomalous = check_value > threshold if not trough_mode \
+            else check_value < threshold
+        return bool(anomalous), (1.0 if anomalous else 0.0)
+    except Exception:
+        return None, None
+
+
 SHIPPED = {
     "sigma": sigma, "level_shift": level_shift, "iqr_outlier": iqr_outlier,
     "abs_stddev_from_median": abs_stddev_from_median,
@@ -566,4 +993,6 @@ SHIPPED = {
     "lad": lad, "last_same_hours": last_same_hours,
     "spectral_residual": spectral_residual,
     "lof": lof, "isolation_forest": isolation_forest,
+    "anomalous_daily_peak": anomalous_daily_peak, "dbscan": dbscan,
+    "low_variance_anomalous_peak_trough": low_variance_anomalous_peak_trough,
 }

@@ -158,6 +158,74 @@ def test_ported_custom_algorithms_tranche2(noisy):
         isolation_forest(ts, spiked, {})
 
 
+def test_anomalous_daily_peak_and_dbscan():
+    """Third round-3 tranche: anomalous_daily_peak (the mirage-side
+    is-it-just-the-daily-peak negating check) and dbscan."""
+    from skyline_spark.functions.custom_algorithms import (
+        _find_peaks,
+        anomalous_daily_peak,
+        dbscan,
+    )
+    rng = np.random.RandomState(3)
+    res = 600
+    n = 7 * 86400 // res + 1
+    ts = np.arange(n, dtype=np.float64) * res \
+        + 1_700_000_000 - (n - 1) * res
+    v = 10 + rng.normal(0, 0.2, n)
+    for p in np.flatnonzero((ts - ts[-1]) % 86400 == 0):
+        for off, h in [(-2, 30), (-1, 60), (0, 100)]:
+            if 0 <= p + off < n:
+                v[p + off] += h
+    # the anomaly IS the repeating daily peak -> normal (False)
+    assert anomalous_daily_peak(ts, v, {}) == (False, 0.0)
+    v2 = v.copy()
+    v2[-3:] *= 8  # this day's peak is 8x the daily band -> anomalous
+    assert anomalous_daily_peak(ts, v2, {}) == (True, 1.0)
+    # < 5.25 days / low resolution -> stays anomalous by design
+    assert anomalous_daily_peak(ts[:100], v[:100], {}) == (True, 1.0)
+    assert anomalous_daily_peak(ts[::2], v[::2], {}) == (True, 1.0)
+
+    # find_peaks: plateau midpoint + height-priority distance thinning
+    y = np.array([0, 1, 0, 2, 2, 0, 5, 0, 1, 0], float)
+    assert list(_find_peaks(y, 1)) == [1, 3, 6, 8]
+    assert list(_find_peaks(y, 3)) == [3, 6]
+
+    ts2 = np.arange(800, dtype=np.float64)
+    x = 50 + rng.normal(0, 1, 800)
+    spiked = x.copy()
+    spiked[-1] = 500.0
+    assert dbscan(ts2, x, {}) == (False, 0.0)
+    assert dbscan(ts2, spiked, {}) == (True, 1.0)
+    assert dbscan(ts2[:5], x[:5], {}) == (None, None)  # too short
+
+
+def test_low_variance_anomalous_peak_trough():
+    """lvapt — mirage-side second opinion: repeating modest peaks cancel
+    the anomaly, an outsized final peak/trough confirms it, and
+    near-monotonic series pass through ``currently_anomalous``."""
+    from skyline_spark.functions.custom_algorithms import (
+        low_variance_anomalous_peak_trough as lvapt,
+    )
+    rng = np.random.RandomState(5)
+    n = 1000
+    ts = np.arange(n, dtype=np.float64)
+    v = 100 + rng.normal(0, 0.5, n)
+    for p in range(99, n, 100):
+        v[p] += 20
+    assert lvapt(ts, v, {"currently_anomalous": True}) == (False, 0.0)
+    big = v.copy()
+    big[-1] += 200
+    assert lvapt(ts, big, {"currently_anomalous": True}) == (True, 1.0)
+    tv = 100 - (v - 100)        # mirrored: troughs instead of peaks
+    tbig = tv.copy()
+    tbig[-1] -= 200
+    assert lvapt(ts, tv, {"currently_anomalous": True}) == (False, 0.0)
+    assert lvapt(ts, tbig, {"currently_anomalous": True}) == (True, 1.0)
+    mono = np.cumsum(np.abs(rng.normal(1, 0.1, n)))
+    assert lvapt(ts, mono, {"currently_anomalous": True}) == (True, None)
+    assert lvapt(ts, mono, {}) == (False, None)
+
+
 def test_lof_windowed_knn_equals_all_pairs():
     """The O(n·k) sorted-window kNN inside lof() must agree with a naive
     all-pairs distance-matrix LOF (same fit-excludes-self /
