@@ -1821,24 +1821,27 @@ resid{sfx} AS (
     SELECT o.conv_id, stddev_samp(o.y - (b.m * o.x + b.c)) AS rstd,
            avg(CASE WHEN o.rnd <= 3 THEN o.y - (b.m * o.x + b.c) END) AS rt3
     FROM ordered{sfx} o JOIN exc{sfx} b USING (conv_id) GROUP BY o.conv_id),
-votes{sfx} AS (
-    SELECT e.conv_id, e.exception, e.now, e.last_x, round(e.v1, 6) AS datapoint,
-           CASE WHEN e.exception IS NOT NULL THEN FALSE
-                ELSE (CAST(NOT coalesce(abs(e.tav - f.fmean) > 3 * f.fstd,
-                                        FALSE) AS INT)
-                    + CAST(NOT coalesce(abs(e.tav - e.mean) > 3 * e.std,
-                                        FALSE) AS INT)
-                    + CAST(NOT coalesce(abs(e.v1 - e.head_mean)
-                                        > 3 * e.head_std, FALSE) AS INT)
-                    + CAST(NOT (CASE WHEN m.mad_dev = 0 THEN FALSE
-                                     ELSE m.last_dev / m.mad_dev > 6 END)
-                           AS INT)
-                    + CAST(NOT coalesce(abs(r.rt3) > 3 * r.rstd
-                                        AND round(r.rstd, 0) <> 0
-                                        AND round(r.rt3, 0) <> 0, FALSE)
-                           AS INT)) <= 1 END AS anomalous
+trig{sfx} AS (
+    SELECT e.*, m.mad_dev, m.last_dev,
+           coalesce(abs(e.tav - f.fmean) > 3 * f.fstd, FALSE) AS trig_fha,
+           coalesce(abs(e.tav - e.mean) > 3 * e.std, FALSE) AS trig_sfa,
+           coalesce(abs(e.v1 - e.head_mean) > 3 * e.head_std, FALSE)
+               AS trig_msc,
+           CASE WHEN m.mad_dev = 0 THEN FALSE
+                ELSE m.last_dev / m.mad_dev > 6 END AS trig_mad,
+           coalesce(abs(r.rt3) > 3 * r.rstd AND round(r.rstd, 0) <> 0
+                    AND round(r.rt3, 0) <> 0, FALSE) AS trig_lsq
     FROM exc{sfx} e LEFT JOIN madx{sfx} m USING (conv_id)
-    LEFT JOIN fh{sfx} f USING (conv_id) LEFT JOIN resid{sfx} r USING (conv_id))
+    LEFT JOIN fh{sfx} f USING (conv_id) LEFT JOIN resid{sfx} r USING (conv_id)),
+votes{sfx} AS (
+    SELECT conv_id, exception, now, last_x, round(v1, 6) AS datapoint,
+           v1 AS dp_raw, trig_fha, trig_sfa, trig_msc, trig_mad, trig_lsq,
+           CASE WHEN exception IS NOT NULL THEN FALSE
+                ELSE (CAST(NOT trig_fha AS INT) + CAST(NOT trig_sfa AS INT)
+                    + CAST(NOT trig_msc AS INT)
+                    + CAST(NOT coalesce(trig_mad, FALSE) AS INT)
+                    + CAST(NOT trig_lsq AS INT)) <= 1 END AS anomalous
+    FROM trig{sfx})
 """
 
 
@@ -1949,6 +1952,166 @@ def q_anomaly_breakdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     from skyline_spark.operators.aggregate import anomaly_breakdown
     res = _run_events_pipeline(spark, sf_dir)
     return anomaly_breakdown(res.verdicts)
+
+
+def _sql5_analyze(spark: SparkSession, sf_dir: str):
+    """The 5-SQL-algorithm restricted analyze pass (shared by the _sql5
+    twins of the run aggregates) — same kernel settings as
+    q_consensus_sql5."""
+    from skyline_spark.operators.analyze import analyze
+    from skyline_spark.plans.pipeline import batch_now
+    tdf = transcripts_from_events(spark, sf_dir)
+    parsed = parse_events(tdf)
+    now = batch_now(tdf)
+    cfg = PipelineConfig(full_duration=FD, stale_period=STALE,
+                         consensus=4, run_optimized_workflow=False,
+                         analyze_derivatives=False, algorithms=SQL5_ALGS)
+    return tdf, parsed, now, cfg, analyze(parsed, cfg, now, rules=[])
+
+
+def q_run_summary_sql5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 — the run-summary totals (analyzer.py:8564-8643) over the
+    5-algorithm restricted kernel INCLUDING the empty/roomba union, so
+    the whole counter vector is value-checked against DuckDB (the full
+    9-algorithm variant stays rows-only as q_run_summary; analyze_ms is
+    wall-clock and excluded by design)."""
+    from skyline_spark.operators.analyze import empty_series_verdicts
+    tdf, parsed, now, cfg, v = _sql5_analyze(spark, sf_dir)
+    allv = v.unionByName(empty_series_verdicts(tdf, parsed, cfg, now))
+    return allv.agg(
+        F.count(F.lit(1)).alias("total_metrics"),
+        F.count(F.when(F.col("exception").isNull(), 1))
+        .alias("total_analyzed"),
+        F.count(F.when(F.col("anomalous"), 1)).alias("total_anomalies"),
+        F.count(F.when(F.col("exception") == "TooShort", 1))
+        .alias("exc_too_short"),
+        F.count(F.when(F.col("exception") == "Stale", 1)).alias("exc_stale"),
+        F.count(F.when(F.col("exception") == "Boring", 1)).alias("exc_boring"),
+        F.count(F.when(F.col("exception") == "EmptyTimeseries", 1))
+        .alias("exc_empty"),
+        F.count(F.when(F.col("exception") == "DeletedByRoomba", 1))
+        .alias("exc_roomba"),
+    )
+
+
+SQL_RUN_SUMMARY_SQL5 = (
+    _PROLOGUE
+    .replace("__TRANSCRIPTS__", DUCKDB_TRANSCRIPTS_SQL)
+    .replace("__EVENT_RE__", EVENT_RE)
+    + ","
+    + "__VOTE_BLOCK__"
+    + f"""
+, groups AS (
+    SELECT p.conv_id, p.metric,
+           max(CASE WHEN p.value IS NOT NULL THEN 1 ELSE 0 END) AS has_any,
+           max(CASE WHEN p.value IS NOT NULL
+                         AND epoch(p.ts) > b.now - {FD}
+                    THEN 1 ELSE 0 END) AS has_window
+    FROM parsed p, batch b GROUP BY p.conv_id, p.metric),
+conv_any AS (
+    SELECT conv_id, max(has_any) AS ca FROM groups GROUP BY conv_id),
+empties AS (
+    SELECT CASE WHEN g.has_any = 1 THEN 'DeletedByRoomba'
+                ELSE 'EmptyTimeseries' END AS exception,
+           FALSE AS anomalous
+    FROM groups g JOIN conv_any c USING (conv_id)
+    WHERE (g.has_any = 1 AND g.has_window = 0) OR c.ca = 0),
+allv AS (
+    SELECT exception, anomalous FROM votes_r
+    UNION ALL SELECT exception, anomalous FROM empties)
+SELECT CAST(count(*) AS BIGINT) AS total_metrics,
+       CAST(count(CASE WHEN exception IS NULL THEN 1 END) AS BIGINT)
+           AS total_analyzed,
+       CAST(count(CASE WHEN anomalous THEN 1 END) AS BIGINT)
+           AS total_anomalies,
+       CAST(count(CASE WHEN exception = 'TooShort' THEN 1 END) AS BIGINT)
+           AS exc_too_short,
+       CAST(count(CASE WHEN exception = 'Stale' THEN 1 END) AS BIGINT)
+           AS exc_stale,
+       CAST(count(CASE WHEN exception = 'Boring' THEN 1 END) AS BIGINT)
+           AS exc_boring,
+       CAST(count(CASE WHEN exception = 'EmptyTimeseries' THEN 1 END)
+            AS BIGINT) AS exc_empty,
+       CAST(count(CASE WHEN exception = 'DeletedByRoomba' THEN 1 END)
+            AS BIGINT) AS exc_roomba
+FROM allv
+""")
+
+
+def q_illuminance_sql5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 — per-timestamp anomaly magnitude sums (analyzer.py:4012-4015,
+    4245-4253) over the 5-algorithm restricted kernel, value-checked
+    against DuckDB (the 9-algorithm variant stays rows-only)."""
+    *_, v = _sql5_analyze(spark, sf_dir)
+    return (v.where(F.col("anomalous"))
+            .groupBy(F.col("last_ts").cast("long").alias("ts"))
+            .agg(_R6(F.sum("datapoint")).alias("illuminance"),
+                 F.count(F.lit(1)).alias("n_anomalies")))
+
+
+SQL_ILLUMINANCE_SQL5 = (
+    _PROLOGUE
+    .replace("__TRANSCRIPTS__", DUCKDB_TRANSCRIPTS_SQL)
+    .replace("__EVENT_RE__", EVENT_RE)
+    + ","
+    + "__VOTE_BLOCK__"
+    + """
+SELECT CAST(last_x AS BIGINT) AS ts,
+       round(sum(dp_raw), 6) AS illuminance,
+       CAST(count(*) AS BIGINT) AS n_anomalies
+FROM votes_r WHERE anomalous GROUP BY last_x
+""")
+
+
+def q_anomaly_breakdown_sql5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-algorithm trigger counts (analyzer.py:4217-4243) over the
+    5-algorithm restricted kernel — each algorithm's trigger flag is
+    re-derived independently in the DuckDB twin, so the breakdown vector
+    is value-checked, not just row-counted."""
+    *_, v = _sql5_analyze(spark, sf_dir)
+    return (v.where(F.col("anomalous"))
+            .select(F.explode("triggered").alias("algorithm"))
+            .groupBy("algorithm").agg(F.count(F.lit(1)).alias("n")))
+
+
+SQL_ANOMALY_BREAKDOWN_SQL5 = (
+    _PROLOGUE
+    .replace("__TRANSCRIPTS__", DUCKDB_TRANSCRIPTS_SQL)
+    .replace("__EVENT_RE__", EVENT_RE)
+    + ","
+    + "__VOTE_BLOCK__"
+    + """
+, breakdown AS (
+    SELECT 'first_hour_average' AS algorithm,
+           count(CASE WHEN trig_fha THEN 1 END) AS n
+    FROM votes_r WHERE anomalous
+    UNION ALL
+    SELECT 'stddev_from_average',
+           count(CASE WHEN trig_sfa THEN 1 END) FROM votes_r WHERE anomalous
+    UNION ALL
+    SELECT 'mean_subtraction_cumulation',
+           count(CASE WHEN trig_msc THEN 1 END) FROM votes_r WHERE anomalous
+    UNION ALL
+    SELECT 'median_absolute_deviation',
+           count(CASE WHEN trig_mad THEN 1 END) FROM votes_r WHERE anomalous
+    UNION ALL
+    SELECT 'least_squares',
+           count(CASE WHEN trig_lsq THEN 1 END) FROM votes_r WHERE anomalous)
+SELECT algorithm, CAST(n AS BIGINT) AS n FROM breakdown WHERE n > 0
+""")
+
+
+for _q in ("SQL_RUN_SUMMARY_SQL5", "SQL_ILLUMINANCE_SQL5",
+           "SQL_ANOMALY_BREAKDOWN_SQL5"):
+    globals()[_q] = globals()[_q].replace(
+        "__VOTE_BLOCK__", _vote_sql_block(FD, "_r"))
+
+REGISTRY.update({
+    "run_summary_sql5": (q_run_summary_sql5, SQL_RUN_SUMMARY_SQL5),
+    "illuminance_sql5": (q_illuminance_sql5, SQL_ILLUMINANCE_SQL5),
+    "anomaly_breakdown_sql5": (q_anomaly_breakdown_sql5,
+                               SQL_ANOMALY_BREAKDOWN_SQL5),
+})
 
 
 def q_feature_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
