@@ -1550,6 +1550,20 @@ def q_audio_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_audio(synth_wav_media(spark, n=64))
 
 
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal REAL-codec path #2 (rows-only; zlib inflate is not
+    ANSI-expressible): genuine PNG payloads written and decoded with the
+    stdlib zlib/struct codec — CRC-validated chunks, all five scanline
+    filters — through the same mapInPandas interface. Pixel-exact
+    roundtrip pinned by
+    tests/test_dataops.py::test_real_png_codec_roundtrip."""
+    from skyline_spark.operators.multimodal import (
+        decode_image,
+        synth_png_media,
+    )
+    return decode_image(synth_png_media(spark, n=64))
+
+
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload synth + mapInPandas metadata
     decode. The decode kernel is a deterministic stub (no codecs in the
@@ -1588,6 +1602,7 @@ REGISTRY.update({
     "ann_ivf_topk": (q_ivf_topk, SQL_ANN_IVF_TOPK),
     "media_metadata": (q_media_metadata, SQL_MEDIA_METADATA),
     "audio_decode": (q_audio_decode, None),
+    "image_decode": (q_image_decode, None),
 })
 
 

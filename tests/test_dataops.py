@@ -193,6 +193,61 @@ def test_multimodal_plumbing(spark, docs):
     assert (frames.groupby("media_id").frame_idx.min() == 0).all()
 
 
+def test_real_png_codec_roundtrip(spark):
+    """Image is now a REAL codec path too: synth_png_media writes
+    genuine PNG payloads (zlib/struct, CRC-validated, all five scanline
+    filters), decode_image reconstructs the pixels. Decoded stats must
+    equal those of the independently regenerated source arrays, and a
+    corrupt payload must degrade to NULLs."""
+    import numpy as np
+    import pandas as pd
+
+    from skyline_spark.operators.multimodal import (
+        decode_image,
+        png_decode,
+        png_encode,
+        synth_png_media,
+    )
+    # pure-python roundtrip: every filter type, every channel count
+    rng = np.random.RandomState(0)
+    for ch in (1, 2, 3, 4):
+        img = rng.randint(0, 256, (11, 13, ch)).astype(np.uint8)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            assert np.array_equal(
+                png_decode(png_encode(img, row_filters=filters)), img)
+    # CRC corruption is detected
+    blob = bytearray(png_encode(img))
+    blob[20] ^= 0xFF
+    try:
+        png_decode(bytes(blob))
+        raise AssertionError("corrupt PNG accepted")
+    except ValueError:
+        pass
+
+    # Spark end-to-end: decoded stats == regenerated source stats
+    media = synth_png_media(spark, n=12)
+    decoded = decode_image(media).toPandas().set_index("media_id")
+    assert len(decoded) == 12
+    for mid in range(12):
+        r = np.random.RandomState(mid)
+        w = 8 + mid % 41
+        h = 8 + (mid * 7) % 25
+        ch = (1, 3, 4)[mid % 3]
+        grad = np.linspace(0, 255, w, dtype=np.uint8)
+        img = (np.tile(grad, (h, 1))[:, :, None]
+               + r.randint(0, 64, (h, w, ch))).astype(np.uint8)
+        row = decoded.loc[mid]
+        assert (row.width, row.height, row.channels) == (w, h, ch)
+        assert row.px_checksum == int(img.sum())
+        assert abs(row.mean_px - float(img.mean())) < 1e-9
+        assert abs(row.std_px - float(img.std())) < 1e-9
+    bad = spark.createDataFrame(
+        pd.DataFrame({"media_id": [99], "kind": ["image"],
+                      "payload": [b"not-a-png"]}))
+    out = decode_image(bad).toPandas()
+    assert len(out) == 1 and out.width.isna().all()
+
+
 def test_real_wav_codec_roundtrip(spark):
     """Audio is a REAL codec path: synth_wav_media writes genuine
     RIFF/WAVE 16-bit PCM payloads, decode_audio parses them back with
