@@ -982,6 +982,88 @@ def low_variance_anomalous_peak_trough(ts: np.ndarray, values: np.ndarray,
         return None, None
 
 
+def pca(ts: np.ndarray, values: np.ndarray, params: dict):
+    """PCA reconstruction-distance outlier detection
+    (skyline/custom_algorithms/pca.py:122-560): features are |abs| of
+    the diffed, smoothed series plus ``lags`` lagged copies; a 2-component
+    PCA is fitted on the head (all but ``n_test`` points) after
+    standardization; the anomaly score is the eigenvector-distance sum
+    weighted by 1/explained_variance_ratio (the reference's
+    cdist-to-components quirk), min-max normalized by the TRAIN scores;
+    anomalous when a score >= ``threshold`` lands in the last
+    ``anomaly_window``. Warmup rows score 0 via the reference's NaN->0
+    index alignment. Unsuitable data (zero-variance / low-variance /
+    under-sampled / uncorrelated features) -> (None, None). sklearn's
+    SVD sign convention (svd_flip, u-based) is reproduced."""
+    threshold = float(params.get("threshold", 0.7))
+    n_test = int(params.get("n_test", 10))
+    diffs_n = int(params.get("diffs", 1))
+    lags_n = int(params.get("lags", 3))
+    smooth_n = int(params.get("smooth", 3))
+    anomaly_window = int(params.get("anomaly_window", 1))
+    try:
+        x = values.astype(np.float64)
+        n = x.size
+        warm = diffs_n + max(smooth_n - 1, 0) + lags_n
+        n_train = n - n_test
+        if n_train <= warm + 2:
+            return None, None
+
+        def prep(arr: np.ndarray) -> np.ndarray:
+            d = arr[diffs_n:] - arr[:-diffs_n] if diffs_n >= 1 else arr
+            if smooth_n >= 2:
+                c = np.cumsum(np.concatenate([[0.0], d]))
+                d = (c[smooth_n:] - c[:-smooth_n]) / smooth_n
+            cols = [d[lags_n - k:d.size - k] for k in range(lags_n + 1)]
+            return np.abs(np.column_stack(cols))
+
+        train = prep(x[:n_train])
+        tail = prep(x[n - (n - train.shape[0]):])
+
+        def suitable(data: np.ndarray) -> bool:
+            var = np.var(data, axis=0)
+            if np.any(var == 0) or np.all(var < 1e-5):
+                return False
+            if data.shape[0] < data.shape[1]:
+                return False
+            cc = np.corrcoef(data, rowvar=False)
+            off = cc[~np.eye(cc.shape[0], dtype=bool)]
+            return bool(np.nanmax(np.abs(off)) >= 0.1)
+
+        if not suitable(train) or not suitable(tail):
+            return None, None
+        mu, sd = train.mean(axis=0), train.std(axis=0)
+        z_train = (train - mu) / sd
+        zc = z_train - z_train.mean(axis=0)
+        u, s, vt = np.linalg.svd(zc, full_matrices=False)
+        # sklearn svd_flip (u-based): largest-|u| element made positive
+        signs = np.sign(u[np.argmax(np.abs(u), axis=0),
+                          np.arange(u.shape[1])])
+        vt = vt * signs[:, None]
+        var = (s ** 2) / (zc.shape[0] - 1)
+        evr = (var / var.sum())[:2]
+        comps = vt[:2]
+
+        def score(z: np.ndarray) -> np.ndarray:
+            d = np.sqrt(((z[:, None, :] - comps[None, :, :]) ** 2).sum(-1))
+            return (d / evr).sum(axis=1)
+
+        tr = score(z_train)
+        lo, hi = float(tr.min()), float(tr.max())
+        if hi == lo:
+            return None, None
+        te = (score((tail - mu) / sd) - lo) / (hi - lo)
+        tr = (tr - lo) / (hi - lo)
+        scores = np.zeros(n)
+        scores[warm:n_train] = tr
+        scores[n - te.size:] = te
+        flags = scores >= threshold
+        hit = bool(flags[-anomaly_window:].any())
+        return hit, (1.0 if hit else 0.0)
+    except Exception:
+        return None, None
+
+
 SHIPPED = {
     "sigma": sigma, "level_shift": level_shift, "iqr_outlier": iqr_outlier,
     "abs_stddev_from_median": abs_stddev_from_median,
@@ -995,4 +1077,5 @@ SHIPPED = {
     "lof": lof, "isolation_forest": isolation_forest,
     "anomalous_daily_peak": anomalous_daily_peak, "dbscan": dbscan,
     "low_variance_anomalous_peak_trough": low_variance_anomalous_peak_trough,
+    "pca": pca,
 }

@@ -199,6 +199,22 @@ def test_anomalous_daily_peak_and_dbscan():
     assert dbscan(ts2[:5], x[:5], {}) == (None, None)  # too short
 
 
+def test_pca_custom_algorithm():
+    """pca — reconstruction-distance outlier over diff/smooth/lag
+    features, train-normalized scores, suitability guards."""
+    from skyline_spark.functions.custom_algorithms import pca
+    rng = np.random.RandomState(2)
+    n = 500
+    ts = np.arange(n, dtype=np.float64)
+    v = 50 + 5 * np.sin(2 * np.pi * ts / 50) + rng.normal(0, 0.5, n)
+    spiked = v.copy()
+    spiked[-1] += 100
+    assert pca(ts, v, {}) == (False, 0.0)
+    assert pca(ts, spiked, {}) == (True, 1.0)
+    assert pca(ts[:12], v[:12], {}) == (None, None)       # too short
+    assert pca(ts, np.full(n, 3.0), {}) == (None, None)   # zero variance
+
+
 def test_low_variance_anomalous_peak_trough():
     """lvapt — mirage-side second opinion: repeating modest peaks cancel
     the anomaly, an outsized final peak/trough confirms it, and
