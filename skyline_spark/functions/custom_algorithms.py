@@ -1064,6 +1064,85 @@ def pca(ts: np.ndarray, values: np.ndarray, params: dict):
         return None, None
 
 
+def _rolling_agg(v: np.ndarray, w: int, agg: str) -> np.ndarray:
+    """Trailing-window aggregate ending AT each index (NaN warmup)."""
+    n = v.size
+    out = np.full(n, np.nan)
+    if w <= 0 or n < w:
+        return out
+    sw = np.lib.stride_tricks.sliding_window_view(v, w)
+    out[w - 1:] = np.median(sw, axis=1) if agg == "median" \
+        else (np.std(sw, axis=1) if agg == "std" else np.mean(sw, axis=1))
+    return out
+
+
+def _double_rolling_iqr_detect(v: np.ndarray, left_w: int, right_w: int,
+                               c: float, side: str,
+                               agg: str) -> np.ndarray:
+    """adtk's DoubleRollingAggregate + InterQuartileRangeAD pipeline
+    (the adtk package is absent from this container; semantics per the
+    adtk docs/source): at each t the left window covers t-w..t-1 and the
+    right window t..t+w-1; the series of window differences (abs for
+    side='both', signed otherwise) is thresholded at
+    Q3 + c·IQR of itself (fit_detect trains on the same series)."""
+    n = v.size
+    left = np.roll(_rolling_agg(v, left_w, agg), 1)
+    left[0] = np.nan
+    if right_w == 1:
+        right = v.astype(np.float64)
+    else:
+        right = np.full(n, np.nan)
+        ra = _rolling_agg(v, right_w, agg)
+        right[:n - right_w + 1] = ra[right_w - 1:]
+    if side == "positive":
+        diff = right - left
+    elif side == "negative":
+        diff = left - right
+    else:
+        diff = np.abs(right - left)
+    fin = diff[np.isfinite(diff)]
+    if fin.size == 0:
+        return np.zeros(n, dtype=bool)
+    q1, q3 = np.percentile(fin, [25, 75])
+    thr = q3 + c * (q3 - q1)
+    with np.errstate(invalid="ignore"):
+        return np.nan_to_num(diff, nan=-np.inf) > thr
+
+
+def adtk_persist(ts: np.ndarray, values: np.ndarray, params: dict):
+    """adtk PersistAD semantics (skyline/custom_algorithms/
+    adtk_persist.py:722-760): each value vs the median of its preceding
+    ``window`` values, IQR-fenced at ``c`` (default 9.0) on the same
+    series; anomalous when a flag lands in the last ``window``
+    timestamps (the wrapper's realtime window)."""
+    window = int(params.get("window", 5))
+    c = float(params.get("c", 9.0))
+    side = params.get("side", "both")
+    if values.size < window + 1:
+        return None, None
+    flags = _double_rolling_iqr_detect(values.astype(np.float64),
+                                       window, 1, c, side, "median")
+    hit = bool(flags[-window:].any())
+    return hit, (1.0 if hit else 0.0)
+
+
+def adtk_volatility_shift(ts: np.ndarray, values: np.ndarray, params: dict):
+    """adtk VolatilityShiftAD semantics (skyline/custom_algorithms/
+    adtk_volatility_shift.py:690-745): rolling-std of the left vs right
+    ``window`` around each point, |shift| IQR-fenced at ``c`` (default
+    9.0); anomalous when a flag lands in the last ``window``
+    timestamps."""
+    window = int(params.get("window", 5))
+    c = float(params.get("c", 9.0))
+    side = params.get("side", "both")
+    if values.size < 2 * window + 1:
+        return None, None
+    flags = _double_rolling_iqr_detect(values.astype(np.float64),
+                                       window, window, c, side, "std")
+    hit = bool(flags[-window:].any())
+    return hit, (1.0 if hit else 0.0)
+
+
 SHIPPED = {
     "sigma": sigma, "level_shift": level_shift, "iqr_outlier": iqr_outlier,
     "abs_stddev_from_median": abs_stddev_from_median,
@@ -1078,4 +1157,6 @@ SHIPPED = {
     "anomalous_daily_peak": anomalous_daily_peak, "dbscan": dbscan,
     "low_variance_anomalous_peak_trough": low_variance_anomalous_peak_trough,
     "pca": pca,
+    "adtk_persist": adtk_persist,
+    "adtk_volatility_shift": adtk_volatility_shift,
 }

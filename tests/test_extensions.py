@@ -215,6 +215,35 @@ def test_pca_custom_algorithm():
     assert pca(ts, np.full(n, 3.0), {}) == (None, None)   # zero variance
 
 
+def test_adtk_persist_and_volatility_shift():
+    """adtk PersistAD / VolatilityShiftAD semantics: IQR-fenced
+    double-rolling aggregates, flags only count inside the realtime
+    window."""
+    from skyline_spark.functions.custom_algorithms import (
+        adtk_persist,
+        adtk_volatility_shift,
+    )
+    rng = np.random.RandomState(4)
+    n = 1000
+    ts = np.arange(n, dtype=np.float64)
+    v = 100 + rng.normal(0, 1, n)
+    spiked = v.copy()
+    spiked[-2] = 200.0
+    assert adtk_persist(ts, v, {}) == (False, 0.0)
+    assert adtk_persist(ts, spiked, {}) == (True, 1.0)
+    assert adtk_persist(ts[:3], v[:3], {}) == (None, None)
+
+    assert adtk_volatility_shift(ts, v, {}) == (False, 0.0)
+    # volatility jumps 1 -> 15 exactly window points from the end: the
+    # shift POINT lands inside the realtime window -> anomalous
+    shift_at_end = v.copy()
+    shift_at_end[-5:] = 100 + rng.normal(0, 15, 5)
+    assert adtk_volatility_shift(ts, shift_at_end, {}) == (True, 1.0)
+    # the same shift 10 points back is OUTSIDE window 5 -> not flagged
+    earlier = np.concatenate([v[:990], 100 + rng.normal(0, 15, 10)])
+    assert adtk_volatility_shift(ts, earlier, {}) == (False, 0.0)
+
+
 def test_low_variance_anomalous_peak_trough():
     """lvapt — mirage-side second opinion: repeating modest peaks cancel
     the anomaly, an outsized final peak/trough confirms it, and
