@@ -1143,6 +1143,171 @@ def adtk_volatility_shift(ts: np.ndarray, values: np.ndarray, params: dict):
     return hit, (1.0 if hit else 0.0)
 
 
+def _moving_sums(v: np.ndarray, window: int) -> np.ndarray:
+    """bn.move_sum twin: trailing window sum, NaN warmup."""
+    n = v.size
+    c = np.cumsum(np.concatenate([[0.0], v]))
+    out = np.full(n, np.nan)
+    out[window - 1:] = c[window:] - c[:-window]
+    return out
+
+
+def _constant_decrease_walk(ma_hist: list[float], last_ma: float,
+                            window: int, pct: float,
+                            break_on_fail: bool) -> tuple[bool, int]:
+    """The reference's backward walk over prior moving averages: each
+    step must be an increase of more than ``pct`` percent going back
+    (msd breaks at the first failure, msavd keeps walking and also
+    counts the passing steps)."""
+    last_value = last_ma
+    constant_decrease = False
+    n_passed = 0
+    for k in range(2, window - 1):
+        new_last = ma_hist[-k]
+        lm_pd = _percent_different(new_last, last_value)
+        if last_value < new_last and lm_pd is not None and lm_pd > pct:
+            constant_decrease = True
+            last_value = new_last
+            n_passed += 1
+        else:
+            constant_decrease = False
+            if break_on_fail:
+                break
+    return constant_decrease, n_passed
+
+
+def moving_sum_decrease(ts: np.ndarray, values: np.ndarray, params: dict):
+    """Sustained moving-sum decrease / spike / zero-drop detection
+    (skyline/custom_algorithms/moving_sum_decrease.py:235-514). Per
+    point over the trailing ``window`` sums: 0.8 when the window-mean of
+    sums has been in a >``percentage_difference``% per-step decline
+    across the backward walk; 0.7 when the sum jumped by more than that
+    percent AND the raw value exceeds 3x the mean; 1.0 when the sum hits
+    exactly 0 from a non-zero predecessor with no zero sums in the
+    preceding window. Realtime verdict = the LAST point's score (the
+    reference's trailing zero-streak block mutates only trigger
+    metadata, never the verdict, and is omitted). Quirks kept: the
+    window-mean excludes the immediately previous sum
+    (``timeseries[i-window:i-1]``); a zero/undeterminable percent
+    difference skips all checks for that point."""
+    window = int(params.get("window", 60))
+    pct = float(params.get("percentage_difference", 70))
+    realtime = bool(params.get("realtime_analysis", True))
+    try:
+        v = values.astype(np.float64)
+        if v.size < window * 3:
+            return None, None
+        if realtime:
+            v = v[-(window * 10):]
+        n = v.size
+        msum = _moving_sums(v, window)
+        ma_hist: list[float] = []
+        sum_hist: list[float] = []
+        last_score, any_anom = 0.0, False
+        for i in range(n):
+            score = 0.0
+            if i < window:
+                ma_hist.append(0.0)
+                sum_hist.append(float(msum[i]))
+                last_score = score
+                continue
+            ma = float(np.mean(msum[i - window:i - 1]))
+            pd_val = _percent_different(ma, float(msum[i])) if ma > 0 else 0
+            if not pd_val:
+                ma_hist.append(ma)
+                sum_hist.append(float(msum[i]))
+                last_score = score
+                continue
+            if ma < ma_hist[-1]:
+                dec, _ = _constant_decrease_walk(ma_hist, ma_hist[-1],
+                                                window, pct, True)
+                if dec:
+                    score = 0.8
+            if pd_val > pct and v[i] > ma * 3:
+                score = 0.7
+            if msum[i] == 0:
+                zeros = [s for s in sum_hist[-window:] if s == 0]
+                if sum_hist[-1] > 0 and v[i] == 0 and not zeros:
+                    score = 1.0
+            if score > 0:
+                any_anom = True
+            ma_hist.append(ma)
+            sum_hist.append(float(msum[i]))
+            last_score = score
+        anomalous = (last_score > 0) if realtime else any_anom
+        return bool(anomalous), (1.0 if anomalous else 0.0)
+    except Exception:
+        return None, None
+
+
+def moving_sum_and_value_decrease(ts: np.ndarray, values: np.ndarray,
+                                  params: dict):
+    """The value-decrease variant (skyline/custom_algorithms/
+    moving_sum_and_value_decrease.py:290-550) for low-frequency
+    seasonal series: 0.7 when the sum dropped more than
+    ``percentage_difference``% AND below mean/``less_than`` (default 3)
+    from a positive predecessor; 0.8 from the backward decline walk
+    (no break — the final step's state OR nearly-all passing steps);
+    1.0 on the zero-sum drop. Verdict = last score > 0 OR the last
+    CHECKED point scored (the compressed anomalyScore_list window
+    quirk at :543-548)."""
+    window = int(params.get("window", 60))
+    pct = float(params.get("percentage_difference", 70))
+    less_than = float(params.get("less_than_moving_sum_average", 3))
+    anomaly_window = int(params.get("anomaly_window", 1))
+    realtime = bool(params.get("realtime_analysis", True))
+    try:
+        v = values.astype(np.float64)
+        if v.size < window * 3:
+            return None, None
+        if realtime:
+            v = v[-(window * 10):]
+        n = v.size
+        msum = _moving_sums(v, window)
+        ma_hist: list[float] = []
+        sum_hist: list[float] = []
+        checked_scores: list[int] = []
+        last_score, any_anom = 0.0, False
+        for i in range(n):
+            score = 0.0
+            if i < window:
+                ma_hist.append(0.0)
+                sum_hist.append(float(msum[i]))
+                last_score = score
+                continue
+            ma = float(np.mean(msum[i - window:i - 1]))
+            pd_val = _percent_different(ma, float(msum[i]))
+            if not pd_val:
+                ma_hist.append(ma)
+                sum_hist.append(float(msum[i]))
+                last_score = score
+                continue
+            if pd_val > pct and msum[i] < ma / less_than \
+                    and msum[i] > 0 and sum_hist[-1] > 0:
+                score = 0.7
+            if ma < ma_hist[-1]:
+                dec, passed = _constant_decrease_walk(ma_hist, ma_hist[-1],
+                                                      window, pct, False)
+                if dec or passed >= (window - 3) - 1:
+                    score = 0.8
+            if msum[i] == 0:
+                zeros = [s for s in sum_hist[-window:] if s == 0]
+                if sum_hist[-1] > 0 and v[i] == 0 and not zeros:
+                    score = 1.0
+            if score > 0:
+                any_anom = True
+            checked_scores.append(1 if score > 0 else 0)
+            ma_hist.append(ma)
+            sum_hist.append(float(msum[i]))
+            last_score = score
+        anomalous = (last_score > 0) if realtime else any_anom
+        if checked_scores and any(checked_scores[-anomaly_window:]):
+            anomalous = True
+        return bool(anomalous), (1.0 if anomalous else 0.0)
+    except Exception:
+        return None, None
+
+
 SHIPPED = {
     "sigma": sigma, "level_shift": level_shift, "iqr_outlier": iqr_outlier,
     "abs_stddev_from_median": abs_stddev_from_median,
@@ -1159,4 +1324,6 @@ SHIPPED = {
     "pca": pca,
     "adtk_persist": adtk_persist,
     "adtk_volatility_shift": adtk_volatility_shift,
+    "moving_sum_decrease": moving_sum_decrease,
+    "moving_sum_and_value_decrease": moving_sum_and_value_decrease,
 }

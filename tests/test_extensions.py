@@ -244,6 +244,35 @@ def test_adtk_persist_and_volatility_shift():
     assert adtk_volatility_shift(ts, earlier, {}) == (False, 0.0)
 
 
+def test_moving_sum_decrease_pair():
+    """moving_sum_decrease / moving_sum_and_value_decrease: zero-sum
+    drop, spike-over-3x-mean (msd), and the collapse-below-mean/3 rule
+    (msavd) each flip the verdict; quiet rates stay quiet."""
+    from skyline_spark.functions.custom_algorithms import (
+        moving_sum_and_value_decrease as msavd,
+        moving_sum_decrease as msd,
+    )
+    rng = np.random.RandomState(6)
+    n = 400
+    ts = np.arange(n, dtype=np.float64)
+    p = {"window": 20}
+    v = 10 + rng.normal(0, 1, n)
+    assert msd(ts, v, p) == (False, 0.0)
+    assert msavd(ts, v, p) == (False, 0.0)
+    drop = v.copy()
+    drop[-20:] = 0.0        # window sum hits exactly 0 from nonzero
+    assert msd(ts, drop, p) == (True, 1.0)
+    assert msavd(ts, drop, p) == (True, 1.0)
+    spike = v.copy()
+    spike[-1] = 700.0       # sum jump > 70% AND value > 3x sum-mean
+    assert msd(ts, spike, p) == (True, 1.0)
+    cliff = v.copy()
+    cliff[-25:] = 0.05      # collapse below mean/3 but still positive
+    assert msavd(ts, cliff, p) == (True, 1.0)
+    assert msd(ts, cliff, p) == (False, 0.0)   # msd has no decrease-0.7
+    assert msd(ts[:30], v[:30], p) == (None, None)   # < 3 windows
+
+
 def test_low_variance_anomalous_peak_trough():
     """lvapt — mirage-side second opinion: repeating modest peaks cancel
     the anomaly, an outsized final peak/trough confirms it, and
