@@ -1308,6 +1308,85 @@ def moving_sum_and_value_decrease(ts: np.ndarray, values: np.ndarray,
         return None, None
 
 
+def adtk_level_shift(ts: np.ndarray, values: np.ndarray, params: dict):
+    """adtk LevelShiftAD semantics (skyline/custom_algorithms/
+    adtk_level_shift.py:266-420): rolling-median of the left vs right
+    ``window`` around each point, |shift| IQR-fenced at ``c`` (default
+    9.0); anomalous when a flag lands in the last ``window`` timestamps.
+    (The earlier ``level_shift`` entry is the loose MAD stand-in; this
+    is the faithful adtk pipeline.)"""
+    window = int(params.get("window", 5))
+    c = float(params.get("c", 9.0))
+    side = params.get("side", "both")
+    if values.size < 2 * window + 1:
+        return None, None
+    flags = _double_rolling_iqr_detect(values.astype(np.float64),
+                                       window, window, c, side, "median")
+    hit = bool(flags[-window:].any())
+    return hit, (1.0 if hit else 0.0)
+
+
+def _matrix_profile(x: np.ndarray, m: int) -> np.ndarray:
+    """Self-join z-normalized matrix profile via the STOMP recurrence
+    (Zhu et al. 2016) — O(n²) time, O(n) memory, stumpy-convention
+    handling of constant subsequences (d=0 for const-vs-const, √m for
+    const-vs-varying) and a ±⌈m/4⌉ trivial-match exclusion zone."""
+    x = x.astype(np.float64)
+    n = x.size - m + 1
+    c1 = np.cumsum(np.concatenate([[0.0], x]))
+    c2 = np.cumsum(np.concatenate([[0.0], x * x]))
+    s1 = c1[m:] - c1[:-m]
+    s2 = c2[m:] - c2[:-m]
+    mu = s1 / m
+    var = np.maximum(s2 / m - mu * mu, 0.0)
+    sig = np.sqrt(var)
+    const = sig < 1e-13
+    excl = int(np.ceil(m / 4))
+    qt0 = np.correlate(x, x[:m], "valid")       # dot(x[0:m], x[j:j+m])
+    qt = qt0.copy()
+    prof = np.full(n, np.inf)
+    for i in range(n):
+        if i > 0:
+            # QT(i,j) = QT(i-1,j-1) - x[j-1]x[i-1] + x[j+m-1]x[i+m-1]
+            qt[1:] = qt[:-1] - x[:n - 1] * x[i - 1] \
+                + x[m:m + n - 1] * x[i + m - 1]
+            qt[0] = qt0[i]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = (qt - m * mu[i] * mu) / (m * sig[i] * sig)
+        d2 = 2.0 * m * (1.0 - corr)
+        d = np.sqrt(np.maximum(d2, 0.0))
+        if const[i]:
+            d = np.where(const, 0.0, np.sqrt(m))
+        else:
+            d[const] = np.sqrt(m)
+        d[max(0, i - excl):i + excl + 1] = np.inf
+        prof[i] = float(np.min(d)) if np.isfinite(d).any() else np.inf
+    return prof
+
+
+def skyline_matrixprofile(ts: np.ndarray, values: np.ndarray, params: dict):
+    """Matrix-profile discord detection (skyline/custom_algorithms/
+    skyline_matrixprofile.py:845-1000, stumpy.stump backend): compute
+    the self-join profile at subsequence length ``windows`` (default 5),
+    take the ``k_discords`` (default 20) subsequences with the LARGEST
+    profile distance, and call the series anomalous when a discord start
+    index lands within the last ``windows``+1 positions."""
+    windows = int(params.get("windows", 5))
+    k_discords = int(params.get("k_discords", 20))
+    try:
+        x = values.astype(np.float64)
+        if x.size < windows * 3:
+            return None, None
+        prof = _matrix_profile(x, windows)
+        discords = np.argsort(prof, kind="stable")[-k_discords:]
+        last_index = x.size - 1
+        window_idx = set(range(last_index - windows, last_index + 1))
+        hit = bool(window_idx & set(int(d) for d in discords))
+        return hit, (1.0 if hit else 0.0)
+    except Exception:
+        return None, None
+
+
 SHIPPED = {
     "sigma": sigma, "level_shift": level_shift, "iqr_outlier": iqr_outlier,
     "abs_stddev_from_median": abs_stddev_from_median,
@@ -1326,4 +1405,6 @@ SHIPPED = {
     "adtk_volatility_shift": adtk_volatility_shift,
     "moving_sum_decrease": moving_sum_decrease,
     "moving_sum_and_value_decrease": moving_sum_and_value_decrease,
+    "adtk_level_shift": adtk_level_shift,
+    "skyline_matrixprofile": skyline_matrixprofile,
 }

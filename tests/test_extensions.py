@@ -273,6 +273,59 @@ def test_moving_sum_decrease_pair():
     assert msd(ts[:30], v[:30], p) == (None, None)   # < 3 windows
 
 
+def test_matrixprofile_and_adtk_level_shift():
+    """skyline_matrixprofile: the STOMP profile must equal a brute-force
+    z-normalized distance profile (incl. constant-subsequence and
+    exclusion-zone conventions); discord-in-tail flips the verdict.
+    adtk_level_shift: the faithful adtk median pipeline."""
+    from skyline_spark.functions.custom_algorithms import (
+        _matrix_profile,
+        adtk_level_shift,
+        skyline_matrixprofile,
+    )
+
+    def brute(x, m):
+        n = x.size - m + 1
+        excl = int(np.ceil(m / 4))
+        subs = np.lib.stride_tricks.sliding_window_view(x, m).astype(float)
+        mu, sig = subs.mean(1), subs.std(1)
+        out = np.full(n, np.inf)
+        for i in range(n):
+            d = np.full(n, np.inf)
+            for j in range(n):
+                if abs(i - j) <= excl:
+                    continue
+                if sig[i] < 1e-13 and sig[j] < 1e-13:
+                    d[j] = 0.0
+                elif sig[i] < 1e-13 or sig[j] < 1e-13:
+                    d[j] = np.sqrt(m)
+                else:
+                    a = (subs[i] - mu[i]) / sig[i]
+                    b = (subs[j] - mu[j]) / sig[j]
+                    d[j] = np.sqrt(((a - b) ** 2).sum())
+            out[i] = d.min()
+        return out
+
+    rng = np.random.RandomState(9)
+    x = rng.normal(0, 1, 200)
+    x[50:60] = 0.0      # constant stretch exercises the σ=0 conventions
+    assert np.allclose(_matrix_profile(x, 8), brute(x, 8), atol=1e-7)
+
+    n = 1000
+    ts = np.arange(n, dtype=np.float64)
+    v = 50 + np.sin(2 * np.pi * ts / 24) + rng.normal(0, 0.1, n)
+    spiked = v.copy()
+    spiked[-3] = 500.0
+    assert skyline_matrixprofile(ts, v, {}) == (False, 0.0)
+    assert skyline_matrixprofile(ts, spiked, {}) == (True, 1.0)
+    assert skyline_matrixprofile(ts[:10], v[:10], {}) == (None, None)
+
+    shifted = v.copy()
+    shifted[-5:] += 50
+    assert adtk_level_shift(ts, v, {}) == (False, 0.0)
+    assert adtk_level_shift(ts, shifted, {}) == (True, 1.0)
+
+
 def test_low_variance_anomalous_peak_trough():
     """lvapt — mirage-side second opinion: repeating modest peaks cancel
     the anomaly, an outsized final peak/trough confirms it, and
