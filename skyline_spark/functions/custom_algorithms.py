@@ -22,9 +22,16 @@ Semantics implemented (the exercised subset of the reference's knobs):
   CONSENSUS, algorithms.py:2000-2016);
 - ``use_with`` namespace pattern restricts which series run it.
 
-Three shipped examples mirror reference custom algorithms
-(skyline/custom_algorithms/): sigma (k-sigma last point), level_shift
-(median shift between window halves vs MAD), iqr_outlier.
+Shipped library: 26 of the reference's 37 custom algorithms are ported
+(see SHIPPED at the bottom; each cites its reference file). The 11
+unported ones all require capabilities absent from this container and
+are out of scope by the same rule as SURVEY §3.3: laoccfdlpnc +
+skyline_laoccfdlpnc (cvxpy convex solver), one_class_svm +
+skyline_tsb_uad_ocsvm (sklearn SMO/torch), skyline_tsb_uad_pca (torch),
+skyline_prophet (prophet/stan), mstl (statsmodels MSTL),
+azure_ai_anomalydetector + grafana_promql_anomaly_detection +
+irregular_unstable (remote service/Graphite fetches), mmzrmp (ruptures'
+C KernelCPD plus an ensemble-orchestration layer over it).
 """
 
 from __future__ import annotations
@@ -1387,6 +1394,48 @@ def skyline_matrixprofile(ts: np.ndarray, values: np.ndarray, params: dict):
         return None, None
 
 
+def adtk_seasonal(ts: np.ndarray, values: np.ndarray, params: dict):
+    """adtk SeasonalAD semantics (skyline/custom_algorithms/
+    adtk_seasonal.py:233-520, adtk package absent): classic seasonal
+    decomposition — period auto-detected as the strongest significant
+    ACF local maximum, seasonal pattern = per-phase mean, residual
+    IQR-fenced at ``c`` (both/positive/negative sides); anomalous when a
+    flag lands in the last ``window`` timestamps. No detectable period
+    mirrors the wrapper's caught-fit-failure path -> (False, 0.0)."""
+    window = int(params.get("window", 5))
+    c = float(params.get("c", 9.0))
+    side = params.get("side", "both")
+    v = values.astype(np.float64)
+    n = v.size
+    if n < 20:
+        return None, None
+    x = v - v.mean()
+    denom = float(np.dot(x, x))
+    if denom == 0:
+        return False, 0.0
+    acf = np.correlate(x, x, "full")[n - 1:] / denom
+    sig_level = 2.0 / np.sqrt(n)
+    cands = [k for k in range(2, n // 2)
+             if acf[k] >= acf[k - 1] and acf[k] >= acf[k + 1]
+             and acf[k] > sig_level]
+    if not cands:
+        return False, 0.0
+    period = max(cands, key=lambda k: acf[k])
+    phase = np.arange(n) % period
+    pattern = np.array([v[phase == p].mean() for p in range(period)])
+    resid = v - pattern[phase]
+    q1, q3 = np.percentile(resid, [25, 75])
+    iqr = q3 - q1
+    if side == "positive":
+        flags = resid > q3 + c * iqr
+    elif side == "negative":
+        flags = resid < q1 - c * iqr
+    else:
+        flags = (resid > q3 + c * iqr) | (resid < q1 - c * iqr)
+    hit = bool(flags[-window:].any())
+    return hit, (1.0 if hit else 0.0)
+
+
 SHIPPED = {
     "sigma": sigma, "level_shift": level_shift, "iqr_outlier": iqr_outlier,
     "abs_stddev_from_median": abs_stddev_from_median,
@@ -1407,4 +1456,5 @@ SHIPPED = {
     "moving_sum_and_value_decrease": moving_sum_and_value_decrease,
     "adtk_level_shift": adtk_level_shift,
     "skyline_matrixprofile": skyline_matrixprofile,
+    "adtk_seasonal": adtk_seasonal,
 }

@@ -326,6 +326,24 @@ def test_matrixprofile_and_adtk_level_shift():
     assert adtk_level_shift(ts, shifted, {}) == (True, 1.0)
 
 
+def test_adtk_seasonal():
+    """adtk SeasonalAD: per-phase pattern residual IQR fence with
+    ACF-detected period; pattern break flips the verdict, aperiodic
+    series fail the fit to (False, 0.0)."""
+    from skyline_spark.functions.custom_algorithms import adtk_seasonal
+    rng = np.random.RandomState(11)
+    n = 960
+    ts = np.arange(n, dtype=np.float64)
+    v = 100 + 10 * np.sin(2 * np.pi * ts / 24) + rng.normal(0, 0.5, n)
+    assert adtk_seasonal(ts, v, {}) == (False, 0.0)
+    broken = v.copy()
+    broken[-2] += 60        # breaks the daily phase pattern
+    assert adtk_seasonal(ts, broken, {}) == (True, 1.0)
+    assert adtk_seasonal(ts, 100 + rng.normal(0, 1, n), {}) == (False, 0.0)
+    assert adtk_seasonal(ts, np.full(n, 5.0), {}) == (False, 0.0)
+    assert adtk_seasonal(ts[:10], v[:10], {}) == (None, None)
+
+
 def test_low_variance_anomalous_peak_trough():
     """lvapt — mirage-side second opinion: repeating modest peaks cancel
     the anomaly, an outsized final peak/trough confirms it, and
