@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: 40 features — the numpy-closed-form tranche of tsfresh's
+#: 61 features — the numpy-closed-form tranche of tsfresh's
 #: EfficientFCParameters basket (reference golden CSVs
 #: /root/reference/tests/baseline/*.features.transposed.csv; tsfresh
 #: names in parentheses where ours differ). Location/count features are
@@ -49,6 +49,20 @@ FEATURE_NAMES = (
     "first_loc_min", "last_loc_min",
     "count_unique", "has_duplicate",
     "has_duplicate_max", "has_duplicate_min",
+    # round-3 second tranche (21 more -> 61):
+    "variance", "var_gt_std",             # (variance_larger_than_std)
+    "c3_lag1", "c3_lag2", "c3_lag3",
+    "trev_lag1", "trev_lag2", "trev_lag3",  # (time_reversal_asymmetry)
+    # raw counts, not tsfresh's ratios (integer-exact in every engine)
+    "count_beyond_1sigma", "count_beyond_2sigma", "count_beyond_3sigma",
+    "symmetry_r01",                       # (symmetry_looking, r=0.1)
+    "large_std_r025",                     # (large_standard_deviation)
+    "sum_reoccurring_values", "sum_reoccurring_points",
+    "binned_entropy_10",
+    "autocorr_lag2", "autocorr_lag3",
+    "mean_n_abs_max_7",                   # (mean_n_absolute_max, n=7)
+    "corr_rvalue",                        # (linear_trend rvalue)
+    "index_mass_quantile_05",             # raw 1-based index, not ratio
 )
 
 
@@ -121,6 +135,81 @@ def compute_features(ts: np.ndarray, values: np.ndarray) -> dict[str, float]:
         "has_duplicate": float(np.unique(v).size < n),
         "has_duplicate_max": float(np.sum(v == vmax) > 1),
         "has_duplicate_min": float(np.sum(v == vmin) > 1),
+        **_second_tranche(x, v, n, mean, std, vmin, vmax, centered),
+    }
+
+
+def _c3(v: np.ndarray, n: int, lag: int) -> float:
+    """tsfresh c3: mean of x[i]·x[i+lag]·x[i+2lag]."""
+    if n <= 2 * lag:
+        return 0.0
+    return float(np.mean(v[:n - 2 * lag] * v[lag:n - lag] * v[2 * lag:]))
+
+
+def _trev(v: np.ndarray, n: int, lag: int) -> float:
+    """tsfresh time_reversal_asymmetry_statistic:
+    mean of x[i+2lag]²·x[i+lag] − x[i+lag]·x[i]²."""
+    if n <= 2 * lag:
+        return 0.0
+    a, b, c = v[2 * lag:], v[lag:n - lag], v[:n - 2 * lag]
+    return float(np.mean(a * a * b - b * c * c))
+
+
+def _autocorr_k(centered: np.ndarray, n: int, std: float, k: int) -> float:
+    if n <= k or std <= 0:
+        return 0.0
+    return float(np.dot(centered[:-k], centered[k:])
+                 / (std * std * (n - k)))
+
+
+def _second_tranche(x: np.ndarray, v: np.ndarray, n: int, mean: float,
+                    std: float, vmin: float, vmax: float,
+                    centered: np.ndarray) -> dict[str, float]:
+    rng_v = vmax - vmin
+    absd = np.abs(centered)
+    uniq, counts = np.unique(v, return_counts=True)
+    dup = counts > 1
+    # binned entropy: the bin index formula is written IDENTICALLY in
+    # the SQL twin (floor((x-min)/range*10), clamped) so decimal-grid
+    # edge values bin the same way in both engines
+    if rng_v > 0:
+        bins = np.minimum(np.floor((v - vmin) / rng_v * 10), 9)
+        p = np.unique(bins, return_counts=True)[1] / n
+        ent = float(-np.sum(p * np.log(p)))
+    else:
+        ent = 0.0
+    if std > 0 and n > 1 and np.ptp(x) > 0:
+        rvalue = float(np.corrcoef(x, v)[0, 1])
+    else:
+        rvalue = 0.0
+    a = np.abs(v)
+    tot = float(a.sum())
+    imq = float(np.searchsorted(np.cumsum(a), 0.5 * tot) + 1) \
+        if tot > 0 else 0.0
+    return {
+        "variance": std * std,
+        "var_gt_std": float(std * std > std),
+        "c3_lag1": _c3(v, n, 1), "c3_lag2": _c3(v, n, 2),
+        "c3_lag3": _c3(v, n, 3),
+        "trev_lag1": _trev(v, n, 1), "trev_lag2": _trev(v, n, 2),
+        "trev_lag3": _trev(v, n, 3),
+        "count_beyond_1sigma": float(np.sum(absd > std)) if std > 0 else 0.0,
+        "count_beyond_2sigma":
+            float(np.sum(absd > 2 * std)) if std > 0 else 0.0,
+        "count_beyond_3sigma":
+            float(np.sum(absd > 3 * std)) if std > 0 else 0.0,
+        "symmetry_r01": float(abs(mean - float(np.median(v)))
+                              < 0.1 * rng_v),
+        "large_std_r025": float(std > 0.25 * rng_v),
+        "sum_reoccurring_values": float(uniq[dup].sum()),
+        "sum_reoccurring_points": float((uniq[dup] * counts[dup]).sum()),
+        "binned_entropy_10": ent,
+        "autocorr_lag2": _autocorr_k(centered, n, std, 2),
+        "autocorr_lag3": _autocorr_k(centered, n, std, 3),
+        "mean_n_abs_max_7":
+            float(np.mean(np.sort(a)[-7:])) if n >= 7 else 0.0,
+        "corr_rvalue": rvalue,
+        "index_mass_quantile_05": imq,
     }
 
 

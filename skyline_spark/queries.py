@@ -2143,7 +2143,12 @@ def q_feature_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # <=4-decimal but large-magnitude (engine diffs ~1e-7 abs -> 4 dp);
     # features_sum mixes both -> 2 dp
     prec = {"f_sum": 4, "f_abs_energy": 4, "f_abs_sum_of_changes": 4,
-            "features_sum": 2}
+            "features_sum": 2,
+            # second tranche: value-cubed magnitudes round coarser
+            "f_c3_lag1": 2, "f_c3_lag2": 2, "f_c3_lag3": 2,
+            "f_trev_lag1": 2, "f_trev_lag2": 2, "f_trev_lag3": 2,
+            "f_variance": 4, "f_sum_reoccurring_values": 4,
+            "f_sum_reoccurring_points": 4}
     cols = [_RP(c, prec.get(c, 6)).alias(c)
             for c in out.columns if c != "conv_id"]
     return out.select("conv_id", *cols)
@@ -2165,8 +2170,24 @@ SQL_FEATURE_PROFILES = _sql("""
            count(DISTINCT value) AS n_uniq,
            min(epoch(ts)) AS t0,
            regr_slope(value, epoch(ts)) AS raw_slope,
-           regr_intercept(value, epoch(ts)) AS raw_icpt
+           regr_intercept(value, epoch(ts)) AS raw_icpt,
+           corr(value, epoch(ts)) AS raw_corr
     FROM valid GROUP BY conv_id),
+reocc AS (
+    SELECT conv_id,
+           coalesce(sum(CASE WHEN cnt > 1 THEN val END), 0.0) AS srv,
+           coalesce(sum(CASE WHEN cnt > 1 THEN val * cnt END), 0.0) AS srp
+    FROM (SELECT conv_id, value AS val, count(*) AS cnt
+          FROM valid GROUP BY conv_id, value) GROUP BY conv_id),
+imq AS (
+    SELECT conv_id, CAST(min(rn) AS DOUBLE) AS imq_05 FROM (
+        SELECT conv_id, row_number() OVER w AS rn,
+               sum(abs(value)) OVER w AS cum,
+               sum(abs(value)) OVER (PARTITION BY conv_id) AS tot
+        FROM valid
+        WINDOW w AS (PARTITION BY conv_id ORDER BY epoch(ts)
+                     ROWS UNBOUNDED PRECEDING))
+    WHERE tot > 0 AND cum >= 0.5 * tot GROUP BY conv_id),
 derived AS (
     SELECT conv_id, n, f_mean, f_std, f_median, f_min, f_max, f_sum,
            f_abs_energy, f_q25, f_q75, f_q05, f_q95,
@@ -2247,8 +2268,75 @@ derived AS (
            CASE WHEN len(list_filter(l, x -> x = f_max)) > 1
                 THEN 1.0 ELSE 0.0 END AS f_has_duplicate_max,
            CASE WHEN len(list_filter(l, x -> x = f_min)) > 1
-                THEN 1.0 ELSE 0.0 END AS f_has_duplicate_min
-    FROM base)
+                THEN 1.0 ELSE 0.0 END AS f_has_duplicate_min,
+           f_std * f_std AS f_variance,
+           CASE WHEN f_std * f_std > f_std THEN 1.0 ELSE 0.0 END
+               AS f_var_gt_std,
+           CASE WHEN n > 2 THEN list_sum(
+                    [l[i] * l[i + 1] * l[i + 2] FOR i IN range(1, n - 1)])
+                    / (n - 2) ELSE 0.0 END AS f_c3_lag1,
+           CASE WHEN n > 4 THEN list_sum(
+                    [l[i] * l[i + 2] * l[i + 4] FOR i IN range(1, n - 3)])
+                    / (n - 4) ELSE 0.0 END AS f_c3_lag2,
+           CASE WHEN n > 6 THEN list_sum(
+                    [l[i] * l[i + 3] * l[i + 6] FOR i IN range(1, n - 5)])
+                    / (n - 6) ELSE 0.0 END AS f_c3_lag3,
+           CASE WHEN n > 2 THEN list_sum(
+                    [l[i + 2] * l[i + 2] * l[i + 1] - l[i + 1] * l[i] * l[i]
+                     FOR i IN range(1, n - 1)]) / (n - 2)
+                ELSE 0.0 END AS f_trev_lag1,
+           CASE WHEN n > 4 THEN list_sum(
+                    [l[i + 4] * l[i + 4] * l[i + 2] - l[i + 2] * l[i] * l[i]
+                     FOR i IN range(1, n - 3)]) / (n - 4)
+                ELSE 0.0 END AS f_trev_lag2,
+           CASE WHEN n > 6 THEN list_sum(
+                    [l[i + 6] * l[i + 6] * l[i + 3] - l[i + 3] * l[i] * l[i]
+                     FOR i IN range(1, n - 5)]) / (n - 6)
+                ELSE 0.0 END AS f_trev_lag3,
+           CASE WHEN f_std > 0 THEN CAST(len(list_filter(
+                    l, x -> abs(x - f_mean) > f_std)) AS DOUBLE)
+                ELSE 0.0 END AS f_count_beyond_1sigma,
+           CASE WHEN f_std > 0 THEN CAST(len(list_filter(
+                    l, x -> abs(x - f_mean) > 2 * f_std)) AS DOUBLE)
+                ELSE 0.0 END AS f_count_beyond_2sigma,
+           CASE WHEN f_std > 0 THEN CAST(len(list_filter(
+                    l, x -> abs(x - f_mean) > 3 * f_std)) AS DOUBLE)
+                ELSE 0.0 END AS f_count_beyond_3sigma,
+           CASE WHEN abs(f_mean - f_median) < 0.1 * (f_max - f_min)
+                THEN 1.0 ELSE 0.0 END AS f_symmetry_r01,
+           CASE WHEN f_std > 0.25 * (f_max - f_min)
+                THEN 1.0 ELSE 0.0 END AS f_large_std_r025,
+           r.srv AS f_sum_reoccurring_values,
+           r.srp AS f_sum_reoccurring_points,
+           CASE WHEN f_max > f_min THEN -list_sum(
+                    [CASE WHEN cnt > 0
+                         THEN (cnt / CAST(n AS DOUBLE))
+                              * ln(cnt / CAST(n AS DOUBLE))
+                         ELSE 0.0 END
+                     FOR cnt IN
+                     [CAST(len(list_filter(l, x ->
+                          least(floor((x - f_min) / (f_max - f_min) * 10),
+                                9) = k)) AS DOUBLE)
+                      FOR k IN range(0, 10)]])
+                ELSE 0.0 END AS f_binned_entropy_10,
+           CASE WHEN n > 2 AND f_std > 0 THEN list_sum(
+                    [(l[i] - f_mean) * (l[i + 2] - f_mean)
+                     FOR i IN range(1, n - 1)])
+                    / (f_std * f_std * (n - 2))
+                ELSE 0.0 END AS f_autocorr_lag2,
+           CASE WHEN n > 3 AND f_std > 0 THEN list_sum(
+                    [(l[i] - f_mean) * (l[i + 3] - f_mean)
+                     FOR i IN range(1, n - 2)])
+                    / (f_std * f_std * (n - 3))
+                ELSE 0.0 END AS f_autocorr_lag3,
+           CASE WHEN n >= 7 THEN list_sum(list_slice(
+                    list_reverse_sort([abs(x) FOR x IN l]), 1, 7)) / 7.0
+                ELSE 0.0 END AS f_mean_n_abs_max_7,
+           CASE WHEN n > 1 THEN coalesce(raw_corr, 0.0)
+                ELSE 0.0 END AS f_corr_rvalue,
+           coalesce(q.imq_05, 0.0) AS f_index_mass_quantile_05
+    FROM base LEFT JOIN reocc r USING (conv_id)
+    LEFT JOIN imq q USING (conv_id))
 SELECT conv_id,
        round(f_mean + f_std + f_median + f_min + f_max + f_sum
              + f_abs_energy + f_mean_abs_change + f_count_above_mean
@@ -2261,7 +2349,16 @@ SELECT conv_id,
              + f_longest_strike_above_mean + f_longest_strike_below_mean
              + f_first_loc_max + f_last_loc_max + f_first_loc_min
              + f_last_loc_min + f_count_unique + f_has_duplicate
-             + f_has_duplicate_max + f_has_duplicate_min, 2)
+             + f_has_duplicate_max + f_has_duplicate_min
+             + f_variance + f_var_gt_std
+             + f_c3_lag1 + f_c3_lag2 + f_c3_lag3
+             + f_trev_lag1 + f_trev_lag2 + f_trev_lag3
+             + f_count_beyond_1sigma + f_count_beyond_2sigma
+             + f_count_beyond_3sigma + f_symmetry_r01 + f_large_std_r025
+             + f_sum_reoccurring_values + f_sum_reoccurring_points
+             + f_binned_entropy_10 + f_autocorr_lag2 + f_autocorr_lag3
+             + f_mean_n_abs_max_7 + f_corr_rvalue
+             + f_index_mass_quantile_05, 2)
            AS features_sum,
        round(f_mean, 6) AS f_mean, round(f_std, 6) AS f_std,
        round(f_median, 6) AS f_median, round(f_min, 6) AS f_min,
@@ -2298,7 +2395,28 @@ SELECT conv_id,
        round(f_count_unique, 6) AS f_count_unique,
        round(f_has_duplicate, 6) AS f_has_duplicate,
        round(f_has_duplicate_max, 6) AS f_has_duplicate_max,
-       round(f_has_duplicate_min, 6) AS f_has_duplicate_min
+       round(f_has_duplicate_min, 6) AS f_has_duplicate_min,
+       round(f_variance, 4) AS f_variance,
+       round(f_var_gt_std, 6) AS f_var_gt_std,
+       round(f_c3_lag1, 2) AS f_c3_lag1,
+       round(f_c3_lag2, 2) AS f_c3_lag2,
+       round(f_c3_lag3, 2) AS f_c3_lag3,
+       round(f_trev_lag1, 2) AS f_trev_lag1,
+       round(f_trev_lag2, 2) AS f_trev_lag2,
+       round(f_trev_lag3, 2) AS f_trev_lag3,
+       round(f_count_beyond_1sigma, 6) AS f_count_beyond_1sigma,
+       round(f_count_beyond_2sigma, 6) AS f_count_beyond_2sigma,
+       round(f_count_beyond_3sigma, 6) AS f_count_beyond_3sigma,
+       round(f_symmetry_r01, 6) AS f_symmetry_r01,
+       round(f_large_std_r025, 6) AS f_large_std_r025,
+       round(f_sum_reoccurring_values, 4) AS f_sum_reoccurring_values,
+       round(f_sum_reoccurring_points, 4) AS f_sum_reoccurring_points,
+       round(f_binned_entropy_10, 6) AS f_binned_entropy_10,
+       round(f_autocorr_lag2, 6) AS f_autocorr_lag2,
+       round(f_autocorr_lag3, 6) AS f_autocorr_lag3,
+       round(f_mean_n_abs_max_7, 6) AS f_mean_n_abs_max_7,
+       round(f_corr_rvalue, 6) AS f_corr_rvalue,
+       round(f_index_mass_quantile_05, 6) AS f_index_mass_quantile_05
 FROM derived
 """)
 
