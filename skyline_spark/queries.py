@@ -2154,7 +2154,10 @@ def q_feature_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("conv_id", *cols)
 
 
-SQL_FEATURE_PROFILES = _sql("""
+#: the full feature-profile CTE chain, parameterized by suffix and
+#: source relation so the ionosphere-match twin can instantiate it
+#: twice (full window + 60% training head)
+_FEATURES_CTES = r"""
 , base AS (
     SELECT conv_id,
            list(value ORDER BY epoch(ts)) AS l,
@@ -2337,7 +2340,9 @@ derived AS (
            coalesce(q.imq_05, 0.0) AS f_index_mass_quantile_05
     FROM base LEFT JOIN reocc r USING (conv_id)
     LEFT JOIN imq q USING (conv_id))
-SELECT conv_id,
+"""
+
+_FEATURES_FINAL = r"""SELECT conv_id,
        round(f_mean + f_std + f_median + f_min + f_max + f_sum
              + f_abs_energy + f_mean_abs_change + f_count_above_mean
              + f_count_below_mean + f_q25 + f_q75 + f_skewness_like
@@ -2418,7 +2423,27 @@ SELECT conv_id,
        round(f_corr_rvalue, 6) AS f_corr_rvalue,
        round(f_index_mass_quantile_05, 6) AS f_index_mass_quantile_05
 FROM derived
-""")
+"""
+
+
+def _features_sql_block(sfx: str, src: str) -> str:
+    s = _FEATURES_CTES
+    for name in ("base", "reocc", "imq", "derived"):
+        s = s.replace(f" {name} AS (", f" {name}{sfx} AS (")
+        s = s.replace(f"\n{name} AS (", f"\n{name}{sfx} AS (")
+    s = (s.replace("FROM base LEFT JOIN reocc r USING (conv_id)",
+                   f"FROM base{sfx} LEFT JOIN reocc{sfx} r USING (conv_id)")
+         .replace("LEFT JOIN imq q USING (conv_id))",
+                  f"LEFT JOIN imq{sfx} q USING (conv_id))")
+         .replace("FROM base)", f"FROM base{sfx})")
+         .replace("FROM valid", f"FROM {src}"))
+    return s
+
+
+SQL_FEATURE_PROFILES = _sql(
+    _features_sql_block("", "valid")
+    + _FEATURES_FINAL.replace("FROM derived", "FROM derived"))
+
 
 
 def q_ionosphere_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2450,12 +2475,113 @@ def q_ionosphere_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "final_disposition")
 
 
+def q_ionosphere_match_sql5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — the ionosphere echo flow over the 5-SQL-algorithm kernel:
+    restricted analyze -> REAL routing tree -> ionosphere sink ->
+    REAL feature_profiles kernel on the full window AND the 60%
+    training head -> percent-similar cancel (features_profile.py:
+    640-657). Every stage is DuckDB-expressible, so the match verdict
+    itself is value-checked (the 9-algorithm variant stays rows-only
+    as ionosphere_matches)."""
+    from skyline_spark.operators.analyze import empty_series_verdicts
+    from skyline_spark.operators.enrich import rules_from_config
+    from skyline_spark.operators.features_profile import (
+        feature_profiles,
+        ionosphere_match,
+    )
+    from skyline_spark.operators.route import route_verdicts
+    from skyline_spark.operators.analyze import analyze
+    tdf, parsed, now, cfg, _ = _sql5_analyze(spark, sf_dir)
+    rules = rules_from_config(_events_alert_config(spark))
+    v = analyze(parsed, cfg, now, rules=rules)
+    allv = v.unionByName(empty_series_verdicts(tdf, parsed, cfg, now))
+    routed = route_verdicts(allv, mirage_always=MIRAGE_ALWAYS,
+                            ionosphere_enabled=True, now=now)
+    anoms = routed.where(F.col("sink") == "ionosphere") \
+        .select("conv_id", "metric")
+    pv = parsed.where(F.col("value").isNotNull())
+    cur = feature_profiles(pv)
+    t0 = pv.groupBy("conv_id").agg(
+        F.min(epoch_seconds(F.col("ts"))).alias("__t0"),
+        F.max(epoch_seconds(F.col("ts"))).alias("__t1"))
+    head = pv.join(t0, "conv_id").where(
+        epoch_seconds(F.col("ts"))
+        <= F.col("__t0") + 0.6 * (F.col("__t1") - F.col("__t0")))
+    trained = feature_profiles(head.drop("__t0", "__t1"))
+    out = ionosphere_match(anoms, trained, cur, percent_similar=10.0)
+    return out.select("conv_id", "metric", "ionosphere_matched",
+                      "final_disposition")
+
+
+#: features_sum expression (bare f_* columns, reusable over any
+#: derived{sfx}) carved from the final SELECT
+_FSUM_EXPR = __import__("re").search(
+    r"round\((.*?), 2\)\s*\n\s*AS features_sum", _FEATURES_FINAL,
+    __import__("re").S).group(1)
+
+SQL_IONOSPHERE_MATCH_SQL5 = (
+    _PROLOGUE
+    .replace("__TRANSCRIPTS__", DUCKDB_TRANSCRIPTS_SQL)
+    .replace("__EVENT_RE__", EVENT_RE)
+    + ","
+    + _vote_sql_block(FD, "_i")
+    + """
+, conv_metric_i AS (
+    SELECT conv_id, max(metric) AS metric FROM valid GROUP BY conv_id),
+enriched_i AS (
+    SELECT v.conv_id, v.exception, v.anomalous, m.metric,
+           CASE WHEN string_split(m.metric, '.')[1]
+                     IN ('click', 'error', 'signup') THEN 'smtp'
+                WHEN string_split(m.metric, '.')[1] = 'purchase'
+                    THEN 'slack' END AS alerter,
+           string_split(m.metric, '.')[1] = 'error' AS is_mirage
+    FROM votes_i v JOIN conv_metric_i m USING (conv_id)),
+routed_i AS (
+    SELECT conv_id, metric,
+           CASE WHEN metric = 'error.turns.rate' AND exception IS NULL
+                    THEN 'deferred'
+                WHEN exception IS NOT NULL THEN 'exception'
+                WHEN NOT anomalous THEN 'normal'
+                WHEN is_mirage THEN 'deferred'
+                WHEN alerter = 'smtp' THEN 'ionosphere'
+                ELSE 'anomalous' END AS sink
+    FROM enriched_i),
+span_i AS (
+    SELECT conv_id, min(epoch(ts)) AS t0, max(epoch(ts)) AS t1
+    FROM valid GROUP BY conv_id),
+valid_head AS (
+    SELECT v.* FROM valid v JOIN span_i s USING (conv_id)
+    WHERE epoch(v.ts) <= s.t0 + 0.6 * (s.t1 - s.t0))"""
+    + _features_sql_block("_c", "valid")
+    + _features_sql_block("_h", "valid_head")
+    + f"""
+, cur_sum AS (
+    SELECT conv_id, ({_FSUM_EXPR}) AS cur FROM derived_c),
+tr_sum AS (
+    SELECT conv_id, ({_FSUM_EXPR}) AS trained FROM derived_h),
+matched AS (
+    SELECT r.conv_id, r.metric,
+           CASE WHEN t.trained IS NOT NULL AND t.trained <> 0
+                THEN abs(c.cur - t.trained) / abs(t.trained) * 100.0 < 10.0
+                ELSE FALSE END AS ionosphere_matched
+    FROM routed_i r LEFT JOIN cur_sum c USING (conv_id)
+    LEFT JOIN tr_sum t USING (conv_id)
+    WHERE r.sink = 'ionosphere')
+SELECT conv_id, metric, ionosphere_matched,
+       CASE WHEN ionosphere_matched THEN 'cancelled_known_pattern'
+            ELSE 'anomalous' END AS final_disposition
+FROM matched
+""")
+
+
 REGISTRY.update({
     "run_summary": (q_run_summary, None),
     "illuminance": (q_illuminance, None),
     "anomaly_breakdown": (q_anomaly_breakdown, None),
     "feature_profiles": (q_feature_profiles, SQL_FEATURE_PROFILES),
     "ionosphere_matches": (q_ionosphere_matches, None),
+    "ionosphere_match_sql5": (q_ionosphere_match_sql5,
+                              SQL_IONOSPHERE_MATCH_SQL5),
 })
 
 
