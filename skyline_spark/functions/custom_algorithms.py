@@ -22,16 +22,19 @@ Semantics implemented (the exercised subset of the reference's knobs):
   CONSENSUS, algorithms.py:2000-2016);
 - ``use_with`` namespace pattern restricts which series run it.
 
-Shipped library: 26 of the reference's 37 custom algorithms are ported
-(see SHIPPED at the bottom; each cites its reference file). The 11
-unported ones all require capabilities absent from this container and
-are out of scope by the same rule as SURVEY §3.3: laoccfdlpnc +
-skyline_laoccfdlpnc (cvxpy convex solver), one_class_svm +
-skyline_tsb_uad_ocsvm (sklearn SMO/torch), skyline_tsb_uad_pca (torch),
-skyline_prophet (prophet/stan), mstl (statsmodels MSTL),
-azure_ai_anomalydetector + grafana_promql_anomaly_detection +
-irregular_unstable (remote service/Graphite fetches), mmzrmp (ruptures'
-C KernelCPD plus an ensemble-orchestration layer over it).
+Shipped library: 25 of the 36 algorithm files in the reference's
+skyline/custom_algorithms/ are ported (see SHIPPED at the bottom; each
+cites its reference file; SHIPPED additionally carries two simple
+non-reference example detectors, level_shift and iqr_outlier, so the
+registry holds 27 entries). The 11 unported ones all require
+capabilities absent from this container and are out of scope by the
+same rule as SURVEY §3.3: laoccfdlpnc + skyline_laoccfdlpnc (cvxpy
+convex solver), one_class_svm + skyline_tsb_uad_ocsvm (sklearn
+SMO/torch), skyline_tsb_uad_pca (torch), skyline_prophet
+(prophet/stan), mstl (statsmodels MSTL), azure_ai_anomalydetector +
+grafana_promql_anomaly_detection + irregular_unstable (remote
+service/Graphite fetches), mmzrmp (ruptures' C KernelCPD plus an
+ensemble-orchestration layer over it).
 """
 
 from __future__ import annotations
@@ -1436,6 +1439,118 @@ def adtk_seasonal(ts: np.ndarray, values: np.ndarray, params: dict):
     return hit, (1.0 if hit else 0.0)
 
 
+def _holt_fitted(y: list, alpha: float, beta: float,
+                 l0: float, b0: float) -> tuple[float, list]:
+    """One-step-ahead fitted values of the innovations-form ETS(A,A,N)
+    model (l_t = l_{t-1}+b_{t-1}+a*e_t; b_t = b_{t-1}+a*b*e_t).
+    Returns (sse, fitted)."""
+    l, b = l0, b0
+    ab = alpha * beta
+    sse = 0.0
+    fitted = []
+    for yt in y:
+        f = l + b
+        fitted.append(f)
+        e = yt - f
+        sse += e * e
+        l = f + alpha * e
+        b = b + ab * e
+    return sse, fitted
+
+
+def _gpd_pwm_fit(x: np.ndarray) -> tuple[float, float] | None:
+    """Hosking & Wallis (1987) probability-weighted-moment estimators
+    for the two-parameter GPD over exceedances x >= 0: returns
+    (kappa, scale) with CDF F(x) = 1 - (1 - kappa*x/scale)^(1/kappa)
+    (kappa -> 0 reduces to the exponential)."""
+    x = np.sort(x.astype(np.float64))
+    n = x.size
+    if n < 3:
+        return None
+    b0 = float(x.mean())
+    # a_1 = E[X(1-F(X))]: ascending order stats weighted (n-i)/(n-1)
+    b1 = float(np.sum((1.0 - np.arange(n) / (n - 1.0)) * x) / n)
+    denom = b0 - 2.0 * b1
+    if denom == 0 or b0 <= 0:
+        return None
+    kappa = b0 / denom - 2.0
+    scale = 2.0 * b0 * b1 / denom
+    if scale <= 0:
+        return None
+    return kappa, scale
+
+
+def _gpd_cdf(q: np.ndarray, kappa: float, scale: float) -> np.ndarray:
+    q = np.maximum(q, 0.0)
+    if abs(kappa) < 1e-9:
+        return 1.0 - np.exp(-q / scale)
+    inner = 1.0 - kappa * q / scale
+    # kappa > 0 has bounded support scale/kappa: beyond it F = 1
+    out = np.where(inner > 0.0,
+                   1.0 - np.power(np.maximum(inner, 1e-300), 1.0 / kappa),
+                   1.0)
+    if kappa < 0:
+        return out
+    return np.where(q >= scale / kappa, 1.0, out)
+
+
+def probabilistic_forecasts_gpd_ets(ts: np.ndarray, values: np.ndarray,
+                                    params: dict):
+    """pfgpde — Hyndman's probabilistic-forecast anomaly detection
+    (skyline/custom_algorithms/
+    probabilistic_forecasts_generalized_pareto_distribution_ets.py:
+    240-345, statsmodels-statespace-ETS + scipy genpareto absent from
+    this container): fit a trend exponential-smoothing model (own
+    Holt/ETS(A,A,N) with SSE-minimizing grid+refine over the smoothing
+    parameters), take density scores = -log N(y; fitted, std(resid)),
+    fit a GPD (Hosking-Wallis PWM, loc=0) to the scores above the
+    ``p_value`` percentile, and flag points whose tail probability
+    exceeds ``threshold``; anomalous iff a flagged point lands in the
+    last ``anomaly_window`` observations."""
+    threshold = float(params.get("threshold", 0.95))
+    p_value = float(params.get("p_value", 95))
+    anomaly_window = int(params.get("anomaly_window", 1))
+    v = values.astype(np.float64)
+    n = v.size
+    if n < 30 or not np.isfinite(v).all():
+        return None, None
+    y = v.tolist()
+    # statsmodels initialization_method="estimated" analogue: OLS line
+    # over the first handful of points seeds level/slope
+    head = min(10, n)
+    hx = np.arange(head, dtype=np.float64)
+    hb = float(np.polyfit(hx, v[:head], 1)[0]) if head > 1 else 0.0
+    l0, b0 = float(v[0]), hb
+    best = (np.inf, 0.5, 0.1)
+    for a in (0.1, 0.3, 0.5, 0.7, 0.9):
+        for bfrac in (0.05, 0.2, 0.5, 1.0):
+            sse, _ = _holt_fitted(y, a, bfrac, l0, b0)
+            if sse < best[0]:
+                best = (sse, a, bfrac)
+    _, a0, bf0 = best
+    for a in np.clip([a0 - 0.1, a0, a0 + 0.1], 0.01, 0.99):
+        for bfrac in np.clip([bf0 / 2, bf0, min(1.0, bf0 * 2)], 0.01, 1.0):
+            sse, _ = _holt_fitted(y, float(a), float(bfrac), l0, b0)
+            if sse < best[0]:
+                best = (sse, float(a), float(bfrac))
+    _, fitted = _holt_fitted(y, best[1], best[2], l0, b0)
+    resid = v - np.asarray(fitted)
+    sigma = float(resid.std(ddof=1))      # pandas Series.std default
+    if sigma <= 0 or not np.isfinite(sigma):
+        return None, None                 # reference: logpdf blows up
+    density = (0.5 * np.log(2.0 * np.pi) + np.log(sigma)
+               + 0.5 * (resid / sigma) ** 2)
+    p_threshold = float(np.percentile(density, p_value))
+    exceed = density[density > p_threshold] - p_threshold
+    fit = _gpd_pwm_fit(exceed)
+    if fit is None:
+        return None, None                 # reference: genpareto.fit raises
+    probabilities = _gpd_cdf(density - p_threshold, *fit)
+    labels = probabilities > threshold
+    hit = bool(labels[-anomaly_window:].any())
+    return hit, (1.0 if hit else 0.0)
+
+
 SHIPPED = {
     "sigma": sigma, "level_shift": level_shift, "iqr_outlier": iqr_outlier,
     "abs_stddev_from_median": abs_stddev_from_median,
@@ -1457,4 +1572,5 @@ SHIPPED = {
     "adtk_level_shift": adtk_level_shift,
     "skyline_matrixprofile": skyline_matrixprofile,
     "adtk_seasonal": adtk_seasonal,
+    "probabilistic_forecasts_gpd_ets": probabilistic_forecasts_gpd_ets,
 }

@@ -344,6 +344,38 @@ def test_adtk_seasonal():
     assert adtk_seasonal(ts[:10], v[:10], {}) == (None, None)
 
 
+def test_probabilistic_forecasts_gpd_ets():
+    """pfgpde — Hyndman probabilistic-forecast detection: ETS(A,A,N)
+    density scores + GPD tail probability. The PWM fit recovers an
+    exponential's (kappa=0, scale=theta); a forecast-breaking spike in
+    the anomaly window flips the verdict; degenerate inputs mirror the
+    reference's recorded-error (None, None) path."""
+    from skyline_spark.functions.custom_algorithms import (
+        _gpd_pwm_fit,
+        probabilistic_forecasts_gpd_ets as pfgpde,
+    )
+    rng = np.random.RandomState(42)
+    kappa, scale = _gpd_pwm_fit(rng.exponential(2.0, 5000))
+    assert abs(kappa) < 0.05 and abs(scale - 2.0) < 0.1
+    n = 200
+    ts = np.arange(n, dtype=np.float64) * 60
+    v = (50 + 0.05 * np.arange(n) + 3 * np.sin(np.arange(n) / 9.0)
+         + rng.normal(0, 1.0, n))
+    assert pfgpde(ts, v, {}) == (False, 0.0)
+    spiked = v.copy()
+    spiked[-1] += 40
+    assert pfgpde(ts, spiked, {}) == (True, 1.0)
+    mid = v.copy()
+    mid[100] += 40                       # outside anomaly_window=1 ...
+    assert pfgpde(ts, mid, {}) == (False, 0.0)
+    assert pfgpde(ts, mid, {"anomaly_window": n}) == (True, 1.0)
+    level = v.copy()
+    level[150:] += 25                    # level shift breaks the forecast
+    assert pfgpde(ts, level, {"anomaly_window": 60}) == (True, 1.0)
+    assert pfgpde(ts, np.full(n, 7.0), {}) == (None, None)
+    assert pfgpde(ts[:10], v[:10], {}) == (None, None)
+
+
 def test_low_variance_anomalous_peak_trough():
     """lvapt — mirage-side second opinion: repeating modest peaks cancel
     the anomaly, an outsized final peak/trough confirms it, and
