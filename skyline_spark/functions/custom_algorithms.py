@@ -22,16 +22,16 @@ Semantics implemented (the exercised subset of the reference's knobs):
   CONSENSUS, algorithms.py:2000-2016);
 - ``use_with`` namespace pattern restricts which series run it.
 
-Shipped library: 25 of the 36 algorithm files in the reference's
+Shipped library: 26 of the 36 algorithm files in the reference's
 skyline/custom_algorithms/ are ported (see SHIPPED at the bottom; each
 cites its reference file; SHIPPED additionally carries two simple
 non-reference example detectors, level_shift and iqr_outlier, so the
-registry holds 27 entries). The 11 unported ones all require
+registry holds 28 entries). The 10 unported ones all require
 capabilities absent from this container and are out of scope by the
 same rule as SURVEY §3.3: laoccfdlpnc + skyline_laoccfdlpnc (cvxpy
 convex solver), one_class_svm + skyline_tsb_uad_ocsvm (sklearn
 SMO/torch), skyline_tsb_uad_pca (torch), skyline_prophet
-(prophet/stan), mstl (statsmodels MSTL), azure_ai_anomalydetector +
+(prophet/stan), azure_ai_anomalydetector +
 grafana_promql_anomaly_detection + irregular_unstable (remote
 service/Graphite fetches), mmzrmp (ruptures' C KernelCPD plus an
 ensemble-orchestration layer over it).
@@ -1458,6 +1458,33 @@ def _holt_fitted(y: list, alpha: float, beta: float,
     return sse, fitted
 
 
+def _ets_fitted(v: np.ndarray) -> np.ndarray:
+    """One-step-ahead fitted values of ETS(A,A,N), smoothing parameters
+    chosen by SSE-minimizing grid+refine. statsmodels
+    initialization_method="estimated" analogue: an OLS line over the
+    first handful of points seeds level/slope."""
+    y = v.tolist()
+    n = v.size
+    head = min(10, n)
+    hx = np.arange(head, dtype=np.float64)
+    hb = float(np.polyfit(hx, v[:head], 1)[0]) if head > 1 else 0.0
+    l0, b0 = float(v[0]), hb
+    best = (np.inf, 0.5, 0.1)
+    for a in (0.1, 0.3, 0.5, 0.7, 0.9):
+        for bfrac in (0.05, 0.2, 0.5, 1.0):
+            sse, _ = _holt_fitted(y, a, bfrac, l0, b0)
+            if sse < best[0]:
+                best = (sse, a, bfrac)
+    _, a0, bf0 = best
+    for a in np.clip([a0 - 0.1, a0, a0 + 0.1], 0.01, 0.99):
+        for bfrac in np.clip([bf0 / 2, bf0, min(1.0, bf0 * 2)], 0.01, 1.0):
+            sse, _ = _holt_fitted(y, float(a), float(bfrac), l0, b0)
+            if sse < best[0]:
+                best = (sse, float(a), float(bfrac))
+    _, fitted = _holt_fitted(y, best[1], best[2], l0, b0)
+    return np.asarray(fitted)
+
+
 def _gpd_pwm_fit(x: np.ndarray) -> tuple[float, float] | None:
     """Hosking & Wallis (1987) probability-weighted-moment estimators
     for the two-parameter GPD over exceedances x >= 0: returns
@@ -1514,27 +1541,7 @@ def probabilistic_forecasts_gpd_ets(ts: np.ndarray, values: np.ndarray,
     n = v.size
     if n < 30 or not np.isfinite(v).all():
         return None, None
-    y = v.tolist()
-    # statsmodels initialization_method="estimated" analogue: OLS line
-    # over the first handful of points seeds level/slope
-    head = min(10, n)
-    hx = np.arange(head, dtype=np.float64)
-    hb = float(np.polyfit(hx, v[:head], 1)[0]) if head > 1 else 0.0
-    l0, b0 = float(v[0]), hb
-    best = (np.inf, 0.5, 0.1)
-    for a in (0.1, 0.3, 0.5, 0.7, 0.9):
-        for bfrac in (0.05, 0.2, 0.5, 1.0):
-            sse, _ = _holt_fitted(y, a, bfrac, l0, b0)
-            if sse < best[0]:
-                best = (sse, a, bfrac)
-    _, a0, bf0 = best
-    for a in np.clip([a0 - 0.1, a0, a0 + 0.1], 0.01, 0.99):
-        for bfrac in np.clip([bf0 / 2, bf0, min(1.0, bf0 * 2)], 0.01, 1.0):
-            sse, _ = _holt_fitted(y, float(a), float(bfrac), l0, b0)
-            if sse < best[0]:
-                best = (sse, float(a), float(bfrac))
-    _, fitted = _holt_fitted(y, best[1], best[2], l0, b0)
-    resid = v - np.asarray(fitted)
+    resid = v - _ets_fitted(v)
     sigma = float(resid.std(ddof=1))      # pandas Series.std default
     if sigma <= 0 or not np.isfinite(sigma):
         return None, None                 # reference: logpdf blows up
@@ -1548,6 +1555,79 @@ def probabilistic_forecasts_gpd_ets(ts: np.ndarray, values: np.ndarray,
     probabilities = _gpd_cdf(density - p_threshold, *fit)
     labels = probabilities > threshold
     hit = bool(labels[-anomaly_window:].any())
+    return hit, (1.0 if hit else 0.0)
+
+
+def _ma_reflect(x: np.ndarray, w: int) -> np.ndarray:
+    """Centered moving average, reflect-padded to full length (the
+    classical-decomposition trend filter; even windows use the standard
+    2xMA so the filter stays centered)."""
+    if w < 2:
+        return x.copy()
+    pad = w // 2
+    xp = np.concatenate([x[pad:0:-1], x, x[-2:-pad - 2:-1]])
+    kern = np.full(w, 1.0 / w)
+    if w % 2 == 0:
+        kern = np.convolve(kern, np.full(2, 0.5))
+        xp = np.concatenate([xp[:1], xp])
+    out = np.convolve(xp, kern, "valid")
+    return out[:x.size]
+
+
+def _mstl_seasonal(v: np.ndarray, periods: list[int],
+                   iterations: int = 2) -> np.ndarray:
+    """MSTL-lite seasonal extraction (Bandara, Hyndman & Bergmeir 2021
+    semantics: one STL pass per seasonal period, iterated so each
+    component is re-estimated net of the others). Per period: detrend
+    with the centered MA at that period, then zero-mean per-phase means
+    of the detrended cycle-subseries."""
+    n = v.size
+    seasonals = [np.zeros(n) for _ in periods]
+    phase = [np.arange(n) % p for p in periods]
+    for _ in range(iterations):
+        for k, p in enumerate(periods):
+            x = v - sum(seasonals[j] for j in range(len(periods)) if j != k)
+            det = x - _ma_reflect(x, p)
+            pat = np.array([det[phase[k] == q].mean() for q in range(p)])
+            pat -= pat.mean()
+            seasonals[k] = pat[phase[k]]
+    return sum(seasonals)
+
+
+def mstl(ts: np.ndarray, values: np.ndarray, params: dict):
+    """mstl — statsforecast-MSTL in-sample interval breach
+    (skyline/custom_algorithms/mstl.py:214-400, statsforecast absent
+    from this container): decompose at season_length=[season_hours,
+    season_hours*season_days] (MSTL-lite above), fit the trend
+    forecaster (own ETS(A,A,N)) on the deseasonalized series, rebuild
+    in-sample fitted values + a Gaussian ``level``% interval from the
+    residual sigma, and flag y >= hi or y <= lo; anomalous iff a flag
+    lands in the last ``anomaly_window`` observations."""
+    from skyline_spark.functions.stats import norm_ppf
+
+    anomaly_window = int(params.get("anomaly_window", 1))
+    level = float(params.get("level", 99))
+    season_hours = int(params.get("season_hours", 24))
+    season_days = int(params.get("season_days", 7))
+    v = values.astype(np.float64)
+    n = v.size
+    if n < 30 or not np.isfinite(v).all():
+        return None, None
+    # statsforecast needs >= 2 full cycles to fit a seasonal component
+    periods = [p for p in
+               dict.fromkeys([season_hours, season_hours * season_days])
+               if 2 <= p and n >= 2 * p]
+    if not periods:
+        return None, None             # reference: MSTL fit raises
+    seasonal = _mstl_seasonal(v, periods)
+    fitted = _ets_fitted(v - seasonal) + seasonal
+    resid = v - fitted
+    sigma = float(resid.std(ddof=1))
+    if sigma <= 0 or not np.isfinite(sigma):
+        return None, None             # degenerate interval
+    z = norm_ppf(0.5 + level / 200.0)
+    breach = (v >= fitted + z * sigma) | (v <= fitted - z * sigma)
+    hit = bool(breach[-anomaly_window:].any())
     return hit, (1.0 if hit else 0.0)
 
 
@@ -1573,4 +1653,5 @@ SHIPPED = {
     "skyline_matrixprofile": skyline_matrixprofile,
     "adtk_seasonal": adtk_seasonal,
     "probabilistic_forecasts_gpd_ets": probabilistic_forecasts_gpd_ets,
+    "mstl": mstl,
 }

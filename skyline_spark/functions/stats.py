@@ -135,6 +135,24 @@ def norm_cdf(x: float) -> float:
     return 0.5 * math.erfc(-x / math.sqrt(2.0))
 
 
+def norm_ppf(p: float) -> float:
+    """Inverse of ``norm_cdf`` via Newton's method seeded with a crude
+    logit guess (used for prediction-interval z in custom mstl)."""
+    if not 0.0 < p < 1.0:
+        raise ValueError("p must be in (0, 1)")
+    x = math.copysign(math.sqrt(-2.0 * math.log(min(p, 1.0 - p))), p - 0.5)
+    for _ in range(60):
+        err = norm_cdf(x) - p
+        pdf = math.exp(-0.5 * x * x) / math.sqrt(2.0 * math.pi)
+        if pdf <= 0.0:
+            break
+        step = err / pdf
+        x -= step
+        if abs(step) <= 1e-14 * max(1.0, abs(x)):
+            break
+    return x
+
+
 # --------------------------------------------------------------------------
 # Two-sample Kolmogorov-Smirnov
 # --------------------------------------------------------------------------

@@ -376,6 +376,38 @@ def test_probabilistic_forecasts_gpd_ets():
     assert pfgpde(ts[:10], v[:10], {}) == (None, None)
 
 
+def test_mstl():
+    """mstl — MSTL-lite decomposition + ETS trend + in-sample Gaussian
+    99% interval breach. The seasonal extraction must recover a planted
+    two-period seasonality to sub-noise RMSE; breaches flip the verdict
+    only inside anomaly_window; degenerate inputs mirror the
+    reference's (None, None) error path."""
+    from skyline_spark.functions.custom_algorithms import (
+        _mstl_seasonal,
+        mstl,
+    )
+    rng = np.random.RandomState(7)
+    n = 24 * 7 * 3                     # three weeks at hourly cadence
+    t = np.arange(n, dtype=np.float64)
+    ts = t * 3600
+    pure = 8 * np.sin(2 * np.pi * t / 24) + 4 * np.sin(2 * np.pi * t / 168)
+    v = 100 + pure + 0.01 * t + rng.normal(0, 1.0, n)
+    seas = _mstl_seasonal(v, [24, 168])
+    rmse = float(np.sqrt(np.mean((seas - (pure - pure.mean())) ** 2)))
+    assert rmse < 1.0                  # below the noise sigma
+    assert mstl(ts, v.copy(), {}) == (False, 0.0)
+    sp = v.copy()
+    sp[-1] += 30
+    assert mstl(ts, sp, {}) == (True, 1.0)
+    mid = v.copy()
+    mid[200] += 30
+    assert mstl(ts, mid, {}) == (False, 0.0)
+    assert mstl(ts, mid, {"anomaly_window": n}) == (True, 1.0)
+    assert mstl(ts, np.full(n, 3.0), {}) == (None, None)
+    assert mstl(ts[:20], v[:20], {}) == (None, None)
+    assert mstl(ts[:40], v[:40], {"season_hours": 100}) == (None, None)
+
+
 def test_low_variance_anomalous_peak_trough():
     """lvapt — mirage-side second opinion: repeating modest peaks cancel
     the anomaly, an outsized final peak/trough confirms it, and
