@@ -1564,6 +1564,20 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image(synth_png_media(spark, n=64))
 
 
+def q_video_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal REAL-codec path #3 (rows-only; LZW inflate is not
+    ANSI-expressible): genuine animated-GIF payloads written and decoded
+    with the pure-stdlib LZW codec, exploded one row per frame through
+    the same mapInPandas interface. Pixel-exact roundtrip AND
+    third-party-encoder interop pinned by
+    tests/test_dataops.py::test_real_gif_codec_roundtrip."""
+    from skyline_spark.operators.multimodal import (
+        decode_video,
+        synth_gif_media,
+    )
+    return decode_video(synth_gif_media(spark, n=48))
+
+
 def q_media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing: binary payload synth + mapInPandas metadata
     decode. The decode kernel is a deterministic stub (no codecs in the
@@ -1603,6 +1617,7 @@ REGISTRY.update({
     "media_metadata": (q_media_metadata, SQL_MEDIA_METADATA),
     "audio_decode": (q_audio_decode, None),
     "image_decode": (q_image_decode, None),
+    "video_decode": (q_video_decode, None),
 })
 
 
