@@ -946,6 +946,84 @@ SELECT sink, CAST(count(*) AS BIGINT) AS n FROM all_sinks GROUP BY sink
 """)
 
 
+def q_routed_turns_sql5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 / north_rule routed-row equality — EVERY per-turn routed
+    row, value-checked: the full parse -> analyze (5-SQL-algorithm
+    kernel) -> empties union -> route_verdicts -> route_turns chain,
+    emitting (conv_id, turn_idx, sink, md5(text)) for every turn in the
+    table. This pins the router's per-turn fan-out assignment AND the
+    per-turn text passthrough invariant (text equality under stable
+    (conv_id, turn_idx) ordering) row-by-row against DuckDB, not just
+    the per-sink count vector."""
+    from skyline_spark.operators.analyze import analyze, empty_series_verdicts
+    from skyline_spark.operators.enrich import rules_from_config
+    from skyline_spark.operators.parse import EVENT_RE as _RE
+    from skyline_spark.operators.route import route_turns, route_verdicts
+    from skyline_spark.plans.pipeline import batch_now
+    tdf = transcripts_from_events(spark, sf_dir)
+    parsed = parse_events(tdf)
+    now = batch_now(tdf)
+    cfg = PipelineConfig(full_duration=FD, stale_period=STALE,
+                         consensus=4, run_optimized_workflow=False,
+                         analyze_derivatives=False, algorithms=SQL5_ALGS)
+    rules = rules_from_config(_events_alert_config(spark))
+    v = analyze(parsed, cfg, now, rules=rules)
+    allv = v.unionByName(empty_series_verdicts(tdf, parsed, cfg, now))
+    routed_v = route_verdicts(allv, mirage_always=MIRAGE_ALWAYS,
+                              ionosphere_enabled=True, now=now)
+    facts = tdf.withColumn(
+        "metric", F.nullif(F.regexp_extract("text", _RE, 1), F.lit("")))
+    rt = route_turns(facts, routed_v)
+    return rt.select(
+        "conv_id", "turn_idx", "sink",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"))
+
+
+SQL_ROUTED_TURNS_SQL5 = (
+    _PROLOGUE
+    .replace("__TRANSCRIPTS__", DUCKDB_TRANSCRIPTS_SQL)
+    .replace("__EVENT_RE__", EVENT_RE)
+    + ","
+    + "__VOTE_BLOCK_Q__"
+    + f"""
+, conv_metric_q AS (
+    SELECT conv_id, max(metric) AS metric FROM valid GROUP BY conv_id),
+routed_q AS (
+    SELECT v.conv_id, m.metric,
+           CASE WHEN m.metric = 'error.turns.rate' AND v.exception IS NULL
+                    THEN 'deferred'
+                WHEN v.exception IS NOT NULL THEN 'exception'
+                WHEN NOT v.anomalous THEN 'normal'
+                WHEN string_split(m.metric, '.')[1] = 'error'
+                    THEN 'deferred'
+                WHEN string_split(m.metric, '.')[1]
+                     IN ('click', 'error', 'signup') THEN 'ionosphere'
+                ELSE 'anomalous' END AS sink
+    FROM votes_q v JOIN conv_metric_q m USING (conv_id)),
+groups_q AS (
+    SELECT p.conv_id, p.metric,
+           max(CASE WHEN p.value IS NOT NULL THEN 1 ELSE 0 END) AS has_any,
+           max(CASE WHEN p.value IS NOT NULL
+                         AND epoch(p.ts) > b.now - {FD}
+                    THEN 1 ELSE 0 END) AS has_window
+    FROM parsed p, batch b GROUP BY p.conv_id, p.metric),
+conv_any_q AS (
+    SELECT conv_id, max(has_any) AS ca FROM groups_q GROUP BY conv_id),
+empties_q AS (
+    SELECT g.conv_id, g.metric
+    FROM groups_q g JOIN conv_any_q c USING (conv_id)
+    WHERE (g.has_any = 1 AND g.has_window = 0) OR c.ca = 0),
+turn_verdicts_q AS (
+    SELECT conv_id, metric, sink FROM routed_q
+    UNION ALL
+    SELECT conv_id, metric, 'exception' AS sink FROM empties_q)
+SELECT t.conv_id, t.turn_idx, coalesce(v.sink, 'exception') AS sink,
+       md5(t.text) AS text_md5
+FROM parsed t LEFT JOIN turn_verdicts_q v
+  ON t.conv_id = v.conv_id AND t.metric IS NOT DISTINCT FROM v.metric
+""")
+
+
 def q_consensus_sql5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5/2.6 — the EXACT analyze kernel (preprocess -> exception
     filters -> ensemble -> consensus vote, skyline/analyzer/
@@ -1945,6 +2023,8 @@ def q_mirage_second_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
 # resolve the vote-block placeholder now that _vote_sql_block exists
 SQL_SINK_COUNTS_SQL5 = SQL_SINK_COUNTS_SQL5.replace(
     "__VOTE_BLOCK__", _vote_sql_block(FD, "_a"))
+SQL_ROUTED_TURNS_SQL5 = SQL_ROUTED_TURNS_SQL5.replace(
+    "__VOTE_BLOCK_Q__", _vote_sql_block(FD, "_q"))
 
 
 REGISTRY.update({
@@ -1955,6 +2035,7 @@ REGISTRY.update({
     "mirage_second_stage": (q_mirage_second_stage, None),
     "mirage_vote_sql5": (q_mirage_sql5, SQL_MIRAGE_SQL5),
     "sink_counts_sql5": (q_sink_counts_sql5, SQL_SINK_COUNTS_SQL5),
+    "routed_turns_sql5": (q_routed_turns_sql5, SQL_ROUTED_TURNS_SQL5),
 })
 
 
