@@ -1126,6 +1126,218 @@ FROM votes
 """)
 
 
+#: 8 of the 9 ensemble algorithms, ANSI-expressible (only ks_test — a
+#: KS statistic gated by an iterative ADF lag search — stays out)
+SQL8_ALGS = SQL5_ALGS + ("grubbs", "histogram_bins",
+                         "stddev_from_moving_average")
+
+#: grubbs thresholds depend only on series length n: inject the EXACT
+#: kernel values (memoized t-ISF bisection, repr-roundtrip to the same
+#: float64) as literals for n <= _GMAX; beyond that the twin falls back
+#: to an Acklam-ppf + Cornish-Fisher expansion (relative error ~1e-9 at
+#: nu > 1022 — never exercised at the oracle scale factors, where
+#: retention caps n far below _GMAX)
+_GMAX = 1024
+
+
+def _grubbs_lut_literals() -> str:
+    from skyline_spark.functions.algorithms import _grubbs_threshold
+    return ", ".join(repr(_grubbs_threshold(n)) for n in range(3, _GMAX + 1))
+
+
+def q_consensus_sql8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5/2.6 — the EXACT analyze kernel at EIGHT of the nine
+    ensemble algorithms (CONSENSUS=6, the reference's production
+    threshold), value-checked end-to-end against DuckDB: the SQL5 suite
+    plus grubbs (t-ISF thresholds injected as literals), histogram_bins
+    (reference's explicit bin loop) and stddev_from_moving_average
+    (closed-form last-value ewm). Only ks_test remains golden-pytest
+    territory."""
+    from skyline_spark.operators.analyze import analyze
+    from skyline_spark.plans.pipeline import batch_now
+    tdf = transcripts_from_events(spark, sf_dir)
+    parsed = parse_events(tdf)
+    now = batch_now(tdf)
+    cfg = PipelineConfig(full_duration=FD, stale_period=STALE,
+                         consensus=6, run_optimized_workflow=False,
+                         analyze_derivatives=False, algorithms=SQL8_ALGS)
+    v = analyze(parsed, cfg, now, rules=[])
+
+    def e(i):
+        return F.get(F.col("ensemble"), i)
+    return v.select(
+        "conv_id", "exception",
+        e(0).alias("fha"), e(1).alias("sfa"), e(2).alias("msc"),
+        e(3).alias("mad"), e(4).alias("lsq"), e(5).alias("grb"),
+        e(6).alias("hist"), e(7).alias("ewm"),
+        "anomalous", _R6("datapoint").alias("datapoint"))
+
+
+SQL_CONSENSUS_SQL8 = _sql(f"""
+, series AS (
+    SELECT v.conv_id, epoch(v.ts) AS x, v.value AS y, b.now
+    FROM valid v, batch b WHERE epoch(v.ts) > b.now - {FD}),
+ordered AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY x DESC) AS rnd
+    FROM series),
+base AS (
+    SELECT conv_id, count(*) AS n, max(now) AS now,
+           max(CASE WHEN rnd = 1 THEN x END) AS last_x,
+           max(CASE WHEN rnd = 1 THEN y END) AS v1,
+           max(CASE WHEN rnd = 2 THEN y END) AS v2,
+           max(CASE WHEN rnd = 3 THEN y END) AS v3,
+           count(DISTINCT CASE WHEN rnd <= {BOREDOM_N} THEN y END)
+               AS tail_distinct,
+           avg(y) AS mean, stddev_samp(y) AS std, median(y) AS med,
+           avg(CASE WHEN rnd > 1 THEN y END) AS head_mean,
+           stddev_samp(CASE WHEN rnd > 1 THEN y END) AS head_std,
+           regr_slope(y, x) AS m, regr_intercept(y, x) AS c
+    FROM ordered GROUP BY conv_id),
+exc AS (
+    SELECT *,
+           CASE WHEN n < {MIN_LEN} THEN 'TooShort'
+                WHEN now - last_x > {STALE} THEN 'Stale'
+                WHEN tail_distinct = 1 THEN 'Boring' END AS exception,
+           CASE WHEN n >= 3 THEN (v1 + v2 + v3) / 3.0 ELSE v1 END AS tav
+    FROM base),
+madx AS (
+    SELECT o.conv_id, median(abs(o.y - b.med)) AS mad_dev,
+           max(CASE WHEN o.rnd = 1 THEN abs(o.y - b.med) END) AS last_dev
+    FROM ordered o JOIN exc b USING (conv_id) GROUP BY o.conv_id),
+fh AS (
+    SELECT o.conv_id, avg(o.y) AS fmean, stddev_samp(o.y) AS fstd
+    FROM ordered o JOIN exc b USING (conv_id)
+    WHERE o.x > b.last_x - {FD} AND o.x < b.last_x - {FD} + 3600
+    GROUP BY o.conv_id),
+resid AS (
+    SELECT o.conv_id, stddev_samp(o.y - (b.m * o.x + b.c)) AS rstd,
+           avg(CASE WHEN o.rnd <= 3 THEN o.y - (b.m * o.x + b.c) END) AS rt3
+    FROM ordered o JOIN exc b USING (conv_id) GROUP BY o.conv_id),
+glut AS (
+    SELECT unnest(range(3, {_GMAX + 1})) AS gn,
+           unnest([__GRUBBS_LUT__]) AS gg),
+gq AS (
+    SELECT conv_id, n,
+           sqrt(-2.0 * ln(0.05 / (2.0 * CAST(n AS DOUBLE)))) AS q0
+    FROM exc WHERE n > {_GMAX}),
+gz AS (
+    SELECT conv_id, n, CAST(n - 2 AS DOUBLE) AS nu,
+           -((((((-7.784894002430293e-03 * q0 - 3.223964580411365e-01) * q0
+                 - 2.400758277161838e+00) * q0 - 2.549732539343734e+00) * q0
+               + 4.374664141464968e+00) * q0 + 2.938163982698783e+00)
+             / ((((7.784695709041462e-03 * q0 + 3.224671290700398e-01) * q0
+                  + 2.445134137142996e+00) * q0
+                 + 3.754408661907416e+00) * q0 + 1.0)) AS z
+    FROM gq),
+gt AS (
+    SELECT conv_id, n,
+           z + (z*z*z + z) / (4.0*nu)
+             + (5.0*pow(z,5) + 16.0*pow(z,3) + 3.0*z) / (96.0*nu*nu)
+             + (3.0*pow(z,7) + 19.0*pow(z,5) + 17.0*pow(z,3) - 15.0*z)
+               / (384.0*pow(nu,3))
+             + (79.0*pow(z,9) + 776.0*pow(z,7) + 1482.0*pow(z,5)
+                - 1920.0*pow(z,3) - 945.0*z) / (92160.0*pow(nu,4)) AS tq
+    FROM gz),
+gcf AS (
+    SELECT conv_id,
+           ((n - 1) / sqrt(CAST(n AS DOUBLE)))
+             * sqrt(tq*tq / ((n - 2) + tq*tq)) AS g
+    FROM gt),
+gthr AS (
+    SELECT e.conv_id, coalesce(l.gg, c.g) AS g
+    FROM exc e LEFT JOIN glut l ON e.n = l.gn
+    LEFT JOIN gcf c USING (conv_id)),
+hstat AS (
+    SELECT conv_id, min(y) AS vmin, max(y) AS vmax,
+           (max(y) - min(y)) / 15.0 AS hw
+    FROM ordered GROUP BY conv_id),
+htb AS (
+    SELECT e.conv_id, h.vmin, h.hw, e.n AS hn, e.tav,
+           CASE WHEN e.tav <= h.vmin THEN 0
+                WHEN e.tav >= h.vmin + 15 * h.hw THEN NULL
+                WHEN floor((e.tav - h.vmin) / h.hw) >= 1
+                    THEN floor((e.tav - h.vmin) / h.hw)
+                ELSE NULL END AS tb
+    FROM exc e JOIN hstat h USING (conv_id)),
+hcnt AS (
+    SELECT t.conv_id, t.hn, t.hw, t.tb,
+           sum(CASE WHEN least(floor((o.y - t.vmin) / t.hw), 14) = t.tb
+                    THEN 1 ELSE 0 END) AS cnt_tb
+    FROM ordered o JOIN htb t USING (conv_id)
+    GROUP BY t.conv_id, t.hn, t.hw, t.tb, t.vmin),
+ew1 AS (
+    SELECT conv_id, list(y ORDER BY x) AS v0 FROM ordered GROUP BY conv_id),
+ew2 AS (
+    SELECT conv_id,
+           CASE WHEN len(v0) > 8192 THEN v0[len(v0) - 8191:] ELSE v0 END AS v
+    FROM ew1),
+ew3 AS (
+    SELECT conv_id, v, len(v) AS en,
+           [pow(1.0 - 1.0/51.0, CAST(len(v) - i AS DOUBLE))
+            FOR i IN range(1, len(v) + 1)] AS w
+    FROM ew2),
+ew4 AS (
+    SELECT conv_id, v, en, w,
+           list_sum(w) AS sw,
+           list_sum([w[i] * v[i] FOR i IN range(1, en + 1)]) AS swx,
+           list_sum([w[i] * w[i] FOR i IN range(1, en + 1)]) AS sw2
+    FROM ew3),
+ew5 AS (SELECT *, swx / sw AS emu FROM ew4),
+ew6 AS (
+    SELECT conv_id, v[en] AS ev_last, emu,
+           CASE WHEN en < 2 OR sw * sw - sw2 <= 0 THEN NULL
+                ELSE sqrt((list_sum([w[i] * (v[i] - emu) * (v[i] - emu)
+                                     FOR i IN range(1, en + 1)]) / sw)
+                          * (sw * sw / (sw * sw - sw2))) END AS es
+    FROM ew5),
+votes8 AS (
+    SELECT e.conv_id, e.exception, round(e.v1, 6) AS datapoint,
+           CASE WHEN e.exception IS NULL
+                THEN coalesce(abs(e.tav - f.fmean) > 3 * f.fstd, FALSE)
+           END AS fha,
+           CASE WHEN e.exception IS NULL
+                THEN coalesce(abs(e.tav - e.mean) > 3 * e.std, FALSE)
+           END AS sfa,
+           CASE WHEN e.exception IS NULL
+                THEN coalesce(abs(e.v1 - e.head_mean) > 3 * e.head_std, FALSE)
+           END AS msc,
+           CASE WHEN e.exception IS NULL
+                THEN CASE WHEN m.mad_dev = 0 THEN FALSE
+                          ELSE m.last_dev / m.mad_dev > 6 END
+           END AS mad,
+           CASE WHEN e.exception IS NULL
+                THEN coalesce(abs(r.rt3) > 3 * r.rstd
+                              AND round(r.rstd, 0) <> 0
+                              AND round(r.rt3, 0) <> 0, FALSE)
+           END AS lsq,
+           CASE WHEN e.exception IS NULL
+                THEN CASE WHEN e.std = 0 OR e.std IS NULL THEN FALSE
+                          ELSE (e.tav - e.mean) / e.std > g.g END
+           END AS grb,
+           CASE WHEN e.exception IS NULL
+                THEN CASE WHEN h.hw = 0 THEN h.hn <= 20
+                          WHEN h.tb IS NULL THEN FALSE
+                          ELSE h.cnt_tb <= 20 END
+           END AS hist,
+           CASE WHEN e.exception IS NULL
+                THEN coalesce(abs(w6.ev_last - w6.emu) > 3 * w6.es, FALSE)
+           END AS ewm
+    FROM exc e LEFT JOIN madx m USING (conv_id)
+    LEFT JOIN fh f USING (conv_id) LEFT JOIN resid r USING (conv_id)
+    LEFT JOIN gthr g USING (conv_id) LEFT JOIN hcnt h USING (conv_id)
+    LEFT JOIN ew6 w6 USING (conv_id))
+SELECT conv_id, exception, fha, sfa, msc, mad, lsq, grb, hist, ewm,
+       CASE WHEN exception IS NOT NULL THEN FALSE
+            ELSE (CAST(NOT fha AS INT) + CAST(NOT sfa AS INT)
+                  + CAST(NOT msc AS INT) + CAST(NOT mad AS INT)
+                  + CAST(NOT lsq AS INT) + CAST(NOT grb AS INT)
+                  + CAST(NOT hist AS INT) + CAST(NOT ewm AS INT)) <= 2
+       END AS anomalous,
+       datapoint
+FROM votes8
+""").replace("__GRUBBS_LUT__", _grubbs_lut_literals())
+
+
 REGISTRY: dict[str, tuple] = {
     "parse_events": (q_parse, SQL_PARSE),
     "skip_list": (q_skip_list, SQL_SKIP_LIST),
@@ -1151,6 +1363,7 @@ REGISTRY: dict[str, tuple] = {
     "correlate_pearson": (q_correlate, SQL_CORRELATE),
     "consensus_verdicts": (q_consensus_verdicts, None),
     "consensus_vote_sql5": (q_consensus_sql5, SQL_CONSENSUS_SQL5),
+    "consensus_vote_sql8": (q_consensus_sql8, SQL_CONSENSUS_SQL8),
     "sink_counts": (q_sink_counts, None),
 }
 
