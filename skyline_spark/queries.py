@@ -1024,6 +1024,80 @@ FROM parsed t LEFT JOIN turn_verdicts_q v
 """)
 
 
+def q_routed_turns_sql8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.7 / north_rule routed-row equality at the 8-of-9-algorithm
+    kernel (CONSENSUS=6): identical chain to routed_turns_sql5 but with
+    only ks_test missing from the ensemble — the closest
+    SQL-expressible approximation of the production pipeline, per-turn
+    value-checked."""
+    from skyline_spark.operators.analyze import analyze, empty_series_verdicts
+    from skyline_spark.operators.enrich import rules_from_config
+    from skyline_spark.operators.parse import EVENT_RE as _RE
+    from skyline_spark.operators.route import route_turns, route_verdicts
+    from skyline_spark.plans.pipeline import batch_now
+    tdf = transcripts_from_events(spark, sf_dir)
+    parsed = parse_events(tdf)
+    now = batch_now(tdf)
+    cfg = PipelineConfig(full_duration=FD, stale_period=STALE,
+                         consensus=6, run_optimized_workflow=False,
+                         analyze_derivatives=False, algorithms=SQL8_ALGS)
+    rules = rules_from_config(_events_alert_config(spark))
+    v = analyze(parsed, cfg, now, rules=rules)
+    allv = v.unionByName(empty_series_verdicts(tdf, parsed, cfg, now))
+    routed_v = route_verdicts(allv, mirage_always=MIRAGE_ALWAYS,
+                              ionosphere_enabled=True, now=now)
+    facts = tdf.withColumn(
+        "metric", F.nullif(F.regexp_extract("text", _RE, 1), F.lit("")))
+    rt = route_turns(facts, routed_v)
+    return rt.select(
+        "conv_id", "turn_idx", "sink",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"))
+
+
+SQL_ROUTED_TURNS_SQL8 = (
+    _PROLOGUE
+    .replace("__TRANSCRIPTS__", DUCKDB_TRANSCRIPTS_SQL)
+    .replace("__EVENT_RE__", EVENT_RE)
+    + "__VOTE_BLOCK_Q8__"
+    + f"""
+, conv_metric_q8 AS (
+    SELECT conv_id, max(metric) AS metric FROM valid GROUP BY conv_id),
+routed_q8 AS (
+    SELECT v.conv_id, m.metric,
+           CASE WHEN m.metric = 'error.turns.rate' AND v.exception IS NULL
+                    THEN 'deferred'
+                WHEN v.exception IS NOT NULL THEN 'exception'
+                WHEN NOT v.anomalous THEN 'normal'
+                WHEN string_split(m.metric, '.')[1] = 'error'
+                    THEN 'deferred'
+                WHEN string_split(m.metric, '.')[1]
+                     IN ('click', 'error', 'signup') THEN 'ionosphere'
+                ELSE 'anomalous' END AS sink
+    FROM final8_q8 v JOIN conv_metric_q8 m USING (conv_id)),
+groups_q8 AS (
+    SELECT p.conv_id, p.metric,
+           max(CASE WHEN p.value IS NOT NULL THEN 1 ELSE 0 END) AS has_any,
+           max(CASE WHEN p.value IS NOT NULL
+                         AND epoch(p.ts) > b.now - {FD}
+                    THEN 1 ELSE 0 END) AS has_window
+    FROM parsed p, batch b GROUP BY p.conv_id, p.metric),
+conv_any_q8 AS (
+    SELECT conv_id, max(has_any) AS ca FROM groups_q8 GROUP BY conv_id),
+empties_q8 AS (
+    SELECT g.conv_id, g.metric
+    FROM groups_q8 g JOIN conv_any_q8 c USING (conv_id)
+    WHERE (g.has_any = 1 AND g.has_window = 0) OR c.ca = 0),
+turn_verdicts_q8 AS (
+    SELECT conv_id, metric, sink FROM routed_q8
+    UNION ALL
+    SELECT conv_id, metric, 'exception' AS sink FROM empties_q8)
+SELECT t.conv_id, t.turn_idx, coalesce(v.sink, 'exception') AS sink,
+       md5(t.text) AS text_md5
+FROM parsed t LEFT JOIN turn_verdicts_q8 v
+  ON t.conv_id = v.conv_id AND t.metric IS NOT DISTINCT FROM v.metric
+""")
+
+
 def q_consensus_sql5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.5/2.6 — the EXACT analyze kernel (preprocess -> exception
     filters -> ensemble -> consensus vote, skyline/analyzer/
@@ -1173,14 +1247,19 @@ def q_consensus_sql8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "anomalous", _R6("datapoint").alias("datapoint"))
 
 
-SQL_CONSENSUS_SQL8 = _sql(f"""
-, series AS (
+def _vote8_sql_block(fd: int, sfx: str) -> str:
+    """The consensus_vote_sql8 CTE chain (8-algorithm kernel twin)
+    parameterized by window and suffix — shared by the vote oracle
+    and the per-turn routing twin at the 8-algorithm restriction.
+    Ends at votes8{sfx}(conv_id, exception, datapoint, 8 flags,
+    anomalous)."""
+    return f""", series{sfx} AS (
     SELECT v.conv_id, epoch(v.ts) AS x, v.value AS y, b.now
-    FROM valid v, batch b WHERE epoch(v.ts) > b.now - {FD}),
-ordered AS (
+    FROM valid v, batch b WHERE epoch(v.ts) > b.now - {fd}),
+ordered{sfx} AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY x DESC) AS rnd
-    FROM series),
-base AS (
+    FROM series{sfx}),
+base{sfx} AS (
     SELECT conv_id, count(*) AS n, max(now) AS now,
            max(CASE WHEN rnd = 1 THEN x END) AS last_x,
            max(CASE WHEN rnd = 1 THEN y END) AS v1,
@@ -1192,35 +1271,35 @@ base AS (
            avg(CASE WHEN rnd > 1 THEN y END) AS head_mean,
            stddev_samp(CASE WHEN rnd > 1 THEN y END) AS head_std,
            regr_slope(y, x) AS m, regr_intercept(y, x) AS c
-    FROM ordered GROUP BY conv_id),
-exc AS (
+    FROM ordered{sfx} GROUP BY conv_id),
+exc{sfx} AS (
     SELECT *,
            CASE WHEN n < {MIN_LEN} THEN 'TooShort'
                 WHEN now - last_x > {STALE} THEN 'Stale'
                 WHEN tail_distinct = 1 THEN 'Boring' END AS exception,
            CASE WHEN n >= 3 THEN (v1 + v2 + v3) / 3.0 ELSE v1 END AS tav
-    FROM base),
-madx AS (
+    FROM base{sfx}),
+madx{sfx} AS (
     SELECT o.conv_id, median(abs(o.y - b.med)) AS mad_dev,
            max(CASE WHEN o.rnd = 1 THEN abs(o.y - b.med) END) AS last_dev
-    FROM ordered o JOIN exc b USING (conv_id) GROUP BY o.conv_id),
-fh AS (
+    FROM ordered{sfx} o JOIN exc{sfx} b USING (conv_id) GROUP BY o.conv_id),
+fh{sfx} AS (
     SELECT o.conv_id, avg(o.y) AS fmean, stddev_samp(o.y) AS fstd
-    FROM ordered o JOIN exc b USING (conv_id)
-    WHERE o.x > b.last_x - {FD} AND o.x < b.last_x - {FD} + 3600
+    FROM ordered{sfx} o JOIN exc{sfx} b USING (conv_id)
+    WHERE o.x > b.last_x - {fd} AND o.x < b.last_x - {fd} + 3600
     GROUP BY o.conv_id),
-resid AS (
+resid{sfx} AS (
     SELECT o.conv_id, stddev_samp(o.y - (b.m * o.x + b.c)) AS rstd,
            avg(CASE WHEN o.rnd <= 3 THEN o.y - (b.m * o.x + b.c) END) AS rt3
-    FROM ordered o JOIN exc b USING (conv_id) GROUP BY o.conv_id),
-glut AS (
+    FROM ordered{sfx} o JOIN exc{sfx} b USING (conv_id) GROUP BY o.conv_id),
+glut{sfx} AS (
     SELECT unnest(range(3, {_GMAX + 1})) AS gn,
            unnest([__GRUBBS_LUT__]) AS gg),
-gq AS (
+gq{sfx} AS (
     SELECT conv_id, n,
            sqrt(-2.0 * ln(0.05 / (2.0 * CAST(n AS DOUBLE)))) AS q0
-    FROM exc WHERE n > {_GMAX}),
-gz AS (
+    FROM exc{sfx} WHERE n > {_GMAX}),
+gz{sfx} AS (
     SELECT conv_id, n, CAST(n - 2 AS DOUBLE) AS nu,
            -((((((-7.784894002430293e-03 * q0 - 3.223964580411365e-01) * q0
                  - 2.400758277161838e+00) * q0 - 2.549732539343734e+00) * q0
@@ -1228,8 +1307,8 @@ gz AS (
              / ((((7.784695709041462e-03 * q0 + 3.224671290700398e-01) * q0
                   + 2.445134137142996e+00) * q0
                  + 3.754408661907416e+00) * q0 + 1.0)) AS z
-    FROM gq),
-gt AS (
+    FROM gq{sfx}),
+gt{sfx} AS (
     SELECT conv_id, n,
            z + (z*z*z + z) / (4.0*nu)
              + (5.0*pow(z,5) + 16.0*pow(z,3) + 3.0*z) / (96.0*nu*nu)
@@ -1237,60 +1316,60 @@ gt AS (
                / (384.0*pow(nu,3))
              + (79.0*pow(z,9) + 776.0*pow(z,7) + 1482.0*pow(z,5)
                 - 1920.0*pow(z,3) - 945.0*z) / (92160.0*pow(nu,4)) AS tq
-    FROM gz),
-gcf AS (
+    FROM gz{sfx}),
+gcf{sfx} AS (
     SELECT conv_id,
            ((n - 1) / sqrt(CAST(n AS DOUBLE)))
              * sqrt(tq*tq / ((n - 2) + tq*tq)) AS g
-    FROM gt),
-gthr AS (
+    FROM gt{sfx}),
+gthr{sfx} AS (
     SELECT e.conv_id, coalesce(l.gg, c.g) AS g
-    FROM exc e LEFT JOIN glut l ON e.n = l.gn
-    LEFT JOIN gcf c USING (conv_id)),
-hstat AS (
+    FROM exc{sfx} e LEFT JOIN glut{sfx} l ON e.n = l.gn
+    LEFT JOIN gcf{sfx} c USING (conv_id)),
+hstat{sfx} AS (
     SELECT conv_id, min(y) AS vmin, max(y) AS vmax,
            (max(y) - min(y)) / 15.0 AS hw
-    FROM ordered GROUP BY conv_id),
-htb AS (
+    FROM ordered{sfx} GROUP BY conv_id),
+htb{sfx} AS (
     SELECT e.conv_id, h.vmin, h.hw, e.n AS hn, e.tav,
            CASE WHEN e.tav <= h.vmin THEN 0
                 WHEN e.tav >= h.vmin + 15 * h.hw THEN NULL
                 WHEN floor((e.tav - h.vmin) / h.hw) >= 1
                     THEN floor((e.tav - h.vmin) / h.hw)
                 ELSE NULL END AS tb
-    FROM exc e JOIN hstat h USING (conv_id)),
-hcnt AS (
+    FROM exc{sfx} e JOIN hstat{sfx} h USING (conv_id)),
+hcnt{sfx} AS (
     SELECT t.conv_id, t.hn, t.hw, t.tb,
            sum(CASE WHEN least(floor((o.y - t.vmin) / t.hw), 14) = t.tb
                     THEN 1 ELSE 0 END) AS cnt_tb
-    FROM ordered o JOIN htb t USING (conv_id)
+    FROM ordered{sfx} o JOIN htb{sfx} t USING (conv_id)
     GROUP BY t.conv_id, t.hn, t.hw, t.tb, t.vmin),
-ew1 AS (
-    SELECT conv_id, list(y ORDER BY x) AS v0 FROM ordered GROUP BY conv_id),
-ew2 AS (
+ew1{sfx} AS (
+    SELECT conv_id, list(y ORDER BY x) AS v0 FROM ordered{sfx} GROUP BY conv_id),
+ew2{sfx} AS (
     SELECT conv_id,
            CASE WHEN len(v0) > 8192 THEN v0[len(v0) - 8191:] ELSE v0 END AS v
-    FROM ew1),
-ew3 AS (
+    FROM ew1{sfx}),
+ew3{sfx} AS (
     SELECT conv_id, v, len(v) AS en,
            [pow(1.0 - 1.0/51.0, CAST(len(v) - i AS DOUBLE))
             FOR i IN range(1, len(v) + 1)] AS w
-    FROM ew2),
-ew4 AS (
+    FROM ew2{sfx}),
+ew4{sfx} AS (
     SELECT conv_id, v, en, w,
            list_sum(w) AS sw,
            list_sum([w[i] * v[i] FOR i IN range(1, en + 1)]) AS swx,
            list_sum([w[i] * w[i] FOR i IN range(1, en + 1)]) AS sw2
-    FROM ew3),
-ew5 AS (SELECT *, swx / sw AS emu FROM ew4),
-ew6 AS (
+    FROM ew3{sfx}),
+ew5{sfx} AS (SELECT *, swx / sw AS emu FROM ew4{sfx}),
+ew6{sfx} AS (
     SELECT conv_id, v[en] AS ev_last, emu,
            CASE WHEN en < 2 OR sw * sw - sw2 <= 0 THEN NULL
                 ELSE sqrt((list_sum([w[i] * (v[i] - emu) * (v[i] - emu)
                                      FOR i IN range(1, en + 1)]) / sw)
                           * (sw * sw / (sw * sw - sw2))) END AS es
-    FROM ew5),
-votes8 AS (
+    FROM ew5{sfx}),
+votes8{sfx} AS (
     SELECT e.conv_id, e.exception, round(e.v1, 6) AS datapoint,
            CASE WHEN e.exception IS NULL
                 THEN coalesce(abs(e.tav - f.fmean) > 3 * f.fstd, FALSE)
@@ -1322,19 +1401,28 @@ votes8 AS (
            CASE WHEN e.exception IS NULL
                 THEN coalesce(abs(w6.ev_last - w6.emu) > 3 * w6.es, FALSE)
            END AS ewm
-    FROM exc e LEFT JOIN madx m USING (conv_id)
-    LEFT JOIN fh f USING (conv_id) LEFT JOIN resid r USING (conv_id)
-    LEFT JOIN gthr g USING (conv_id) LEFT JOIN hcnt h USING (conv_id)
-    LEFT JOIN ew6 w6 USING (conv_id))
+    FROM exc{sfx} e LEFT JOIN madx{sfx} m USING (conv_id)
+    LEFT JOIN fh{sfx} f USING (conv_id) LEFT JOIN resid{sfx} r USING (conv_id)
+    LEFT JOIN gthr{sfx} g USING (conv_id) LEFT JOIN hcnt{sfx} h USING (conv_id)
+    LEFT JOIN ew6{sfx} w6 USING (conv_id))
+, final8{sfx} AS (
+    SELECT *,
+           CASE WHEN exception IS NOT NULL THEN FALSE
+                ELSE (CAST(NOT fha AS INT) + CAST(NOT sfa AS INT)
+                      + CAST(NOT msc AS INT) + CAST(NOT mad AS INT)
+                      + CAST(NOT lsq AS INT) + CAST(NOT grb AS INT)
+                      + CAST(NOT hist AS INT) + CAST(NOT ewm AS INT)) <= 2
+           END AS anomalous
+    FROM votes8{sfx})
+"""
+
+
+SQL_CONSENSUS_SQL8 = (_sql("__V8__")
+    .replace("__V8__", _vote8_sql_block(FD, ""))
+    + """
 SELECT conv_id, exception, fha, sfa, msc, mad, lsq, grb, hist, ewm,
-       CASE WHEN exception IS NOT NULL THEN FALSE
-            ELSE (CAST(NOT fha AS INT) + CAST(NOT sfa AS INT)
-                  + CAST(NOT msc AS INT) + CAST(NOT mad AS INT)
-                  + CAST(NOT lsq AS INT) + CAST(NOT grb AS INT)
-                  + CAST(NOT hist AS INT) + CAST(NOT ewm AS INT)) <= 2
-       END AS anomalous,
-       datapoint
-FROM votes8
+       anomalous, datapoint
+FROM final8
 """).replace("__GRUBBS_LUT__", _grubbs_lut_literals())
 
 
@@ -2238,6 +2326,9 @@ SQL_SINK_COUNTS_SQL5 = SQL_SINK_COUNTS_SQL5.replace(
     "__VOTE_BLOCK__", _vote_sql_block(FD, "_a"))
 SQL_ROUTED_TURNS_SQL5 = SQL_ROUTED_TURNS_SQL5.replace(
     "__VOTE_BLOCK_Q__", _vote_sql_block(FD, "_q"))
+SQL_ROUTED_TURNS_SQL8 = SQL_ROUTED_TURNS_SQL8.replace(
+    "__VOTE_BLOCK_Q8__", _vote8_sql_block(FD, "_q8")).replace(
+    "__GRUBBS_LUT__", _grubbs_lut_literals())
 
 
 REGISTRY.update({
@@ -2249,6 +2340,7 @@ REGISTRY.update({
     "mirage_vote_sql5": (q_mirage_sql5, SQL_MIRAGE_SQL5),
     "sink_counts_sql5": (q_sink_counts_sql5, SQL_SINK_COUNTS_SQL5),
     "routed_turns_sql5": (q_routed_turns_sql5, SQL_ROUTED_TURNS_SQL5),
+    "routed_turns_sql8": (q_routed_turns_sql8, SQL_ROUTED_TURNS_SQL8),
 })
 
 
