@@ -1247,15 +1247,15 @@ def q_consensus_sql8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "anomalous", _R6("datapoint").alias("datapoint"))
 
 
-def _vote8_sql_block(fd: int, sfx: str) -> str:
+def _vote8_sql_block(fd: int, sfx: str, src_filter: str = "") -> str:
     """The consensus_vote_sql8 CTE chain (8-algorithm kernel twin)
-    parameterized by window and suffix — shared by the vote oracle
-    and the per-turn routing twin at the 8-algorithm restriction.
-    Ends at votes8{sfx}(conv_id, exception, datapoint, 8 flags,
-    anomalous)."""
+    parameterized by window and suffix — shared by the vote oracle, the
+    per-turn routing twin and the mirage twin at the 8-algorithm
+    restriction. Ends at final8{sfx}(conv_id, exception, datapoint,
+    8 flags, anomalous)."""
     return f""", series{sfx} AS (
     SELECT v.conv_id, epoch(v.ts) AS x, v.value AS y, b.now
-    FROM valid v, batch b WHERE epoch(v.ts) > b.now - {fd}),
+    FROM valid v, batch b WHERE epoch(v.ts) > b.now - {fd}{src_filter}),
 ordered{sfx} AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY x DESC) AS rnd
     FROM series{sfx}),
@@ -2303,6 +2303,52 @@ WHERE a.conv_id LIKE 'conv-error-%' AND a.exception IS NULL
 """)
 
 
+def q_mirage_sql8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.2 — mirage_reanalyze at the 8-of-9-algorithm kernel
+    (CONSENSUS=6): first-stage deferral, stale discard and the
+    second-order-window confirm/veto vote all value-checked with only
+    ks_test missing from the ensemble."""
+    from skyline_spark.operators.analyze import analyze
+    from skyline_spark.operators.cross_series import mirage_reanalyze
+    from skyline_spark.plans.pipeline import batch_now
+    tdf = transcripts_from_events(spark, sf_dir)
+    parsed = parse_events(tdf)
+    now = batch_now(tdf)
+    cfg = PipelineConfig(full_duration=FD, stale_period=STALE,
+                         consensus=6, run_optimized_workflow=False,
+                         analyze_derivatives=False, algorithms=SQL8_ALGS)
+    first = analyze(parsed, cfg, now, rules=[])
+    deferred = (first
+                .where((F.col("metric") == "error.turns.rate")
+                       & F.col("exception").isNull())
+                .withColumn("hours_to_resolve", F.lit(336))
+                .select("conv_id", "metric", "hours_to_resolve",
+                        "datapoint", "last_ts"))
+    out = mirage_reanalyze(spark, parsed, deferred, cfg, now=now,
+                           mirage_stale_seconds=2 * 86400)
+    return out.select("conv_id", "mirage_anomalous", "final_sink")
+
+
+SQL_MIRAGE_SQL8 = (
+    _PROLOGUE
+    .replace("__TRANSCRIPTS__", DUCKDB_TRANSCRIPTS_SQL)
+    .replace("__EVENT_RE__", EVENT_RE)
+    + "__VOTE_BLOCK_A8__"
+    + "__VOTE_BLOCK_M8__"
+    + f"""
+SELECT a.conv_id,
+       CASE WHEN a.now - a.last_x > {2 * 86400} THEN NULL
+            ELSE coalesce(m.anomalous, FALSE) END AS mirage_anomalous,
+       CASE WHEN a.now - a.last_x > {2 * 86400} THEN 'discarded_stale'
+            WHEN coalesce(m.anomalous, FALSE) THEN 'anomalous'
+            ELSE 'vetoed' END AS final_sink
+FROM (SELECT f.*, b.last_x, b.now FROM final8_a8 f
+      JOIN base_a8 b USING (conv_id)) a
+LEFT JOIN final8_m8 m USING (conv_id)
+WHERE a.conv_id LIKE 'conv-error-%' AND a.exception IS NULL
+""")
+
+
 def q_mirage_second_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§3.2 — Mirage longer-window re-analysis + veto for deferred
     series (rows-only: consensus vote is not SQL-expressible). The sf
@@ -2329,6 +2375,11 @@ SQL_ROUTED_TURNS_SQL5 = SQL_ROUTED_TURNS_SQL5.replace(
 SQL_ROUTED_TURNS_SQL8 = SQL_ROUTED_TURNS_SQL8.replace(
     "__VOTE_BLOCK_Q8__", _vote8_sql_block(FD, "_q8")).replace(
     "__GRUBBS_LUT__", _grubbs_lut_literals())
+SQL_MIRAGE_SQL8 = SQL_MIRAGE_SQL8.replace(
+    "__VOTE_BLOCK_A8__", _vote8_sql_block(FD, "_a8")).replace(
+    "__VOTE_BLOCK_M8__", _vote8_sql_block(
+        336 * 3600, "_m8", " AND v.conv_id LIKE 'conv-error-%'")).replace(
+    "__GRUBBS_LUT__", _grubbs_lut_literals())
 
 
 REGISTRY.update({
@@ -2338,6 +2389,7 @@ REGISTRY.update({
     "second_order_anomalous": (q_second_order, SQL_SECOND_ORDER),
     "mirage_second_stage": (q_mirage_second_stage, None),
     "mirage_vote_sql5": (q_mirage_sql5, SQL_MIRAGE_SQL5),
+    "mirage_vote_sql8": (q_mirage_sql8, SQL_MIRAGE_SQL8),
     "sink_counts_sql5": (q_sink_counts_sql5, SQL_SINK_COUNTS_SQL5),
     "routed_turns_sql5": (q_routed_turns_sql5, SQL_ROUTED_TURNS_SQL5),
     "routed_turns_sql8": (q_routed_turns_sql8, SQL_ROUTED_TURNS_SQL8),
