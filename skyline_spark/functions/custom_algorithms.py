@@ -22,16 +22,15 @@ Semantics implemented (the exercised subset of the reference's knobs):
   CONSENSUS, algorithms.py:2000-2016);
 - ``use_with`` namespace pattern restricts which series run it.
 
-Shipped library: 26 of the 36 algorithm files in the reference's
+Shipped library: 27 of the 36 algorithm files in the reference's
 skyline/custom_algorithms/ are ported (see SHIPPED at the bottom; each
 cites its reference file; SHIPPED additionally carries two simple
 non-reference example detectors, level_shift and iqr_outlier, so the
-registry holds 28 entries). The 10 unported ones all require
+registry holds 29 entries). The 9 unported ones all require
 capabilities absent from this container and are out of scope by the
 same rule as SURVEY §3.3: laoccfdlpnc + skyline_laoccfdlpnc (cvxpy
-convex solver), one_class_svm + skyline_tsb_uad_ocsvm (sklearn
-SMO/torch), skyline_tsb_uad_pca (torch), skyline_prophet
-(prophet/stan), azure_ai_anomalydetector +
+convex solver), one_class_svm + skyline_tsb_uad_ocsvm (an sklearn SMO
+solver), skyline_prophet (prophet/stan), azure_ai_anomalydetector +
 grafana_promql_anomaly_detection + irregular_unstable (remote
 service/Graphite fetches), mmzrmp (ruptures' C KernelCPD plus an
 ensemble-orchestration layer over it).
@@ -1631,6 +1630,49 @@ def mstl(ts: np.ndarray, values: np.ndarray, params: dict):
     return hit, (1.0 if hit else 0.0)
 
 
+def skyline_tsb_uad_pca(ts: np.ndarray, values: np.ndarray, params: dict):
+    """TSB-UAD PCA detector (skyline/custom_algorithms/
+    skyline_tsb_uad_pca.py:595-725 local path + custom_algorithm_sources/
+    TSB_UAD/pca.py fit; sklearn absent from this container): the wrapper
+    feeds the RAW 1-D series, which check_array reshapes to (n, 1) — so
+    the detector reduces in closed form: standardize to z, the single
+    principal component is [s] with s = sign(z[argmax |z|]) (sklearn
+    svd_flip makes the max-|u| entry positive), decision_scores_ =
+    cdist(z, [s]) = |z - s|. Scores are min-max scaled to [0, 1],
+    thresholded at mean + 6*std (capped to 0.95 when that exceeds 1),
+    and the verdict is any flagged point inside the last
+    ``anomaly_window``. Constant series short-circuit to (False, None)
+    per the reference's near-zero-variance guard; the mirage-side
+    downsample branch is not applicable in the analyzer context."""
+    anomaly_window = int(params.get("anomaly_window", 1))
+    v = values.astype(np.float64)
+    n = v.size
+    if n < 10:
+        return None, None
+    if np.isnan(v).mean() > 0.1:
+        return None, None
+    if np.isnan(v).any():                   # reference fill_nans analogue
+        idx = np.arange(n)
+        good = ~np.isnan(v)
+        v = np.interp(idx, idx[good], v[good])
+    std = float(v.std())                    # StandardScaler: ddof=0
+    if std < 1e-10:
+        return False, None
+    z = (v - v.mean()) / std
+    s = 1.0 if z[int(np.argmax(np.abs(z)))] > 0 else -1.0
+    score = np.abs(z - s)
+    smin, smax = float(score.min()), float(score.max())
+    if smax == smin:
+        return False, 0.0
+    score = (score - smin) / (smax - smin)
+    threshold = float(score.mean() + 6.0 * score.std())
+    if threshold > 1:
+        threshold = 0.95
+    flags = score > threshold
+    hit = bool(flags[-anomaly_window:].any())
+    return hit, (1.0 if hit else 0.0)
+
+
 SHIPPED = {
     "sigma": sigma, "level_shift": level_shift, "iqr_outlier": iqr_outlier,
     "abs_stddev_from_median": abs_stddev_from_median,
@@ -1654,4 +1696,5 @@ SHIPPED = {
     "adtk_seasonal": adtk_seasonal,
     "probabilistic_forecasts_gpd_ets": probabilistic_forecasts_gpd_ets,
     "mstl": mstl,
+    "skyline_tsb_uad_pca": skyline_tsb_uad_pca,
 }

@@ -408,6 +408,30 @@ def test_mstl():
     assert mstl(ts[:40], v[:40], {"season_hours": 100}) == (None, None)
 
 
+def test_skyline_tsb_uad_pca():
+    """TSB-UAD PCA on a 1-D series reduces to |z - s| scoring with
+    s = sign(z[argmax|z|]); a dominant end spike flags itself, a
+    mid-series spike outside anomaly_window does not, and degenerate
+    inputs mirror the reference's guards (constant -> (False, None))."""
+    from skyline_spark.functions.custom_algorithms import (
+        skyline_tsb_uad_pca as pca,
+    )
+    rng = np.random.RandomState(3)
+    n = 300
+    ts = np.arange(n, dtype=np.float64)
+    v = 100 + rng.normal(0, 1.0, n)
+    assert pca(ts, v.copy(), {}) == (False, 0.0)
+    b = v.copy()
+    b[-1] += 50
+    assert pca(ts, b, {}) == (True, 1.0)
+    mid = v.copy()
+    mid[150] += 50
+    assert pca(ts, mid, {}) == (False, 0.0)
+    assert pca(ts, mid, {"anomaly_window": n}) == (True, 1.0)
+    assert pca(ts, np.full(n, 5.0), {}) == (False, None)
+    assert pca(ts[:5], v[:5], {}) == (None, None)
+
+
 def test_low_variance_anomalous_peak_trough():
     """lvapt — mirage-side second opinion: repeating modest peaks cancel
     the anomaly, an outsized final peak/trough confirms it, and
