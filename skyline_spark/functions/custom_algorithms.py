@@ -22,18 +22,17 @@ Semantics implemented (the exercised subset of the reference's knobs):
   CONSENSUS, algorithms.py:2000-2016);
 - ``use_with`` namespace pattern restricts which series run it.
 
-Shipped library: 27 of the 36 algorithm files in the reference's
+Shipped library: 28 of the 36 algorithm files in the reference's
 skyline/custom_algorithms/ are ported (see SHIPPED at the bottom; each
 cites its reference file; SHIPPED additionally carries two simple
 non-reference example detectors, level_shift and iqr_outlier, so the
-registry holds 29 entries). The 9 unported ones all require
+registry holds 30 entries). The 8 unported ones all require
 capabilities absent from this container and are out of scope by the
 same rule as SURVEY §3.3: laoccfdlpnc + skyline_laoccfdlpnc (cvxpy
 convex solver), one_class_svm + skyline_tsb_uad_ocsvm (an sklearn SMO
 solver), skyline_prophet (prophet/stan), azure_ai_anomalydetector +
 grafana_promql_anomaly_detection + irregular_unstable (remote
-service/Graphite fetches), mmzrmp (ruptures' C KernelCPD plus an
-ensemble-orchestration layer over it).
+service/Graphite fetches).
 """
 
 from __future__ import annotations
@@ -136,21 +135,10 @@ def single_value_anomaly(ts: np.ndarray, values: np.ndarray, params: dict):
     return False, 0.0
 
 
-def m66(ts: np.ndarray, values: np.ndarray, params: dict):
-    """The m66 six-sigma-of-sixth-median detector
-    (skyline/custom_algorithms/m66.py:781-890): apply a rolling median
-    ``nth_median`` times, take the rolling std of the result, flag
-    points whose smoothed-std exceeds ``sigma`` × the std of that std
-    array, and call the series anomalous only when such a flag run
-    persists longer than window/2 and reaches into the last
-    ``anomaly_window`` points."""
-    window = int(params.get("window", 6))
-    nth_median = int(params.get("nth_median", 6))
-    n_sigma = float(params.get("sigma", 6))
-    anomaly_window = int(params.get("anomaly_window", 1))
+def _m66_flags(values: np.ndarray, window: int, nth_median: int,
+               n_sigma: float) -> np.ndarray:
+    """Per-point m66 flag array (shared with the mmzrmp ensemble)."""
     n = values.size
-    if n < window * (nth_median + 1):
-        return None, None
     data = pd.Series(values, dtype=float)
     for _ in range(nth_median):
         data = data.rolling(window).median()
@@ -163,6 +151,24 @@ def m66(ts: np.ndarray, values: np.ndarray, params: dict):
     for s, e in zip(edges[::2], edges[1::2]):
         if e - s > window // 2:
             scores[s:e] = 1.0
+    return scores
+
+
+def m66(ts: np.ndarray, values: np.ndarray, params: dict):
+    """The m66 six-sigma-of-sixth-median detector
+    (skyline/custom_algorithms/m66.py:781-890): apply a rolling median
+    ``nth_median`` times, take the rolling std of the result, flag
+    points whose smoothed-std exceeds ``sigma`` × the std of that std
+    array, and call the series anomalous only when such a flag run
+    persists longer than window/2 and reaches into the last
+    ``anomaly_window`` points."""
+    window = int(params.get("window", 6))
+    nth_median = int(params.get("nth_median", 6))
+    n_sigma = float(params.get("sigma", 6))
+    anomaly_window = int(params.get("anomaly_window", 1))
+    if values.size < window * (nth_median + 1):
+        return None, None
+    scores = _m66_flags(values, window, nth_median, n_sigma)
     tail = float(scores[-anomaly_window:].sum())
     return bool(tail > 0), (1.0 if tail > 0 else 0.0)
 
@@ -180,9 +186,17 @@ def macd(ts: np.ndarray, values: np.ndarray, params: dict):
     signal_window = int(params.get("signal_window", 9))
     feature = params.get("feature", "macd")
     anomaly_window = int(params.get("anomaly_window", 1))
-    n = values.size
-    if n < slow + signal_window:
+    if values.size < slow + signal_window:
         return None, None
+    flags = _macd_flags(values, fast, slow, signal_window, feature)
+    hit = bool(flags[-anomaly_window:].any())
+    return hit, (1.0 if hit else 0.0)
+
+
+def _macd_flags(values: np.ndarray, fast: int, slow: int,
+                signal_window: int, feature: str) -> np.ndarray:
+    """Per-point macd outlier flags (shared with the mmzrmp ensemble)."""
+    n = values.size
     s = pd.Series(values, dtype=float)
     ema_f = s.ewm(span=fast, adjust=False, min_periods=fast).mean()
     ema_s = s.ewm(span=slow, adjust=False, min_periods=slow).mean()
@@ -200,8 +214,7 @@ def macd(ts: np.ndarray, values: np.ndarray, params: dict):
         flags |= (scores <= lo2) & (scores < 0)
     if hi2 is not None:
         flags |= (scores >= hi2) & (scores > 1)
-    hit = bool(flags[-anomaly_window:].any())
-    return hit, (1.0 if hit else 0.0)
+    return flags
 
 
 def _spectral_entropy_window(x: np.ndarray) -> float:
@@ -886,7 +899,11 @@ def _fft_extrapolation(values: np.ndarray, n_predict: int = 10,
     for i in order[:1 + n_harmonics * 2]:
         sig += (np.absolute(x_freqdom[i]) / n) * \
             np.cos(2 * np.pi * f[i] * t2 + np.angle(x_freqdom[i]))
-    return sig + p[0] * t2
+    out = sig + p[0] * t2
+    # the reference keeps the ORIGINAL head and appends only the
+    # predicted tail (fft_extrapolation.py:137-143)
+    out[:n] = x
+    return out
 
 
 def low_variance_anomalous_peak_trough(ts: np.ndarray, values: np.ndarray,
@@ -1271,50 +1288,56 @@ def moving_sum_and_value_decrease(ts: np.ndarray, values: np.ndarray,
             return None, None
         if realtime:
             v = v[-(window * 10):]
-        n = v.size
-        msum = _moving_sums(v, window)
-        ma_hist: list[float] = []
-        sum_hist: list[float] = []
-        checked_scores: list[int] = []
-        last_score, any_anom = 0.0, False
-        for i in range(n):
-            score = 0.0
-            if i < window:
-                ma_hist.append(0.0)
-                sum_hist.append(float(msum[i]))
-                last_score = score
-                continue
-            ma = float(np.mean(msum[i - window:i - 1]))
-            pd_val = _percent_different(ma, float(msum[i]))
-            if not pd_val:
-                ma_hist.append(ma)
-                sum_hist.append(float(msum[i]))
-                last_score = score
-                continue
-            if pd_val > pct and msum[i] < ma / less_than \
-                    and msum[i] > 0 and sum_hist[-1] > 0:
-                score = 0.7
-            if ma < ma_hist[-1]:
-                dec, passed = _constant_decrease_walk(ma_hist, ma_hist[-1],
-                                                      window, pct, False)
-                if dec or passed >= (window - 3) - 1:
-                    score = 0.8
-            if msum[i] == 0:
-                zeros = [s for s in sum_hist[-window:] if s == 0]
-                if sum_hist[-1] > 0 and v[i] == 0 and not zeros:
-                    score = 1.0
-            if score > 0:
-                any_anom = True
-            checked_scores.append(1 if score > 0 else 0)
-            ma_hist.append(ma)
-            sum_hist.append(float(msum[i]))
-            last_score = score
-        anomalous = (last_score > 0) if realtime else any_anom
+        scores, checked = _msavd_scores(v, window, pct, less_than)
+        anomalous = (scores[-1] > 0) if realtime else bool(scores.any())
+        checked_scores = [1 if scores[i] > 0 else 0 for i in checked]
         if checked_scores and any(checked_scores[-anomaly_window:]):
             anomalous = True
         return bool(anomalous), (1.0 if anomalous else 0.0)
     except Exception:
         return None, None
+
+
+def _msavd_scores(v: np.ndarray, window: int, pct: float,
+                  less_than: float) -> tuple[np.ndarray, list[int]]:
+    """Per-point moving_sum_and_value_decrease scores (0/0.7/0.8/1.0)
+    plus the list of CHECKED indices (points past the warmup whose
+    percent-difference was determinable) — shared with mmzrmp."""
+    n = v.size
+    msum = _moving_sums(v, window)
+    ma_hist: list[float] = []
+    sum_hist: list[float] = []
+    checked: list[int] = []
+    out = np.zeros(n)
+    for i in range(n):
+        score = 0.0
+        if i < window:
+            ma_hist.append(0.0)
+            sum_hist.append(float(msum[i]))
+            continue
+        ma = float(np.mean(msum[i - window:i - 1]))
+        pd_val = _percent_different(ma, float(msum[i]))
+        if not pd_val:
+            ma_hist.append(ma)
+            sum_hist.append(float(msum[i]))
+            continue
+        if pd_val > pct and msum[i] < ma / less_than \
+                and msum[i] > 0 and sum_hist[-1] > 0:
+            score = 0.7
+        if ma < ma_hist[-1]:
+            dec, passed = _constant_decrease_walk(ma_hist, ma_hist[-1],
+                                                  window, pct, False)
+            if dec or passed >= (window - 3) - 1:
+                score = 0.8
+        if msum[i] == 0:
+            zeros = [s for s in sum_hist[-window:] if s == 0]
+            if sum_hist[-1] > 0 and v[i] == 0 and not zeros:
+                score = 1.0
+        checked.append(i)
+        ma_hist.append(ma)
+        sum_hist.append(float(msum[i]))
+        out[i] = score
+    return out, checked
 
 
 def adtk_level_shift(ts: np.ndarray, values: np.ndarray, params: dict):
@@ -1673,6 +1696,170 @@ def skyline_tsb_uad_pca(ts: np.ndarray, values: np.ndarray, params: dict):
     return hit, (1.0 if hit else 0.0)
 
 
+def _rbf_gram_prefix(x: np.ndarray) -> np.ndarray:
+    """2-D prefix sums of the RBF Gram matrix with the ruptures CostRbf
+    median-heuristic bandwidth (gamma = 1/median of the off-diagonal
+    squared pairwise distances). Segment Gram-block sums are then O(1):
+    S(a,b) = P[b,b] - 2*P[a,b] + P[a,a] (symmetry)."""
+    x = x.astype(np.float64).reshape(-1, 1)
+    d2 = (x - x.T) ** 2
+    n = x.shape[0]
+    off = d2[np.triu_indices(n, k=1)]
+    med = float(np.median(off)) if off.size else 0.0
+    gamma = 1.0 / med if med != 0 else 1.0
+    K = np.exp(-gamma * d2)
+    P = np.zeros((n + 1, n + 1))
+    P[1:, 1:] = K.cumsum(axis=0).cumsum(axis=1)
+    return P
+
+
+def _kcpd_seg_costs(P: np.ndarray, a: int, ends: np.ndarray) -> np.ndarray:
+    """Kernel segment costs c(a, b) = (b-a) - S(a,b)/(b-a) for a vector
+    of exclusive end indices (Arlot, Celisse & Harchaoui 2019)."""
+    lens = ends - a
+    S = P[ends, ends] - 2.0 * P[a, ends] + P[a, a]
+    return lens - S / lens
+
+
+def kernel_cpd_pelt(x: np.ndarray, pen: float = 30.0,
+                    min_size: int = 6) -> list[int]:
+    """Penalized kernel change-point detection — the ruptures
+    KernelCPD(kernel='rbf').predict(pen=...) shape (PELT dynamic
+    program, Killick et al. 2012, over the kernel cost): returns the
+    sorted exclusive segment ends INCLUDING n, like ruptures."""
+    n = x.size
+    P = _rbf_gram_prefix(x)
+    F = np.full(n + 1, np.inf)
+    F[0] = -pen
+    prev = np.zeros(n + 1, dtype=np.int64)
+    for t in range(min_size, n + 1):
+        starts = np.arange(0, t - min_size + 1)
+        # vectorized: c(s, t) over all s at once
+        lens = t - starts
+        S = P[t, t] - 2.0 * P[starts, t] + P[starts, starts]
+        costs = lens - S / lens
+        total = F[starts] + costs + pen
+        j = int(np.argmin(total))
+        F[t] = total[j]
+        prev[t] = starts[j]
+    ends = []
+    t = n
+    while t > 0:
+        ends.append(t)
+        t = int(prev[t])
+    return sorted(ends)
+
+
+def kernel_cpd_binseg(x: np.ndarray, pen: float = 30.0,
+                      min_size: int = 6) -> list[int]:
+    """Greedy binary segmentation over the same RBF kernel cost — the
+    ruptures Binseg(model='rbf').predict(pen=...) shape: recursively
+    take the max-gain split while the gain exceeds the penalty."""
+    n = x.size
+    P = _rbf_gram_prefix(x)
+
+    def best_split(a: int, b: int) -> tuple[float, int] | None:
+        if b - a < 2 * min_size:
+            return None
+        splits = np.arange(a + min_size, b - min_size + 1)
+        c_left = _kcpd_seg_costs(P, a, splits)
+        c_right = np.array([_kcpd_seg_costs(P, int(s), np.array([b]))[0]
+                            for s in splits])
+        c_full = _kcpd_seg_costs(P, a, np.array([b]))[0]
+        gains = c_full - (c_left + c_right)
+        j = int(np.argmax(gains))
+        return float(gains[j]), int(splits[j])
+
+    ends = [n]
+    segments = [(0, n)]
+    while True:
+        cands = [(best_split(a, b), (a, b)) for a, b in segments]
+        cands = [(g, s, seg) for (gs, seg) in cands
+                 if gs is not None for g, s in [gs]]
+        if not cands:
+            break
+        g, s, seg = max(cands, key=lambda c: c[0])
+        if g <= pen:
+            break
+        segments.remove(seg)
+        a, b = seg
+        segments += [(a, s), (s, b)]
+        ends.append(s)
+    return sorted(ends)
+
+
+def mmzrmp(ts: np.ndarray, values: np.ndarray, params: dict):
+    """mmzrmp — the sustained-changepoint ensemble
+    (skyline/custom_algorithms/mmzrmp.py:41-830; ruptures absent from
+    this container, so the two ruptures members run on the own
+    kernel-CPD implementations above): moving-median(4) preprocess;
+    members m66 (on the fft-extrapolated smoothed series, window 5 /
+    sigma 6 / anomaly_window*2), macd (12/26/9), zscore (|z| > 3),
+    ruptures_pelt + ruptures_binseg (RBF kernel, pen=30, min_size=6, on
+    the RAW values; pelt hits widened ±6 points), and
+    moving_sum_and_value_decrease (window 60, full-series). Collation
+    mirrors the reference: single-member points adopt the member union
+    within ±3 points (±1 when anomaly_window < 10), combinations drawn
+    only from {zscore, pelt, binseg} collapse to ONE pseudo-member, and
+    a point is anomalous when >1 distinct members remain; the verdict
+    is any such point in the last ``anomaly_window``. The mirage-side
+    downsample branch is not applicable in the analyzer context."""
+    anomaly_window = int(params.get("anomaly_window", 1))
+    v = values.astype(np.float64)
+    n = v.size
+    if n < 180 or n > 4000:          # sub-detector warmups / O(n^2) Gram
+        return None, None
+    if np.isnan(v).any():            # reference: reverse forward-fill
+        rv = v[::-1].copy()
+        mask = np.isnan(rv)
+        idx = np.where(~mask, np.arange(n), 0)
+        np.maximum.accumulate(idx, out=idx)
+        rv[mask] = rv[idx[mask]]
+        v = rv[::-1]
+    std = float(v.std())
+    z = (v - v.mean()) / std if std > 0 else np.zeros(n)
+    zflags = (z > 3) | (z < -3)
+    tser = (pd.Series(v).rolling(4).median()
+            .bfill().to_numpy())     # moving-median(4), head padded
+    member_flags: dict[str, np.ndarray] = {}
+    ext = _fft_extrapolation(tser, n_predict=10)
+    member_flags["m66"] = _m66_flags(ext, 5, 6, 6.0)[:n] > 0
+    member_flags["macd"] = _macd_flags(tser, 12, 26, 9, "macd")
+    member_flags["zscore"] = zflags
+    pelt = np.zeros(n, dtype=bool)
+    for e in kernel_cpd_pelt(v, pen=30.0, min_size=6):
+        pelt[max(0, e - 1 - 6):min(n, e - 1 + 6)] = True   # ±window(6)
+    member_flags["ruptures_pelt"] = pelt
+    binseg = np.zeros(n, dtype=bool)
+    for e in kernel_cpd_binseg(v, pen=30.0, min_size=6):
+        binseg[e - 1] = True
+    member_flags["ruptures_binseg"] = binseg
+    msavd, _ = _msavd_scores(v, 60, 70.0, 3.0)
+    member_flags["msavd"] = msavd > 0
+    names = sorted(member_flags)
+    sets = [frozenset(m for m in names if member_flags[m][i])
+            for i in range(n)]
+    # single-member rescue: adopt the neighborhood union when larger
+    reach = 3 if anomaly_window >= 10 else 1
+    rescued = list(sets)
+    for i in range(n):
+        if len(sets[i]) == 1:
+            lo, hi = max(0, i - reach), min(n, i + reach + 1)
+            union = frozenset().union(*sets[lo:hi])
+            if len(union) > 1:
+                rescued[i] = union
+    ruptures_like = {"zscore", "ruptures_pelt", "ruptures_binseg"}
+    hit = False
+    for i in range(n - anomaly_window, n):
+        s = rescued[i]
+        if len(s) >= 2 and s <= ruptures_like:
+            continue                 # collapses to one pseudo-member
+        if len(s) > 1:
+            hit = True
+            break
+    return hit, (1.0 if hit else 0.0)
+
+
 SHIPPED = {
     "sigma": sigma, "level_shift": level_shift, "iqr_outlier": iqr_outlier,
     "abs_stddev_from_median": abs_stddev_from_median,
@@ -1697,4 +1884,5 @@ SHIPPED = {
     "probabilistic_forecasts_gpd_ets": probabilistic_forecasts_gpd_ets,
     "mstl": mstl,
     "skyline_tsb_uad_pca": skyline_tsb_uad_pca,
+    "mmzrmp": mmzrmp,
 }

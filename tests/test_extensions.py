@@ -432,6 +432,57 @@ def test_skyline_tsb_uad_pca():
     assert pca(ts[:5], v[:5], {}) == (None, None)
 
 
+def test_mmzrmp_and_kernel_cpd():
+    """mmzrmp — the sustained-changepoint ensemble. The own kernel-CPD
+    PELT must return the exact optimum (verified against brute-force
+    enumeration of admissible breakpoint sets) and find a planted level
+    shift; the ensemble flags a recent sustained drop, ignores an old
+    one outside anomaly_window, and guards degenerate input."""
+    import itertools
+
+    from skyline_spark.functions.custom_algorithms import (
+        _kcpd_seg_costs,
+        _rbf_gram_prefix,
+        kernel_cpd_binseg,
+        kernel_cpd_pelt,
+        mmzrmp,
+    )
+    rng = np.random.RandomState(1)
+    x = np.concatenate([rng.normal(0, 1, 100), rng.normal(8, 1, 100)])
+    assert kernel_cpd_pelt(x, 30, 6) == [100, 200]
+    assert kernel_cpd_binseg(x, 30, 6) == [100, 200]
+    # brute-force optimality on a small admissible space
+    xs = np.concatenate([rng.normal(0, .5, 12), rng.normal(4, .5, 12)])
+    n = xs.size
+    P = _rbf_gram_prefix(xs)
+
+    def cost(a, b):
+        return float(_kcpd_seg_costs(P, a, np.array([b]))[0])
+    best = (np.inf, None)
+    for k in range(0, 3):
+        for bk in itertools.combinations(range(6, n - 5), k):
+            segs = [0] + list(bk) + [n]
+            if any(segs[i + 1] - segs[i] < 6 for i in range(len(segs) - 1)):
+                continue
+            tot = sum(cost(segs[i], segs[i + 1])
+                      for i in range(len(segs) - 1)) + 30 * k
+            if tot < best[0]:
+                best = (tot, list(bk) + [n])
+    assert kernel_cpd_pelt(xs, 30, 6) == best[1]
+
+    nn = 600
+    t = np.arange(nn, dtype=np.float64) * 60
+    base = 100 + rng.normal(0, 1.0, nn)
+    assert mmzrmp(t, base.copy(), {"anomaly_window": 15}) == (False, 0.0)
+    recent = base.copy()
+    recent[-20:] -= 60
+    assert mmzrmp(t, recent, {"anomaly_window": 15}) == (True, 1.0)
+    old = base.copy()
+    old[-80:-60] -= 60              # over and done before the window
+    assert mmzrmp(t, old, {"anomaly_window": 15}) == (False, 0.0)
+    assert mmzrmp(t[:50], base[:50], {}) == (None, None)
+
+
 def test_low_variance_anomalous_peak_trough():
     """lvapt — mirage-side second opinion: repeating modest peaks cancel
     the anomaly, an outsized final peak/trough confirms it, and
