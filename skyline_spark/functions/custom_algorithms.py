@@ -22,17 +22,16 @@ Semantics implemented (the exercised subset of the reference's knobs):
   CONSENSUS, algorithms.py:2000-2016);
 - ``use_with`` namespace pattern restricts which series run it.
 
-Shipped library: 28 of the 36 algorithm files in the reference's
+Shipped library: 30 of the 36 algorithm files in the reference's
 skyline/custom_algorithms/ are ported (see SHIPPED at the bottom; each
 cites its reference file; SHIPPED additionally carries two simple
 non-reference example detectors, level_shift and iqr_outlier, so the
-registry holds 30 entries). The 8 unported ones all require
+registry holds 32 entries). The 6 unported ones all require
 capabilities absent from this container and are out of scope by the
-same rule as SURVEY §3.3: laoccfdlpnc + skyline_laoccfdlpnc (cvxpy
-convex solver), one_class_svm + skyline_tsb_uad_ocsvm (an sklearn SMO
-solver), skyline_prophet (prophet/stan), azure_ai_anomalydetector +
-grafana_promql_anomaly_detection + irregular_unstable (remote
-service/Graphite fetches).
+same rule as SURVEY §3.3: laoccfdlpnc + skyline_laoccfdlpnc (a cvxpy
+convex-program solver), skyline_prophet (prophet/stan),
+azure_ai_anomalydetector + grafana_promql_anomaly_detection +
+irregular_unstable (remote service/Graphite fetches).
 """
 
 from __future__ import annotations
@@ -1860,6 +1859,178 @@ def mmzrmp(ts: np.ndarray, values: np.ndarray, params: dict):
     return hit, (1.0 if hit else 0.0)
 
 
+def _rbf_kernel_mat(A: np.ndarray, B: np.ndarray,
+                    gamma: float) -> np.ndarray:
+    d2 = ((A[:, None, :] - B[None, :, :]) ** 2).sum(axis=-1)
+    return np.exp(-gamma * d2)
+
+
+def _ocsvm_fit(X: np.ndarray, nu: float, gamma: float,
+               tol: float = 1e-6,
+               max_iter: int = 100000) -> tuple[np.ndarray, float]:
+    """Schölkopf nu-one-class SVM dual via SMO (the libsvm ONE_CLASS
+    formulation): min 0.5 a'Ka s.t. 0 <= a_i <= 1/(nu n), sum a = 1,
+    solved by maximal-violating-pair updates. Returns (alpha, rho);
+    decision for a point x is sum_i a_i k(x_i, x) - rho."""
+    n = X.shape[0]
+    C = 1.0 / (nu * n)
+    K = _rbf_kernel_mat(X, X, gamma)
+    alpha = np.zeros(n)
+    nf = int(nu * n)
+    alpha[:nf] = C                       # libsvm initialization
+    if nf < n:
+        alpha[nf] = 1.0 - C * nf
+    g = K @ alpha
+    for _ in range(max_iter):
+        up = alpha < C - 1e-12
+        dn = alpha > 1e-12
+        i = int(np.argmin(np.where(up, g, np.inf)))
+        j = int(np.argmax(np.where(dn, g, -np.inf)))
+        if g[j] - g[i] < tol:
+            break
+        eta = K[i, i] + K[j, j] - 2.0 * K[i, j]
+        d = (g[j] - g[i]) / max(eta, 1e-12)
+        d = min(d, C - alpha[i], alpha[j])
+        alpha[i] += d
+        alpha[j] -= d
+        g += d * (K[:, i] - K[:, j])
+    free = (alpha > 1e-8) & (alpha < C - 1e-8)
+    if free.any():
+        rho = float(g[free].mean())
+    else:
+        lo = g[alpha > 1e-12]
+        hi = g[alpha < C - 1e-12]
+        rho = float((lo.max() + hi.min()) / 2.0) if lo.size and hi.size \
+            else float(g.mean())
+    return alpha, rho
+
+
+def one_class_svm(ts: np.ndarray, values: np.ndarray, params: dict):
+    """one_class_svm (skyline/custom_algorithms/one_class_svm.py:
+    200-340; sklearn absent — the nu-SVM dual is solved by the own SMO
+    above): features are the rolling mean and rolling variance (std
+    when the min-max-normalised variance <= 0.009) over ``window``
+    (default 3), standardized; OneClassSVM(rbf, gamma='scale',
+    nu=0.09) flags -1 windows; head padded inlier; anomalous iff a
+    flagged point lands in the last ``anomaly_window``."""
+    nu = float(params.get("nu", 0.09))
+    window = int(params.get("window", 3))
+    anomaly_window = int(params.get("anomaly_window", 1))
+    v = values.astype(np.float64)
+    n = v.size
+    if n < max(window + 1, 30) or not np.isfinite(v).all():
+        return None, None
+    vmax, vmin = float(v.max()), float(v.min())
+    if vmax == vmin:
+        norm_var = 0.0
+    else:
+        norm_var = round(float(np.var((v - vmin) / (vmax - vmin))), 4)
+    sw = np.lib.stride_tricks.sliding_window_view(v, window)
+    xmean = sw.mean(axis=1)
+    xvar = sw.std(axis=1) if norm_var <= 0.009 else sw.var(axis=1)
+    XX = np.column_stack([xmean, xvar])
+    mu, sd = XX.mean(axis=0), XX.std(axis=0)      # StandardScaler ddof=0
+    sd = np.where(sd == 0, 1.0, sd)
+    XX = (XX - mu) / sd
+    gamma = 1.0 / (XX.shape[1] * XX.var()) if XX.var() > 0 else 1.0
+    alpha, rho = _ocsvm_fit(XX, nu, gamma)
+    dec = _rbf_kernel_mat(XX, XX[alpha > 1e-12], gamma) \
+        @ alpha[alpha > 1e-12] - rho
+    flags = np.concatenate([np.zeros(window - 1, dtype=bool),  # head pad
+                            dec <= 0])
+    hit = bool(flags[-anomaly_window:].any())
+    return hit, (1.0 if hit else 0.0)
+
+
+def _acf_find_length(v: np.ndarray) -> int:
+    """TSB-UAD find_length (custom_algorithm_sources/TSB_UAD/utils.py:
+    173-203): acf to 400 lags, sliced from lag 3; the strongest strict
+    local maximum decides the subsequence length (+3 base); a sliced
+    index < 3 or > 300, or no maximum, falls back to 100."""
+    data = v[:min(20000, v.size)].astype(np.float64)
+    n = data.size
+    x = data - data.mean()
+    nlags = min(400, n - 1)
+    c = np.correlate(x, x, "full")[n - 1:n + nlags]
+    if c[0] == 0:
+        return 100
+    ac = (c / c[0])[3:]
+    if ac.size < 3:
+        return 100
+    lm = np.flatnonzero((ac[1:-1] > ac[:-2]) & (ac[1:-1] > ac[2:])) + 1
+    if lm.size == 0:
+        return 100
+    best = int(lm[np.argmax(ac[lm])])
+    if best < 3 or best > 300:
+        return 100
+    return best + 3
+
+
+def skyline_tsb_uad_ocsvm(ts: np.ndarray, values: np.ndarray,
+                          params: dict):
+    """TSB-UAD OCSVM (skyline/custom_algorithms/
+    skyline_tsb_uad_ocsvm.py:598-700 local path; sklearn absent — same
+    own SMO solver as one_class_svm): auto subsequence length via
+    find_length, sliding-window embedding (TSB Window.convert column
+    order: newest first), train on the first max(10%, window) of the
+    series, per-window min-max scaling, OneClassSVM(rbf, gamma=1/w,
+    nu=0.05) decision over ALL windows inverted to outlier scores,
+    center-padded to series length, min-max scaled and thresholded at
+    mean + 6*std (capped to 0.75 when that exceeds 1); anomalous iff a
+    flagged point lands in the last ``anomaly_window``."""
+    import math
+
+    nu = float(params.get("nu", 0.05))
+    anomaly_window = int(params.get("anomaly_window", 1))
+    v = values.astype(np.float64)
+    n = v.size
+    if n < 30:
+        return None, None
+    if np.isnan(v).mean() > 0.1:
+        return None, None
+    if np.isnan(v).any():
+        idx = np.arange(n)
+        good = ~np.isnan(v)
+        v = np.interp(idx, idx[good], v[good])
+    if float(np.std(v)) < 1e-10:
+        return None, None
+    w = _acf_find_length(v)
+    if n <= w:
+        return None, None             # reference: Window/fit raises
+    train_len = max(int(0.1 * n), w)
+
+    def windows(x: np.ndarray) -> np.ndarray:
+        sw = np.lib.stride_tricks.sliding_window_view(x, w)
+        return sw[:, ::-1]            # TSB Window: shift(0..n) columns
+
+    def row_minmax(X: np.ndarray) -> np.ndarray:
+        lo = X.min(axis=1, keepdims=True)
+        rng = X.max(axis=1, keepdims=True) - lo
+        rng = np.where(rng == 0, 1.0, rng)
+        return (X - lo) / rng
+
+    Xtr = row_minmax(windows(v[:train_len]))
+    Xte = row_minmax(windows(v))
+    gamma = 1.0 / w                   # sklearn gamma='auto'
+    alpha, rho = _ocsvm_fit(Xtr, nu, gamma)
+    sv = alpha > 1e-12
+    dec = _rbf_kernel_mat(Xte, Xtr[sv], gamma) @ alpha[sv] - rho
+    score = -dec                      # pyod invert_order
+    score = np.concatenate([
+        np.full(math.ceil((w - 1) / 2), score[0]), score,
+        np.full((w - 1) // 2, score[-1])])
+    smin, smax = float(score.min()), float(score.max())
+    if smax == smin:
+        return False, 0.0
+    score = (score - smin) / (smax - smin)
+    threshold = float(score.mean() + 6.0 * score.std())
+    if threshold > 1:
+        threshold = 0.75
+    flags = score > threshold
+    hit = bool(flags[-anomaly_window:].any())
+    return hit, (1.0 if hit else 0.0)
+
+
 SHIPPED = {
     "sigma": sigma, "level_shift": level_shift, "iqr_outlier": iqr_outlier,
     "abs_stddev_from_median": abs_stddev_from_median,
@@ -1885,4 +2056,6 @@ SHIPPED = {
     "mstl": mstl,
     "skyline_tsb_uad_pca": skyline_tsb_uad_pca,
     "mmzrmp": mmzrmp,
+    "one_class_svm": one_class_svm,
+    "skyline_tsb_uad_ocsvm": skyline_tsb_uad_ocsvm,
 }

@@ -483,6 +483,71 @@ def test_mmzrmp_and_kernel_cpd():
     assert mmzrmp(t[:50], base[:50], {}) == (None, None)
 
 
+def test_one_class_svm():
+    """one_class_svm — own SMO solver for the nu-one-class-SVM dual.
+    The solver must respect the nu bound (outlier fraction <= nu, sum
+    alpha = 1); the detector flags a fresh spike via the rolling
+    mean/variance embedding and ignores one outside anomaly_window.
+    A constant series yields decision 0 -> flagged, matching libsvm's
+    sign convention (the reference variant has no variance guard;
+    Boring catches constants upstream)."""
+    from skyline_spark.functions.custom_algorithms import (
+        _ocsvm_fit,
+        _rbf_kernel_mat,
+        one_class_svm as ocs,
+    )
+    rng = np.random.RandomState(9)
+    X = rng.normal(0, 1, (300, 2))
+    alpha, rho = _ocsvm_fit(X, 0.09, 0.5)
+    assert abs(alpha.sum() - 1.0) < 1e-9
+    dec = _rbf_kernel_mat(X, X[alpha > 1e-12], 0.5) \
+        @ alpha[alpha > 1e-12] - rho
+    assert float((dec < 0).mean()) <= 0.09 + 1e-9
+    n = 400
+    ts = np.arange(n, dtype=np.float64)
+    v = 100 + rng.normal(0, 1.0, n)
+    assert ocs(ts, v.copy(), {}) == (False, 0.0)
+    sp = v.copy()
+    sp[-1] += 30
+    assert ocs(ts, sp, {}) == (True, 1.0)
+    mid = v.copy()
+    mid[200] += 30
+    assert ocs(ts, mid, {}) == (False, 0.0)
+    assert ocs(ts, mid, {"anomaly_window": n}) == (True, 1.0)
+    assert ocs(ts, np.full(n, 5.0), {}) == (True, 1.0)
+    assert ocs(ts[:10], v[:10], {}) == (None, None)
+
+
+def test_skyline_tsb_uad_ocsvm():
+    """TSB-UAD OCSVM on the same SMO solver: find_length recovers a
+    planted daily period, the verdict is exactly any-flag-in-window
+    (window=n reduces to any-flag), and degenerate inputs mirror the
+    reference's guards. Per-window min-max scaling means flags mark
+    SHAPE outliers relative to the 10% training head — pinned here as
+    golden behavior (sklearn unavailable for cross-checking)."""
+    from skyline_spark.functions.custom_algorithms import (
+        _acf_find_length,
+        skyline_tsb_uad_ocsvm as oc,
+    )
+    rng = np.random.RandomState(11)
+    n = 24 * 7 * 2
+    t = np.arange(n, dtype=np.float64) * 3600
+    v = 100 + 10 * np.sin(2 * np.pi * np.arange(n) / 24) \
+        + rng.normal(0, 1.0, n)
+    assert _acf_find_length(v) == 24
+    assert oc(t, v.copy(), {}) == (False, 0.0)        # calm tail
+    assert oc(t, v.copy(), {"anomaly_window": n}) == (True, 1.0)
+    assert oc(t, np.full(n, 5.0), {}) == (None, None)
+    assert oc(t[:20], v[:20], {}) == (None, None)
+    # a tail whose WINDOW SHAPE breaks from the training head flags:
+    # flatten the final day so its scaled window no longer matches any
+    # sine-phase window
+    flat = v.copy()
+    flat[-24:] = flat[-24]
+    assert oc(t, flat, {"anomaly_window": 5}) == (True, 1.0)
+    assert oc(t, flat, {"anomaly_window": n}) == (True, 1.0)
+
+
 def test_low_variance_anomalous_peak_trough():
     """lvapt — mirage-side second opinion: repeating modest peaks cancel
     the anomaly, an outsized final peak/trough confirms it, and
