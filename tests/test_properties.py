@@ -149,3 +149,128 @@ def test_fill_gaps_lattice_properties(points, res):
         filled.append(last)
     assert all(x is not None for x in filled)          # ffill total
     assert len(filled) == (lat1 - lat0) // res + 1     # dense
+
+
+# ---------------------------------------------------------------------------
+# round-3 numerics: codec, GPD, kernel-CPD, SMO, ETS
+# ---------------------------------------------------------------------------
+
+@given(st.binary(min_size=0, max_size=2000).map(bytearray),
+       st.sampled_from([2, 4, 8]))
+@settings(max_examples=80, deadline=None)
+def test_lzw_roundtrip_property(raw, mcs):
+    """The GIF LZW pair must roundtrip ANY index stream at any minimum
+    code size — including width growth and the 4096-entry dict reset."""
+    from skyline_spark.operators.multimodal import _lzw_decode, _lzw_encode
+    data = bytes(b & ((1 << mcs) - 1) for b in raw)
+    assert _lzw_decode(_lzw_encode(data, mcs), mcs) == data
+
+
+@given(st.integers(2, 30), st.integers(2, 20), st.integers(1, 4),
+       st.integers(0, 2 ** 31 - 1))
+@settings(max_examples=40, deadline=None)
+def test_gif_roundtrip_property(w, h, nf, seed):
+    """gif_encode/gif_decode are pixel-exact for any frame geometry."""
+    from skyline_spark.operators.multimodal import gif_decode, gif_encode
+    rng = np.random.RandomState(seed)
+    pal = rng.randint(0, 256, (16, 3)).astype(np.uint8)
+    frames = rng.randint(0, 16, (nf, h, w)).astype(np.uint8)
+    dec, delays = gif_decode(gif_encode(frames, pal, delay_cs=3))
+    assert dec.shape == (nf, h, w, 3)
+    assert np.array_equal(dec, pal[frames])
+
+
+@given(st.integers(0, 2 ** 31 - 1), st.floats(0.5, 5.0))
+@settings(max_examples=30, deadline=None)
+def test_gpd_pwm_recovers_exponential(seed, theta):
+    """Hosking-Wallis PWM on a large exponential sample must recover
+    (kappa ~ 0, scale ~ theta) — the GPD boundary case pfgpde's tail
+    fit passes through for light-tailed residuals."""
+    from skyline_spark.functions.custom_algorithms import _gpd_pwm_fit
+    rng = np.random.RandomState(seed)
+    kappa, scale = _gpd_pwm_fit(rng.exponential(theta, 4000))
+    assert abs(kappa) < 0.12
+    assert abs(scale - theta) / theta < 0.12
+
+
+@given(st.integers(0, 2 ** 31 - 1), st.integers(16, 30),
+       st.floats(1.0, 60.0), st.integers(3, 5))
+@settings(max_examples=25, deadline=None)
+def test_kernel_cpd_pelt_is_optimal(seed, n, pen, min_size):
+    """The PELT dynamic program must return the EXACT minimizer of
+    sum(segment kernel costs) + pen * n_bkps over every admissible
+    breakpoint set (brute-force enumeration at small n)."""
+    import itertools
+
+    from skyline_spark.functions.custom_algorithms import (
+        _kcpd_seg_costs,
+        _rbf_gram_prefix,
+        kernel_cpd_pelt,
+    )
+    rng = np.random.RandomState(seed)
+    x = np.concatenate([rng.normal(0, 1, n // 2),
+                        rng.normal(rng.uniform(-6, 6), 1, n - n // 2)])
+    P = _rbf_gram_prefix(x)
+
+    def total(bks):
+        segs = [0] + list(bks) + [n]
+        return sum(float(_kcpd_seg_costs(P, segs[i],
+                                         np.array([segs[i + 1]]))[0])
+                   for i in range(len(segs) - 1)) + pen * len(bks)
+
+    best = (np.inf, [n])
+    for k in range(0, 3):
+        for bk in itertools.combinations(range(min_size, n - min_size + 1),
+                                         k):
+            segs = [0] + list(bk) + [n]
+            if any(segs[i + 1] - segs[i] < min_size
+                   for i in range(len(segs) - 1)):
+                continue
+            tot = total(bk)
+            if tot < best[0] - 1e-12:
+                best = (tot, list(bk) + [n])
+    got = kernel_cpd_pelt(x, pen, min_size)
+    assert abs(total(got[:-1]) - best[0]) < 1e-9
+
+
+@given(st.integers(0, 2 ** 31 - 1), st.floats(0.05, 0.4),
+       st.integers(40, 150))
+@settings(max_examples=25, deadline=None)
+def test_ocsvm_nu_bound_property(seed, nu, n):
+    """Schölkopf's nu-property: the dual solution keeps sum(alpha) = 1
+    and the training outlier fraction at most nu (+ solver slack)."""
+    from skyline_spark.functions.custom_algorithms import (
+        _ocsvm_fit,
+        _rbf_kernel_mat,
+    )
+    rng = np.random.RandomState(seed)
+    X = rng.normal(0, 1, (n, 2))
+    alpha, rho = _ocsvm_fit(X, nu, 0.5)
+    assert abs(alpha.sum() - 1.0) < 1e-8
+    sv = alpha > 1e-12
+    dec = _rbf_kernel_mat(X, X[sv], 0.5) @ alpha[sv] - rho
+    # free SVs sit at dec = 0 +- solver tol (1e-6); the nu-property
+    # counts strict outliers, so measure beyond that fuzz
+    assert float((dec < -1e-5).mean()) <= nu + 1.0 / n + 1e-9
+
+
+@given(st.floats(1e-9, 1.0 - 1e-9))
+@settings(max_examples=200, deadline=None)
+def test_norm_ppf_inverts_cdf(p):
+    from skyline_spark.functions.stats import norm_cdf, norm_ppf
+    assert abs(norm_cdf(norm_ppf(p)) - p) < 1e-11
+
+
+@given(st.integers(0, 2 ** 31 - 1), st.floats(-50, 50),
+       st.floats(0.1, 10))
+@settings(max_examples=30, deadline=None)
+def test_ets_fitted_is_affine_equivariant(seed, shift, scale):
+    """ETS(A,A,N) is linear in the observations and the SSE grid search
+    is affine-invariant, so fitted(a*v + c) == a*fitted(v) + c."""
+    from skyline_spark.functions.custom_algorithms import _ets_fitted
+    rng = np.random.RandomState(seed)
+    v = 10 + np.cumsum(rng.normal(0, 1, 80))
+    f0 = _ets_fitted(v)
+    f1 = _ets_fitted(scale * v + shift)
+    span = max(1.0, float(np.abs(scale * f0 + shift).max()))
+    assert np.allclose(f1, scale * f0 + shift, atol=1e-7 * span)
