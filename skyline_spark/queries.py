@@ -3027,6 +3027,60 @@ FROM matched
 """)
 
 
+def q_ionosphere_match_sql8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — the ionosphere echo flow at the 8-of-9-algorithm kernel
+    (CONSENSUS=6): same chain as ionosphere_match_sql5 with only
+    ks_test missing from the first-stage vote."""
+    from skyline_spark.operators.analyze import analyze, empty_series_verdicts
+    from skyline_spark.operators.enrich import rules_from_config
+    from skyline_spark.operators.features_profile import (
+        feature_profiles,
+        ionosphere_match,
+    )
+    from skyline_spark.operators.route import route_verdicts
+    from skyline_spark.plans.pipeline import batch_now
+    tdf = transcripts_from_events(spark, sf_dir)
+    parsed = parse_events(tdf)
+    now = batch_now(tdf)
+    cfg = PipelineConfig(full_duration=FD, stale_period=STALE,
+                         consensus=6, run_optimized_workflow=False,
+                         analyze_derivatives=False, algorithms=SQL8_ALGS)
+    rules = rules_from_config(_events_alert_config(spark))
+    v = analyze(parsed, cfg, now, rules=rules)
+    allv = v.unionByName(empty_series_verdicts(tdf, parsed, cfg, now))
+    routed = route_verdicts(allv, mirage_always=MIRAGE_ALWAYS,
+                            ionosphere_enabled=True, now=now)
+    anoms = routed.where(F.col("sink") == "ionosphere") \
+        .select("conv_id", "metric")
+    pv = parsed.where(F.col("value").isNotNull())
+    cur = feature_profiles(pv)
+    t0 = pv.groupBy("conv_id").agg(
+        F.min(epoch_seconds(F.col("ts"))).alias("__t0"),
+        F.max(epoch_seconds(F.col("ts"))).alias("__t1"))
+    head = pv.join(t0, "conv_id").where(
+        epoch_seconds(F.col("ts"))
+        <= F.col("__t0") + 0.6 * (F.col("__t1") - F.col("__t0")))
+    trained = feature_profiles(head.drop("__t0", "__t1"))
+    out = ionosphere_match(anoms, trained, cur, percent_similar=10.0)
+    return out.select("conv_id", "metric", "ionosphere_matched",
+                      "final_disposition")
+
+
+def _ionosphere_sql8_twin() -> str:
+    """Derive the sql8 twin from the sql5 twin by swapping the vote
+    block (the feature/routing tail is identical)."""
+    v8 = _vote8_sql_block(FD, "_i8").replace(
+        "__GRUBBS_LUT__", _grubbs_lut_literals())
+    v8 = v8[v8.index("series_i8"):]          # drop the leading ', '
+    return (SQL_IONOSPHERE_MATCH_SQL5
+            .replace(_vote_sql_block(FD, "_i").lstrip(), v8)
+            .replace("FROM votes_i v JOIN conv_metric_i m",
+                     "FROM final8_i8 v JOIN conv_metric_i m"))
+
+
+SQL_IONOSPHERE_MATCH_SQL8 = _ionosphere_sql8_twin()
+
+
 REGISTRY.update({
     "run_summary": (q_run_summary, None),
     "illuminance": (q_illuminance, None),
@@ -3035,6 +3089,8 @@ REGISTRY.update({
     "ionosphere_matches": (q_ionosphere_matches, None),
     "ionosphere_match_sql5": (q_ionosphere_match_sql5,
                               SQL_IONOSPHERE_MATCH_SQL5),
+    "ionosphere_match_sql8": (q_ionosphere_match_sql8,
+                              SQL_IONOSPHERE_MATCH_SQL8),
 })
 
 
