@@ -2574,7 +2574,112 @@ for _q in ("SQL_RUN_SUMMARY_SQL5", "SQL_ILLUMINANCE_SQL5",
     globals()[_q] = globals()[_q].replace(
         "__VOTE_BLOCK__", _vote_sql_block(FD, "_r"))
 
+
+def _sql8_analyze(spark: SparkSession, sf_dir: str):
+    """The 8-algorithm restricted analyze pass (CONSENSUS=6) — shared
+    by the _sql8 twins of the run aggregates."""
+    from skyline_spark.operators.analyze import analyze
+    from skyline_spark.plans.pipeline import batch_now
+    tdf = transcripts_from_events(spark, sf_dir)
+    parsed = parse_events(tdf)
+    now = batch_now(tdf)
+    cfg = PipelineConfig(full_duration=FD, stale_period=STALE,
+                         consensus=6, run_optimized_workflow=False,
+                         analyze_derivatives=False, algorithms=SQL8_ALGS)
+    return tdf, parsed, now, cfg, analyze(parsed, cfg, now, rules=[])
+
+
+def q_run_summary_sql8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1 at the 8-of-9-algorithm kernel — same counter vector as
+    run_summary_sql5 with only ks_test missing from the vote."""
+    from skyline_spark.operators.analyze import empty_series_verdicts
+    tdf, parsed, now, cfg, v = _sql8_analyze(spark, sf_dir)
+    allv = v.unionByName(empty_series_verdicts(tdf, parsed, cfg, now))
+    return allv.agg(
+        F.count(F.lit(1)).alias("total_metrics"),
+        F.count(F.when(F.col("exception").isNull(), 1))
+        .alias("total_analyzed"),
+        F.count(F.when(F.col("anomalous"), 1)).alias("total_anomalies"),
+        F.count(F.when(F.col("exception") == "TooShort", 1))
+        .alias("exc_too_short"),
+        F.count(F.when(F.col("exception") == "Stale", 1)).alias("exc_stale"),
+        F.count(F.when(F.col("exception") == "Boring", 1)).alias("exc_boring"),
+        F.count(F.when(F.col("exception") == "EmptyTimeseries", 1))
+        .alias("exc_empty"),
+        F.count(F.when(F.col("exception") == "DeletedByRoomba", 1))
+        .alias("exc_roomba"),
+    )
+
+
+def q_illuminance_sql8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4 at the 8-of-9-algorithm kernel."""
+    *_, v = _sql8_analyze(spark, sf_dir)
+    return (v.where(F.col("anomalous"))
+            .groupBy(F.col("last_ts").cast("long").alias("ts"))
+            .agg(_R6(F.sum("datapoint")).alias("illuminance"),
+                 F.count(F.lit(1)).alias("n_anomalies")))
+
+
+def q_anomaly_breakdown_sql8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-algorithm trigger counts at the 8-of-9-algorithm kernel —
+    all eight flags re-derived independently in the DuckDB twin."""
+    *_, v = _sql8_analyze(spark, sf_dir)
+    return (v.where(F.col("anomalous"))
+            .select(F.explode("triggered").alias("algorithm"))
+            .groupBy("algorithm").agg(F.count(F.lit(1)).alias("n")))
+
+
+def _vote8_r8() -> str:
+    v8 = _vote8_sql_block(FD, "_r8").replace(
+        "__GRUBBS_LUT__", _grubbs_lut_literals())
+    return v8[v8.index("series_r8"):]
+
+
+SQL_RUN_SUMMARY_SQL8 = (SQL_RUN_SUMMARY_SQL5
+                        .replace(_vote_sql_block(FD, "_r").lstrip(),
+                                 _vote8_r8())
+                        .replace("FROM votes_r", "FROM final8_r8"))
+
+SQL_ILLUMINANCE_SQL8 = (
+    _PROLOGUE
+    .replace("__TRANSCRIPTS__", DUCKDB_TRANSCRIPTS_SQL)
+    .replace("__EVENT_RE__", EVENT_RE)
+    + ","
+    + _vote8_r8()
+    + """
+SELECT CAST(b.last_x AS BIGINT) AS ts,
+       round(sum(b.v1), 6) AS illuminance,
+       CAST(count(*) AS BIGINT) AS n_anomalies
+FROM final8_r8 f JOIN base_r8 b USING (conv_id)
+WHERE f.anomalous GROUP BY b.last_x
+""")
+
+#: flag column of final8_r8 -> the kernel's triggered-algorithm name
+_BK8 = (("fha", "first_hour_average"), ("sfa", "stddev_from_average"),
+        ("msc", "mean_subtraction_cumulation"),
+        ("mad", "median_absolute_deviation"), ("lsq", "least_squares"),
+        ("grb", "grubbs"), ("hist", "histogram_bins"),
+        ("ewm", "stddev_from_moving_average"))
+
+SQL_ANOMALY_BREAKDOWN_SQL8 = (
+    _PROLOGUE
+    .replace("__TRANSCRIPTS__", DUCKDB_TRANSCRIPTS_SQL)
+    .replace("__EVENT_RE__", EVENT_RE)
+    + ","
+    + _vote8_r8()
+    + ", breakdown AS ("
+    + "\nUNION ALL\n".join(
+        f"SELECT '{name}' AS algorithm, count(CASE WHEN {col} THEN 1 END)"
+        f" AS n FROM final8_r8 WHERE anomalous"
+        for col, name in _BK8)
+    + ")\nSELECT algorithm, CAST(n AS BIGINT) AS n FROM breakdown "
+    "WHERE n > 0\n")
+
 REGISTRY.update({
+    "run_summary_sql8": (q_run_summary_sql8, SQL_RUN_SUMMARY_SQL8),
+    "illuminance_sql8": (q_illuminance_sql8, SQL_ILLUMINANCE_SQL8),
+    "anomaly_breakdown_sql8": (q_anomaly_breakdown_sql8,
+                               SQL_ANOMALY_BREAKDOWN_SQL8),
     "run_summary_sql5": (q_run_summary_sql5, SQL_RUN_SUMMARY_SQL5),
     "illuminance_sql5": (q_illuminance_sql5, SQL_ILLUMINANCE_SQL5),
     "anomaly_breakdown_sql5": (q_anomaly_breakdown_sql5,
