@@ -1703,10 +1703,15 @@ def _rbf_gram_prefix(x: np.ndarray) -> np.ndarray:
     x = x.astype(np.float64).reshape(-1, 1)
     d2 = (x - x.T) ** 2
     n = x.shape[0]
-    off = d2[np.triu_indices(n, k=1)]
-    med = float(np.median(off)) if off.size else 0.0
+    if n > 1:
+        off = d2[~np.eye(n, dtype=bool)]   # symmetric: same median as triu
+        med = float(np.median(off))
+        del off
+    else:
+        med = 0.0
     gamma = 1.0 / med if med != 0 else 1.0
     K = np.exp(-gamma * d2)
+    del d2
     P = np.zeros((n + 1, n + 1))
     P[1:, 1:] = K.cumsum(axis=0).cumsum(axis=1)
     return P
@@ -1721,13 +1726,16 @@ def _kcpd_seg_costs(P: np.ndarray, a: int, ends: np.ndarray) -> np.ndarray:
 
 
 def kernel_cpd_pelt(x: np.ndarray, pen: float = 30.0,
-                    min_size: int = 6) -> list[int]:
+                    min_size: int = 6,
+                    P: np.ndarray | None = None) -> list[int]:
     """Penalized kernel change-point detection — the ruptures
     KernelCPD(kernel='rbf').predict(pen=...) shape (PELT dynamic
     program, Killick et al. 2012, over the kernel cost): returns the
-    sorted exclusive segment ends INCLUDING n, like ruptures."""
+    sorted exclusive segment ends INCLUDING n, like ruptures. Pass a
+    precomputed ``_rbf_gram_prefix`` to share the O(n²) Gram work."""
     n = x.size
-    P = _rbf_gram_prefix(x)
+    if P is None:
+        P = _rbf_gram_prefix(x)
     F = np.full(n + 1, np.inf)
     F[0] = -pen
     prev = np.zeros(n + 1, dtype=np.int64)
@@ -1750,12 +1758,14 @@ def kernel_cpd_pelt(x: np.ndarray, pen: float = 30.0,
 
 
 def kernel_cpd_binseg(x: np.ndarray, pen: float = 30.0,
-                      min_size: int = 6) -> list[int]:
+                      min_size: int = 6,
+                      P: np.ndarray | None = None) -> list[int]:
     """Greedy binary segmentation over the same RBF kernel cost — the
     ruptures Binseg(model='rbf').predict(pen=...) shape: recursively
     take the max-gain split while the gain exceeds the penalty."""
     n = x.size
-    P = _rbf_gram_prefix(x)
+    if P is None:
+        P = _rbf_gram_prefix(x)
 
     def best_split(a: int, b: int) -> tuple[float, int] | None:
         if b - a < 2 * min_size:
@@ -1808,12 +1818,13 @@ def mmzrmp(ts: np.ndarray, values: np.ndarray, params: dict):
     n = v.size
     if n < 180 or n > 4000:          # sub-detector warmups / O(n^2) Gram
         return None, None
-    if np.isnan(v).any():            # reference: reverse forward-fill
+    if np.isnan(v).any():
+        # reference mmzrmp.py:443-457: NaNs in the REVERSED series are
+        # replaced by a 0-floored running MAXIMUM of the values seen so
+        # far (not a plain forward fill)
         rv = v[::-1].copy()
         mask = np.isnan(rv)
-        idx = np.where(~mask, np.arange(n), 0)
-        np.maximum.accumulate(idx, out=idx)
-        rv[mask] = rv[idx[mask]]
+        rv[mask] = np.maximum.accumulate(np.where(mask, 0, rv))[mask]
         v = rv[::-1]
     std = float(v.std())
     z = (v - v.mean()) / std if std > 0 else np.zeros(n)
@@ -1825,26 +1836,32 @@ def mmzrmp(ts: np.ndarray, values: np.ndarray, params: dict):
     member_flags["m66"] = _m66_flags(ext, 5, 6, 6.0)[:n] > 0
     member_flags["macd"] = _macd_flags(tser, 12, 26, 9, "macd")
     member_flags["zscore"] = zflags
+    gram_p = _rbf_gram_prefix(v)       # shared by both CPD members
     pelt = np.zeros(n, dtype=bool)
-    for e in kernel_cpd_pelt(v, pen=30.0, min_size=6):
+    for e in kernel_cpd_pelt(v, pen=30.0, min_size=6, P=gram_p):
         pelt[max(0, e - 1 - 6):min(n, e - 1 + 6)] = True   # ±window(6)
     member_flags["ruptures_pelt"] = pelt
     binseg = np.zeros(n, dtype=bool)
-    for e in kernel_cpd_binseg(v, pen=30.0, min_size=6):
+    for e in kernel_cpd_binseg(v, pen=30.0, min_size=6, P=gram_p):
         binseg[e - 1] = True
+    del gram_p
     member_flags["ruptures_binseg"] = binseg
     msavd, _ = _msavd_scores(v, 60, 70.0, 3.0)
     member_flags["msavd"] = msavd > 0
     names = sorted(member_flags)
     sets = [frozenset(m for m in names if member_flags[m][i])
             for i in range(n)]
-    # single-member rescue: adopt the neighborhood union when larger
+    # single-member rescue: adopt the neighborhood union when larger.
+    # The reference mutates all_algorithm_results IN PLACE while
+    # iterating ascending (mmzrmp.py:729-753), so earlier rescues
+    # cascade into later points' neighborhoods — iterate over the
+    # evolving list, not a snapshot
     reach = 3 if anomaly_window >= 10 else 1
     rescued = list(sets)
     for i in range(n):
-        if len(sets[i]) == 1:
+        if len(rescued[i]) == 1:
             lo, hi = max(0, i - reach), min(n, i + reach + 1)
-            union = frozenset().union(*sets[lo:hi])
+            union = frozenset().union(*rescued[lo:hi])
             if len(union) > 1:
                 rescued[i] = union
     ruptures_like = {"zscore", "ruptures_pelt", "ruptures_binseg"}

@@ -21,6 +21,8 @@ FULL_DURATION -> 21 days, STALE_PERIOD -> 7 days, first-hour window ->
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -874,6 +876,47 @@ SQL5_ALGS = ("first_hour_average", "stddev_from_average",
              "least_squares")
 
 
+def _restricted_analyze(spark: SparkSession, sf_dir: str,
+                        algorithms: tuple, consensus: int, rules=None):
+    """The SQL-restricted analyze pass shared by every _sql5/_sql8
+    oracle twin — one place for the kernel settings so the Spark sides
+    of all restricted twins cannot drift apart."""
+    from skyline_spark.operators.analyze import analyze
+    from skyline_spark.plans.pipeline import batch_now
+    tdf = transcripts_from_events(spark, sf_dir)
+    parsed = parse_events(tdf)
+    now = batch_now(tdf)
+    cfg = PipelineConfig(full_duration=FD, stale_period=STALE,
+                         consensus=consensus, run_optimized_workflow=False,
+                         analyze_derivatives=False, algorithms=algorithms)
+    return tdf, parsed, now, cfg, analyze(parsed, cfg, now,
+                                          rules=rules or [])
+
+
+def _routed_turns_restricted(spark: SparkSession, sf_dir: str,
+                             algorithms: tuple,
+                             consensus: int) -> DataFrame:
+    """Shared body of routed_turns_sql5/_sql8: restricted analyze ->
+    empties union -> route_verdicts -> route_turns, emitting every
+    turn's (conv_id, turn_idx, sink, md5(text))."""
+    from skyline_spark.operators.analyze import empty_series_verdicts
+    from skyline_spark.operators.enrich import rules_from_config
+    from skyline_spark.operators.parse import EVENT_RE as _RE
+    from skyline_spark.operators.route import route_turns, route_verdicts
+    rules = rules_from_config(_events_alert_config(spark))
+    tdf, parsed, now, cfg, v = _restricted_analyze(
+        spark, sf_dir, algorithms, consensus, rules=rules)
+    allv = v.unionByName(empty_series_verdicts(tdf, parsed, cfg, now))
+    routed_v = route_verdicts(allv, mirage_always=MIRAGE_ALWAYS,
+                              ionosphere_enabled=True, now=now)
+    facts = tdf.withColumn(
+        "metric", F.nullif(F.regexp_extract("text", _RE, 1), F.lit("")))
+    rt = route_turns(facts, routed_v)
+    return rt.select(
+        "conv_id", "turn_idx", "sink",
+        F.md5(F.col("text").cast("binary")).alias("text_md5"))
+
+
 def q_sink_counts_sql5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.7 — the REAL routing decision tree (route_verdicts: exception
     -> normal -> mirage-deferred -> ionosphere -> anomalous, plus the
@@ -882,18 +925,12 @@ def q_sink_counts_sql5(spark: SparkSession, sf_dir: str) -> DataFrame:
     against DuckDB — not just row-counted. Enrichment rules ride in
     (error = mirage+smtp, click/signup = smtp, purchase = slack, view
     unmatched), ionosphere enabled with no recent alerts."""
-    from skyline_spark.operators.analyze import analyze, empty_series_verdicts
+    from skyline_spark.operators.analyze import empty_series_verdicts
     from skyline_spark.operators.enrich import rules_from_config
     from skyline_spark.operators.route import route_verdicts
-    from skyline_spark.plans.pipeline import batch_now
-    tdf = transcripts_from_events(spark, sf_dir)
-    parsed = parse_events(tdf)
-    now = batch_now(tdf)
-    cfg = PipelineConfig(full_duration=FD, stale_period=STALE,
-                         consensus=4, run_optimized_workflow=False,
-                         analyze_derivatives=False, algorithms=SQL5_ALGS)
     rules = rules_from_config(_events_alert_config(spark))
-    v = analyze(parsed, cfg, now, rules=rules)
+    tdf, parsed, now, cfg, v = _restricted_analyze(
+        spark, sf_dir, SQL5_ALGS, 4, rules=rules)
     allv = v.unionByName(empty_series_verdicts(tdf, parsed, cfg, now))
     routed = route_verdicts(allv, mirage_always=MIRAGE_ALWAYS,
                             ionosphere_enabled=True, now=now)
@@ -955,28 +992,7 @@ def q_routed_turns_sql5(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-turn text passthrough invariant (text equality under stable
     (conv_id, turn_idx) ordering) row-by-row against DuckDB, not just
     the per-sink count vector."""
-    from skyline_spark.operators.analyze import analyze, empty_series_verdicts
-    from skyline_spark.operators.enrich import rules_from_config
-    from skyline_spark.operators.parse import EVENT_RE as _RE
-    from skyline_spark.operators.route import route_turns, route_verdicts
-    from skyline_spark.plans.pipeline import batch_now
-    tdf = transcripts_from_events(spark, sf_dir)
-    parsed = parse_events(tdf)
-    now = batch_now(tdf)
-    cfg = PipelineConfig(full_duration=FD, stale_period=STALE,
-                         consensus=4, run_optimized_workflow=False,
-                         analyze_derivatives=False, algorithms=SQL5_ALGS)
-    rules = rules_from_config(_events_alert_config(spark))
-    v = analyze(parsed, cfg, now, rules=rules)
-    allv = v.unionByName(empty_series_verdicts(tdf, parsed, cfg, now))
-    routed_v = route_verdicts(allv, mirage_always=MIRAGE_ALWAYS,
-                              ionosphere_enabled=True, now=now)
-    facts = tdf.withColumn(
-        "metric", F.nullif(F.regexp_extract("text", _RE, 1), F.lit("")))
-    rt = route_turns(facts, routed_v)
-    return rt.select(
-        "conv_id", "turn_idx", "sink",
-        F.md5(F.col("text").cast("binary")).alias("text_md5"))
+    return _routed_turns_restricted(spark, sf_dir, SQL5_ALGS, 4)
 
 
 SQL_ROUTED_TURNS_SQL5 = (
@@ -1030,28 +1046,7 @@ def q_routed_turns_sql8(spark: SparkSession, sf_dir: str) -> DataFrame:
     only ks_test missing from the ensemble — the closest
     SQL-expressible approximation of the production pipeline, per-turn
     value-checked."""
-    from skyline_spark.operators.analyze import analyze, empty_series_verdicts
-    from skyline_spark.operators.enrich import rules_from_config
-    from skyline_spark.operators.parse import EVENT_RE as _RE
-    from skyline_spark.operators.route import route_turns, route_verdicts
-    from skyline_spark.plans.pipeline import batch_now
-    tdf = transcripts_from_events(spark, sf_dir)
-    parsed = parse_events(tdf)
-    now = batch_now(tdf)
-    cfg = PipelineConfig(full_duration=FD, stale_period=STALE,
-                         consensus=6, run_optimized_workflow=False,
-                         analyze_derivatives=False, algorithms=SQL8_ALGS)
-    rules = rules_from_config(_events_alert_config(spark))
-    v = analyze(parsed, cfg, now, rules=rules)
-    allv = v.unionByName(empty_series_verdicts(tdf, parsed, cfg, now))
-    routed_v = route_verdicts(allv, mirage_always=MIRAGE_ALWAYS,
-                              ionosphere_enabled=True, now=now)
-    facts = tdf.withColumn(
-        "metric", F.nullif(F.regexp_extract("text", _RE, 1), F.lit("")))
-    rt = route_turns(facts, routed_v)
-    return rt.select(
-        "conv_id", "turn_idx", "sink",
-        F.md5(F.col("text").cast("binary")).alias("text_md5"))
+    return _routed_turns_restricted(spark, sf_dir, SQL8_ALGS, 6)
 
 
 SQL_ROUTED_TURNS_SQL8 = (
@@ -1105,19 +1100,9 @@ def q_consensus_sql5(spark: SparkSession, sf_dir: str) -> DataFrame:
     algorithms at CONSENSUS=4, so the whole per-series UDF path is
     value-checked against a DuckDB twin on real data (grubbs/ks_test/
     ewm/histogram need non-SQL numerics and are pinned by golden pytest
-    instead)."""
-    from skyline_spark.operators.analyze import analyze
-    from skyline_spark.plans.pipeline import batch_now
-    tdf = transcripts_from_events(spark, sf_dir)
-    parsed = parse_events(tdf)
-    now = batch_now(tdf)
-    cfg = PipelineConfig(full_duration=FD, stale_period=STALE,
-                         consensus=4, run_optimized_workflow=False,
-                         # the SQL twin models the raw-series vote; the
-                         # auto-derivative path has its own test + oracle
-                         analyze_derivatives=False,
-                         algorithms=SQL5_ALGS)
-    v = analyze(parsed, cfg, now, rules=[])
+    instead). The twin models the raw-series vote; the auto-derivative
+    path has its own test + oracle."""
+    *_, v = _restricted_analyze(spark, sf_dir, SQL5_ALGS, 4)
 
     def e(i):  # exception rows carry an EMPTY ensemble -> null votes
         return F.get(F.col("ensemble"), i)
@@ -1227,15 +1212,7 @@ def q_consensus_sql8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference's explicit bin loop) and stddev_from_moving_average
     (closed-form last-value ewm). Only ks_test remains golden-pytest
     territory."""
-    from skyline_spark.operators.analyze import analyze
-    from skyline_spark.plans.pipeline import batch_now
-    tdf = transcripts_from_events(spark, sf_dir)
-    parsed = parse_events(tdf)
-    now = batch_now(tdf)
-    cfg = PipelineConfig(full_duration=FD, stale_period=STALE,
-                         consensus=6, run_optimized_workflow=False,
-                         analyze_derivatives=False, algorithms=SQL8_ALGS)
-    v = analyze(parsed, cfg, now, rules=[])
+    *_, v = _restricted_analyze(spark, sf_dir, SQL8_ALGS, 6)
 
     def e(i):
         return F.get(F.col("ensemble"), i)
@@ -1331,11 +1308,15 @@ hstat{sfx} AS (
            (max(y) - min(y)) / 15.0 AS hw
     FROM ordered{sfx} GROUP BY conv_id),
 htb{sfx} AS (
+    -- np.histogram's last edge is EXACTLY vmax (kernel: t == vmax
+    -- matches no bin), and fp rounding can put vmin + 15*hw on either
+    -- side of vmax — so the top guard compares against vmax and the
+    -- floor is clamped to bin 14 for the ulp gap below it
     SELECT e.conv_id, h.vmin, h.hw, e.n AS hn, e.tav,
            CASE WHEN e.tav <= h.vmin THEN 0
-                WHEN e.tav >= h.vmin + 15 * h.hw THEN NULL
-                WHEN floor((e.tav - h.vmin) / h.hw) >= 1
-                    THEN floor((e.tav - h.vmin) / h.hw)
+                WHEN e.tav >= h.vmax THEN NULL
+                WHEN least(floor((e.tav - h.vmin) / h.hw), 14) >= 1
+                    THEN least(floor((e.tav - h.vmin) / h.hw), 14)
                 ELSE NULL END AS tb
     FROM exc{sfx} e JOIN hstat{sfx} h USING (conv_id)),
 hcnt{sfx} AS (
@@ -2261,16 +2242,9 @@ def q_mirage_sql5(spark: SparkSession, sf_dir: str) -> DataFrame:
     the second stage is value-checked against a DuckDB twin. With
     MIRAGE_ALWAYS the deferral depends only on the (SQL-able) exception
     filters, never on the 9-algorithm vote."""
-    from skyline_spark.operators.analyze import analyze
     from skyline_spark.operators.cross_series import mirage_reanalyze
-    from skyline_spark.plans.pipeline import batch_now
-    tdf = transcripts_from_events(spark, sf_dir)
-    parsed = parse_events(tdf)
-    now = batch_now(tdf)
-    cfg = PipelineConfig(full_duration=FD, stale_period=STALE,
-                         consensus=4, run_optimized_workflow=False,
-                         analyze_derivatives=False, algorithms=SQL5_ALGS)
-    first = analyze(parsed, cfg, now, rules=[])
+    _, parsed, now, cfg, first = _restricted_analyze(
+        spark, sf_dir, SQL5_ALGS, 4)
     deferred = (first
                 .where((F.col("metric") == "error.turns.rate")
                        & F.col("exception").isNull())
@@ -2308,16 +2282,9 @@ def q_mirage_sql8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (CONSENSUS=6): first-stage deferral, stale discard and the
     second-order-window confirm/veto vote all value-checked with only
     ks_test missing from the ensemble."""
-    from skyline_spark.operators.analyze import analyze
     from skyline_spark.operators.cross_series import mirage_reanalyze
-    from skyline_spark.plans.pipeline import batch_now
-    tdf = transcripts_from_events(spark, sf_dir)
-    parsed = parse_events(tdf)
-    now = batch_now(tdf)
-    cfg = PipelineConfig(full_duration=FD, stale_period=STALE,
-                         consensus=6, run_optimized_workflow=False,
-                         analyze_derivatives=False, algorithms=SQL8_ALGS)
-    first = analyze(parsed, cfg, now, rules=[])
+    _, parsed, now, cfg, first = _restricted_analyze(
+        spark, sf_dir, SQL8_ALGS, 6)
     deferred = (first
                 .where((F.col("metric") == "error.turns.rate")
                        & F.col("exception").isNull())
@@ -2426,15 +2393,7 @@ def _sql5_analyze(spark: SparkSession, sf_dir: str):
     """The 5-SQL-algorithm restricted analyze pass (shared by the _sql5
     twins of the run aggregates) — same kernel settings as
     q_consensus_sql5."""
-    from skyline_spark.operators.analyze import analyze
-    from skyline_spark.plans.pipeline import batch_now
-    tdf = transcripts_from_events(spark, sf_dir)
-    parsed = parse_events(tdf)
-    now = batch_now(tdf)
-    cfg = PipelineConfig(full_duration=FD, stale_period=STALE,
-                         consensus=4, run_optimized_workflow=False,
-                         analyze_derivatives=False, algorithms=SQL5_ALGS)
-    return tdf, parsed, now, cfg, analyze(parsed, cfg, now, rules=[])
+    return _restricted_analyze(spark, sf_dir, SQL5_ALGS, 4)
 
 
 def q_run_summary_sql5(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2578,15 +2537,7 @@ for _q in ("SQL_RUN_SUMMARY_SQL5", "SQL_ILLUMINANCE_SQL5",
 def _sql8_analyze(spark: SparkSession, sf_dir: str):
     """The 8-algorithm restricted analyze pass (CONSENSUS=6) — shared
     by the _sql8 twins of the run aggregates."""
-    from skyline_spark.operators.analyze import analyze
-    from skyline_spark.plans.pipeline import batch_now
-    tdf = transcripts_from_events(spark, sf_dir)
-    parsed = parse_events(tdf)
-    now = batch_now(tdf)
-    cfg = PipelineConfig(full_duration=FD, stale_period=STALE,
-                         consensus=6, run_optimized_workflow=False,
-                         analyze_derivatives=False, algorithms=SQL8_ALGS)
-    return tdf, parsed, now, cfg, analyze(parsed, cfg, now, rules=[])
+    return _restricted_analyze(spark, sf_dir, SQL8_ALGS, 6)
 
 
 def q_run_summary_sql8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3033,14 +2984,12 @@ def q_ionosphere_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "final_disposition")
 
 
-def q_ionosphere_match_sql5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 — the ionosphere echo flow over the 5-SQL-algorithm kernel:
-    restricted analyze -> REAL routing tree -> ionosphere sink ->
-    REAL feature_profiles kernel on the full window AND the 60%
-    training head -> percent-similar cancel (features_profile.py:
-    640-657). Every stage is DuckDB-expressible, so the match verdict
-    itself is value-checked (the 9-algorithm variant stays rows-only
-    as ionosphere_matches)."""
+def _ionosphere_match_restricted(spark: SparkSession, sf_dir: str,
+                                 algorithms: tuple,
+                                 consensus: int) -> DataFrame:
+    """Shared body of ionosphere_match_sql5/_sql8: restricted analyze
+    -> routing tree -> ionosphere sink -> feature_profiles on the full
+    window AND the 60% training head -> percent-similar cancel."""
     from skyline_spark.operators.analyze import empty_series_verdicts
     from skyline_spark.operators.enrich import rules_from_config
     from skyline_spark.operators.features_profile import (
@@ -3048,10 +2997,9 @@ def q_ionosphere_match_sql5(spark: SparkSession, sf_dir: str) -> DataFrame:
         ionosphere_match,
     )
     from skyline_spark.operators.route import route_verdicts
-    from skyline_spark.operators.analyze import analyze
-    tdf, parsed, now, cfg, _ = _sql5_analyze(spark, sf_dir)
     rules = rules_from_config(_events_alert_config(spark))
-    v = analyze(parsed, cfg, now, rules=rules)
+    tdf, parsed, now, cfg, v = _restricted_analyze(
+        spark, sf_dir, algorithms, consensus, rules=rules)
     allv = v.unionByName(empty_series_verdicts(tdf, parsed, cfg, now))
     routed = route_verdicts(allv, mirage_always=MIRAGE_ALWAYS,
                             ionosphere_enabled=True, now=now)
@@ -3071,11 +3019,22 @@ def q_ionosphere_match_sql5(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "final_disposition")
 
 
+def q_ionosphere_match_sql5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — the ionosphere echo flow over the 5-SQL-algorithm kernel:
+    restricted analyze -> REAL routing tree -> ionosphere sink ->
+    REAL feature_profiles kernel on the full window AND the 60%
+    training head -> percent-similar cancel (features_profile.py:
+    640-657). Every stage is DuckDB-expressible, so the match verdict
+    itself is value-checked (the 9-algorithm variant stays rows-only
+    as ionosphere_matches)."""
+    return _ionosphere_match_restricted(spark, sf_dir, SQL5_ALGS, 4)
+
+
 #: features_sum expression (bare f_* columns, reusable over any
 #: derived{sfx}) carved from the final SELECT
-_FSUM_EXPR = __import__("re").search(
+_FSUM_EXPR = _re.search(
     r"round\((.*?), 2\)\s*\n\s*AS features_sum", _FEATURES_FINAL,
-    __import__("re").S).group(1)
+    _re.S).group(1)
 
 SQL_IONOSPHERE_MATCH_SQL5 = (
     _PROLOGUE
@@ -3136,39 +3095,7 @@ def q_ionosphere_match_sql8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — the ionosphere echo flow at the 8-of-9-algorithm kernel
     (CONSENSUS=6): same chain as ionosphere_match_sql5 with only
     ks_test missing from the first-stage vote."""
-    from skyline_spark.operators.analyze import analyze, empty_series_verdicts
-    from skyline_spark.operators.enrich import rules_from_config
-    from skyline_spark.operators.features_profile import (
-        feature_profiles,
-        ionosphere_match,
-    )
-    from skyline_spark.operators.route import route_verdicts
-    from skyline_spark.plans.pipeline import batch_now
-    tdf = transcripts_from_events(spark, sf_dir)
-    parsed = parse_events(tdf)
-    now = batch_now(tdf)
-    cfg = PipelineConfig(full_duration=FD, stale_period=STALE,
-                         consensus=6, run_optimized_workflow=False,
-                         analyze_derivatives=False, algorithms=SQL8_ALGS)
-    rules = rules_from_config(_events_alert_config(spark))
-    v = analyze(parsed, cfg, now, rules=rules)
-    allv = v.unionByName(empty_series_verdicts(tdf, parsed, cfg, now))
-    routed = route_verdicts(allv, mirage_always=MIRAGE_ALWAYS,
-                            ionosphere_enabled=True, now=now)
-    anoms = routed.where(F.col("sink") == "ionosphere") \
-        .select("conv_id", "metric")
-    pv = parsed.where(F.col("value").isNotNull())
-    cur = feature_profiles(pv)
-    t0 = pv.groupBy("conv_id").agg(
-        F.min(epoch_seconds(F.col("ts"))).alias("__t0"),
-        F.max(epoch_seconds(F.col("ts"))).alias("__t1"))
-    head = pv.join(t0, "conv_id").where(
-        epoch_seconds(F.col("ts"))
-        <= F.col("__t0") + 0.6 * (F.col("__t1") - F.col("__t0")))
-    trained = feature_profiles(head.drop("__t0", "__t1"))
-    out = ionosphere_match(anoms, trained, cur, percent_similar=10.0)
-    return out.select("conv_id", "metric", "ionosphere_matched",
-                      "final_disposition")
+    return _ionosphere_match_restricted(spark, sf_dir, SQL8_ALGS, 6)
 
 
 def _ionosphere_sql8_twin() -> str:
