@@ -165,7 +165,11 @@ def m66(ts: np.ndarray, values: np.ndarray, params: dict):
     nth_median = int(params.get("nth_median", 6))
     n_sigma = float(params.get("sigma", 6))
     anomaly_window = int(params.get("anomaly_window", 1))
-    if values.size < window * (nth_median + 1):
+    # the reference only refuses len < 10 (m66.py:812); for
+    # 10 <= n < window*(nth_median+1) the rolling medians are all-NaN,
+    # fillna(0) zeroes the std array and the verdict is a deterministic
+    # False — computed, not None, to keep did-run semantics aligned
+    if values.size < 10:
         return None, None
     scores = _m66_flags(values, window, nth_median, n_sigma)
     tail = float(scores[-anomaly_window:].sum())
@@ -209,9 +213,12 @@ def _macd_flags(values: np.ndarray, fast: int, slow: int,
     lo2 = float(bins[1]) if counts[0] < n / 3 else None
     hi2 = float(bins[-2]) if counts[-1] < n / 3 else None
     flags = np.zeros(n, dtype=bool)
-    if lo2 is not None:
+    # the reference gates on TRUTHINESS (`if second_lowest_value_bin:`,
+    # macd.py), so an exactly-0.0 bin edge disables that side's check —
+    # quirk preserved (not `is not None`)
+    if lo2:
         flags |= (scores <= lo2) & (scores < 0)
-    if hi2 is not None:
+    if hi2:
         flags |= (scores >= hi2) & (scores > 1)
     return flags
 
@@ -469,6 +476,52 @@ def spectral_residual(ts: np.ndarray, values: np.ndarray, params: dict):
         return None, None
 
 
+def _value_runs(xs: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Equal-value run starts + run id per position of a SORTED array."""
+    new = np.empty(xs.size, dtype=bool)
+    new[0] = True
+    new[1:] = xs[1:] != xs[:-1]
+    return np.flatnonzero(new), np.cumsum(new) - 1
+
+
+def _lof_exact_kset(xs: np.ndarray, orig: np.ndarray, starts: np.ndarray,
+                    g_of: np.ndarray, p: int, k: int,
+                    exclude_self: bool) -> np.ndarray:
+    """sklearn-exact k-neighbor sorted positions of sorted-pos ``p``:
+    equal-value groups taken outward by distance; tied groups (v-d and
+    v+d) and partially-taken groups resolved by ORIGINAL dataset index —
+    sklearn's (distance, index) ordering, unconstrained by any window."""
+    n = xs.size
+    ends = np.append(starts[1:], n)
+    v = xs[p]
+    g = int(g_of[p])
+
+    def members(gi: int, skip: int = -1) -> list[int]:
+        # within a run, stable argsort left members in original-index
+        # order, so position order IS orig order
+        return [q for q in range(starts[gi], ends[gi]) if q != skip]
+
+    chosen = members(g, p if exclude_self else -1)[:k]
+    left, right = g - 1, g + 1
+    while len(chosen) < k:
+        need = k - len(chosen)
+        dl = v - xs[starts[left]] if left >= 0 else np.inf
+        dr = xs[starts[right]] - v if right < starts.size else np.inf
+        if dl < dr:
+            m = members(left)
+            left -= 1
+        elif dr < dl:
+            m = members(right)
+            right += 1
+        else:  # tie: merge the two runs by original dataset index
+            m = sorted(members(left) + members(right),
+                       key=lambda q: orig[q])
+            left -= 1
+            right += 1
+        chosen.extend(m[:need])
+    return np.asarray(chosen[:k], dtype=np.int64)
+
+
 def lof(ts: np.ndarray, values: np.ndarray, params: dict):
     """Local outlier factor over the 1-D value space, reproducing
     sklearn's ``LocalOutlierFactor(novelty=True).fit(X).predict(X)``
@@ -477,46 +530,82 @@ def lof(ts: np.ndarray, values: np.ndarray, params: dict):
     self at distance 0, outlier when mean lrd-ratio > 1.5 (the novelty
     offset), anomalous when an outlier lands in the last
     ``anomaly_window``. kNN via the sorted-order window (O(n·k)), not an
-    all-pairs matrix."""
+    all-pairs matrix; distance ties break by ORIGINAL dataset index
+    exactly like sklearn (lexsort inside the window, and an exact
+    group-merge fallback for the rare points whose cutoff-distance tie
+    run extends past the ±k window)."""
     n_neighbors = int(params.get("n_neighbors", 20))
     anomaly_window = int(params.get("anomaly_window", 1))
     n = values.size
     k = min(n_neighbors, n - 1)
     if k < 1:
         return False, 0.0
-    order = np.argsort(values, kind="stable")
-    xs = values[order].astype(np.float64)
-    # candidate neighbors of sorted-position i live in [i-k, i+k]
-    offs = np.arange(-k, k + 1)
-    pos = np.clip(np.arange(n)[:, None] + offs[None, :], 0, n - 1)
-    dist = np.abs(xs[pos] - xs[:, None])
-    # out-of-range clipped duplicates: mark so they sort last
-    valid = (np.arange(n)[:, None] + offs[None, :] == pos)
-    self_col = k  # offset 0
-    big = np.inf
-    d_fit = dist.copy()
-    d_fit[~valid] = big
-    d_fit[:, self_col] = big            # fit: exclude self
-    sel = np.argsort(d_fit, axis=1, kind="stable")[:, :k]
-    nd_fit = np.take_along_axis(d_fit, sel, 1)
-    ni_fit = np.take_along_axis(pos, sel, 1)
-    k_dist = nd_fit[:, -1]
-    reach = np.maximum(nd_fit, k_dist[ni_fit])
-    lrd_fit = 1.0 / (reach.mean(axis=1) + 1e-10)
-    # query pass: same points, self included at distance 0
-    d_q = dist.copy()
-    d_q[~valid] = big
-    sel_q = np.argsort(d_q, axis=1, kind="stable")[:, :k]
-    nd_q = np.take_along_axis(d_q, sel_q, 1)
-    ni_q = np.take_along_axis(pos, sel_q, 1)
-    reach_q = np.maximum(nd_q, k_dist[ni_q])
-    lrd_q = 1.0 / (reach_q.mean(axis=1) + 1e-10)
-    score_samples = -(lrd_fit[ni_q] / lrd_q[:, None]).mean(axis=1)
-    outlier_sorted = score_samples < -1.5   # novelty offset_ = -1.5
-    outlier = np.empty(n, dtype=bool)
-    outlier[order] = outlier_sorted
+    outlier = _lof_scores(values, k) < -1.5   # novelty offset_ = -1.5
     hit = bool(outlier[-anomaly_window:].any())
     return hit, (1.0 if hit else 0.0)
+
+
+def _lof_scores(values: np.ndarray, k: int) -> np.ndarray:
+    """Per-point sklearn score_samples (original order) — the windowed
+    kNN core of lof(), exposed so tests can pin scores, not just flags."""
+    n = values.size
+    order = np.argsort(values, kind="stable")
+    xs = values[order].astype(np.float64)
+    sorted_orig = order.astype(np.int64)
+    # candidate neighbors of sorted-position i live in [i-k, i+k]
+    offs = np.arange(-k, k + 1)
+    posr = np.arange(n)[:, None] + offs[None, :]
+    pos = np.clip(posr, 0, n - 1)
+    valid = posr == pos  # out-of-range clipped duplicates sort last
+    dist = np.abs(xs[pos] - xs[:, None])
+    oid = sorted_orig[pos]
+    big = np.inf
+    self_col = k  # offset 0
+
+    def select(exclude_self: bool) -> tuple[np.ndarray, np.ndarray]:
+        d = np.where(valid, dist, big)
+        if exclude_self:
+            d[:, self_col] = big
+        # sklearn tie-break: (distance, original dataset index)
+        cols = np.lexsort((oid, d), axis=-1)[:, :k]
+        return (np.take_along_axis(d, cols, 1),
+                np.take_along_axis(pos, cols, 1))
+
+    nd_fit, ni_fit = select(True)
+    k_dist = nd_fit[:, -1]
+    nd_q, ni_q = select(False)
+
+    # a cutoff tie run can leave the ±k window only when the first
+    # position OUTSIDE it is still within k_dist — recompute those
+    # points with the exact group merge (identities change, the
+    # distance multiset k_dist is already correct either way)
+    idx = np.arange(n)
+    needs = np.zeros(n, dtype=bool)
+    m = idx - k - 1 >= 0
+    needs[m] = xs[idx[m]] - xs[idx[m] - k - 1] <= k_dist[m]
+    m = idx + k + 1 < n
+    needs[m] |= xs[idx[m] + k + 1] - xs[idx[m]] <= k_dist[m]
+    if needs.any():
+        starts, g_of = _value_runs(xs)
+        for p in np.flatnonzero(needs):
+            s_fit = _lof_exact_kset(xs, sorted_orig, starts, g_of,
+                                    int(p), k, True)
+            ni_fit[p] = s_fit
+            nd_fit[p] = np.abs(xs[s_fit] - xs[p])
+            s_q = _lof_exact_kset(xs, sorted_orig, starts, g_of,
+                                  int(p), k, False)
+            ni_q[p] = s_q
+            nd_q[p] = np.abs(xs[s_q] - xs[p])
+        k_dist = nd_fit.max(axis=1)
+
+    reach = np.maximum(nd_fit, k_dist[ni_fit])
+    lrd_fit = 1.0 / (reach.mean(axis=1) + 1e-10)
+    reach_q = np.maximum(nd_q, k_dist[ni_q])
+    lrd_q = 1.0 / (reach_q.mean(axis=1) + 1e-10)
+    score_sorted = -(lrd_fit[ni_q] / lrd_q[:, None]).mean(axis=1)
+    scores = np.empty(n, dtype=np.float64)
+    scores[order] = score_sorted
+    return scores
 
 
 def _iforest_avg_path(m: np.ndarray | int) -> np.ndarray | float:

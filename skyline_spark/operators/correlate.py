@@ -75,6 +75,25 @@ def max_shift_correlation(ts_a: np.ndarray, v_a: np.ndarray,
                        _bucketize(ts_b, v_b, step), max_shift_steps)
 
 
+def _find_first_bigger(ts: np.ndarray, target: float) -> int:
+    """luminol's exact Correlator._find_first_bigger: a binary search
+    that returns the LAST PROBED position, which is the first index
+    whose value exceeds ``target`` only when the final probe landed on
+    the > side — otherwise it is that index minus one (and 0, falsy,
+    when the final probe was position 0).  Reproduced quirk-for-quirk
+    because the sweep bounds (and the all-within-max_shift fallback,
+    where this returns ~n-1) depend on it."""
+    lower, upper = 0, int(ts.size)
+    pos = 0
+    while lower < upper:
+        pos = lower + (upper - lower) // 2
+        if ts[pos] > target:
+            upper = pos
+        else:
+            lower = pos + 1
+    return pos
+
+
 def luminol_cross_correlation(ts_a: np.ndarray, v_a: np.ndarray,
                               ts_b: np.ndarray, v_b: np.ndarray,
                               max_shift_seconds: int = 60,
@@ -89,17 +108,26 @@ def luminol_cross_correlation(ts_a: np.ndarray, v_a: np.ndarray,
       coefficient is Σ (a_i - ā)(b_{i+d} - b̄) / (n·σa·σb) with the FULL-n
       denominator, so partial overlap inherently discounts large shifts
       (unlike a per-overlap Pearson, which re-normalizes);
-    - the delay sweep covers the grid steps whose time offset is within
-      ``max_shift_seconds`` (upper bound exclusive, the library's range
-      convention);
+    - for NEGATIVE delays luminol indexes ``b_values[i + delay]`` with a
+      plain Python list, so indices below zero WRAP to the array tail
+      (no IndexError) and those wrap-around products are included in the
+      sum; only i + delay >= n (positive delays) raises and is dropped —
+      replicated here via the split dot products;
+    - the sweep bounds come from luminol's ``_find_first_bigger`` binary
+      search (replicated above, quirks included): when some offset
+      exceeds ``max_shift_seconds`` the sweep is ±that index (upper
+      bound exclusive); when NO offset exceeds it the search returns
+      ~n-1 and the sweep covers ±(n-1); a falsy 0 result degrades to the
+      single delay 0;
     - ``shifted_coefficient`` additionally applies the linear
       shift-impact discount r·(1 - shift_impact·|Δt|/max_shift).
 
     Returns (coefficient, shift_seconds, shifted_coefficient) of the
     max-coefficient delay (max by VALUE, not absolute value — luminol
-    correlates positively). Alignment: intersection of timestamps (the
-    analyzer feeds series on a shared resolution grid, where luminol's
-    union-align is the identity).
+    correlates positively; ties keep the earliest delay in sweep order).
+    Alignment: intersection of timestamps (the analyzer feeds series on
+    a shared resolution grid, where luminol's union-align is the
+    identity).
     """
     common, ia, ib = np.intersect1d(ts_a, ts_b, return_indices=True)
     if common.size < 2:
@@ -113,11 +141,7 @@ def luminol_cross_correlation(ts_a: np.ndarray, v_a: np.ndarray,
     n = a.size
     a0, b0 = a - a.mean(), b - b.mean()
     denom = float(a.std() * b.std() * n)  # population std, fixed n
-    allowed = 0
-    for i in range(n):
-        if common[i] - common[0] > max_shift_seconds:
-            allowed = i
-            break
+    allowed = _find_first_bigger(common - common[0], max_shift_seconds)
     lo, hi = (-allowed, allowed) if allowed else (0, 1)
     best = None  # (coefficient, shift_seconds)
     best_shifted = None
@@ -128,7 +152,9 @@ def luminol_cross_correlation(ts_a: np.ndarray, v_a: np.ndarray,
         if delay >= 0:
             s = float(np.dot(a0[:n - delay], b0[delay:]))
         else:
-            s = float(np.dot(a0[-delay:], b0[:n + delay]))
+            # wrap-around terms: i + delay < 0 hits b0 from the tail
+            s = float(np.dot(a0[-delay:], b0[:n + delay])
+                      + np.dot(a0[:-delay], b0[n + delay:]))
         r = s / denom if denom != 0 else s
         shifted = r * (1.0 - shift_impact * abs(dsec) / max_shift_seconds) \
             if max_shift_seconds else r

@@ -353,8 +353,11 @@ def decode_audio(media: DataFrame) -> DataFrame:
                     x = np.frombuffer(raw, dtype="<i2").astype(np.float64)
                     rms = float(np.sqrt(np.mean(x * x))) if x.size else 0.0
                     peak = int(np.abs(x).max()) if x.size else 0
-                    rows.append((mid, sr, nch, nf, nf / sr, rms, peak))
-                except (wave.Error, EOFError, AttributeError, TypeError):
+                    # a corrupt fmt chunk can carry framerate=0 and
+                    # still open in stdlib wave — guard the division
+                    dur = nf / sr if sr > 0 else None
+                    rows.append((mid, sr, nch, nf, dur, rms, peak))
+                except Exception:  # one bad payload must not kill the task
                     rows.append((mid, None, None, None, None, None, None))
             yield pd.DataFrame(rows, columns=["media_id", "sample_rate",
                                               "n_channels", "n_frames",

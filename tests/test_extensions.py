@@ -77,7 +77,10 @@ def test_ported_custom_algorithms(noisy):
     stepped_up[-40:] += 50
     assert m66(ts, stepped_up, {"anomaly_window": 40}) == (True, 1.0)
     assert m66(ts, v, {"anomaly_window": 40}) == (False, 0.0)
-    assert m66(ts[:10], v[:10], {}) == (None, None)  # too short
+    assert m66(ts[:9], v[:9], {}) == (None, None)  # too short (< 10, ref)
+    # 10 <= n < window*(nth_median+1): all-NaN medians -> deterministic
+    # False, exactly the reference's computed path (m66.py:812)
+    assert m66(ts[:10], v[:10], {}) == (False, 0.0)
 
     stepped = v.copy()
     stepped[-5:] += 100  # fresh step: macd line still in the top bin
@@ -581,7 +584,11 @@ def test_lof_windowed_knn_equals_all_pairs():
     query-includes-self novelty flow) on random data with ties."""
     from skyline_spark.functions.custom_algorithms import lof
 
-    def naive_outliers(x, k):
+    from skyline_spark.functions.custom_algorithms import _lof_scores
+
+    def naive_scores(x, k):
+        # all-pairs twin with sklearn's (distance, dataset index)
+        # tie-break: stable argsort over dataset-index column order
         n = x.size
         k = min(k, n - 1)
         d = np.abs(x[:, None] - x[None, :])
@@ -594,7 +601,7 @@ def test_lof_windowed_knn_equals_all_pairs():
         sel_q = np.argsort(d, 1, kind="stable")[:, :k]
         nd_q = np.take_along_axis(d, sel_q, 1)
         lrd_q = 1 / (np.maximum(nd_q, k_dist[sel_q]).mean(1) + 1e-10)
-        return -(lrd[sel_q] / lrd_q[:, None]).mean(1) < -1.5
+        return -(lrd[sel_q] / lrd_q[:, None]).mean(1)
 
     rng = np.random.RandomState(7)
     for _ in range(10):
@@ -604,10 +611,28 @@ def test_lof_windowed_knn_equals_all_pairs():
             x[rng.randint(n)] += 20
         ts = np.arange(n, dtype=float)
         k = int(rng.choice([3, 5, 20]))
-        out = naive_outliers(x.astype(float), k)
+        sc = naive_scores(x.astype(float), min(k, n - 1))
+        out = sc < -1.5
+        assert np.allclose(_lof_scores(x.astype(float), min(k, n - 1)),
+                           sc, rtol=0, atol=1e-12)
         assert lof(ts, x, {"n_neighbors": k})[0] == bool(out[-1:].any())
         assert lof(ts, x, {"n_neighbors": k,
                            "anomaly_window": n})[0] == bool(out.any())
+    # heavy duplicate runs larger than the ±k window: distance-tie runs
+    # escape the window and must still break ties by ORIGINAL dataset
+    # index (sklearn semantics — the exact group-merge fallback);
+    # pinned at SCORE level, not just the flag
+    for _ in range(8):
+        n = rng.randint(30, 120)
+        x = rng.choice([0.0, 0.0, 0.0, 1.0, 1.0, 5.0], n)
+        x[rng.randint(n)] = 50.0
+        ts = np.arange(n, dtype=float)
+        k = min(int(rng.choice([3, 5, 10])), n - 1)
+        sc = naive_scores(x.astype(float), k)
+        assert np.allclose(_lof_scores(x.astype(float), k), sc,
+                           rtol=0, atol=1e-12)
+        assert lof(ts, x, {"n_neighbors": k,
+                           "anomaly_window": n})[0] == bool((sc < -1.5).any())
 
 
 def test_custom_consensus_override(noisy):
@@ -774,24 +799,41 @@ def test_luminosity_lagged_correlation(spark):
 def _hand_luminol(ts, a, b, max_shift=120.0, impact=0.05):
     """Independent literal transcription of the published luminol
     DefaultCorrelator math — the hand-computed twin the kernel is
-    pinned against (no shared code with the operator)."""
-    a = a / a.max()
-    b = b / b.max()
+    pinned against (no shared code with the operator).  Pure-Python
+    lists so ``b[i + d]`` WRAPS for negative indices and raises
+    IndexError past the end, exactly as luminol's loop behaves; the
+    sweep bound comes from luminol's quirky last-probe binary search."""
+    a = (a / a.max()).tolist()
+    b = (b / b.max()).tolist()
     n = len(a)
-    am, bm = a.mean(), b.mean()
-    denom = a.std() * b.std() * n
-    allowed = next((i for i in range(n) if ts[i] - ts[0] > max_shift), 0)
+    am, bm = sum(a) / n, sum(b) / n
+    denom = ((sum((x - am) ** 2 for x in a) / n) ** 0.5
+             * (sum((x - bm) ** 2 for x in b) / n) ** 0.5 * n)
+    res = [t - ts[0] for t in ts]
+    lower, upper, pos = 0, n, 0
+    while lower < upper:          # _find_first_bigger, returns last probe
+        pos = lower + (upper - lower) // 2
+        if res[pos] > max_shift:
+            upper = pos
+        else:
+            lower = pos + 1
+    allowed = pos
     lo, hi = (-allowed, allowed) if allowed else (0, 1)
     cors, shifted = [], []
     for d in range(lo, hi):
         dsec = ts[abs(d)] - ts[0]
         if d < 0:
             dsec = -dsec
-        s = sum((a[i] - am) * (b[i + d] - bm)
-                for i in range(n) if 0 <= i + d < n)
-        r = s / denom
+        s = 0.0
+        for i in range(n):
+            try:
+                s += (a[i] - am) * (b[i + d] - bm)  # negative index wraps
+            except IndexError:
+                pass
+        r = s / denom if denom != 0 else s
         cors.append((r, dsec))
-        shifted.append(r * (1 - impact * abs(dsec) / max_shift))
+        shifted.append(r * (1 - impact * abs(dsec) / max_shift)
+                       if max_shift else r)
     best = max(cors, key=lambda x: x[0])
     return best[0], best[1], max(shifted)
 
@@ -826,6 +868,19 @@ def test_luminol_correlator_fidelity(spark):
     c0, s0, _ = luminol_cross_correlation(ts, a, ts, a.copy(),
                                           max_shift_seconds=180)
     assert np.isclose(c0, 1.0) and s0 == 0
+    # fallback: when NO offset exceeds max_shift, luminol's
+    # _find_first_bigger returns ~n-1 and the sweep covers ±(n-1);
+    # negative delays include the wrap-around products — both pinned
+    # against the literal hand twin
+    sts = np.arange(8, dtype=float) * 60.0
+    sa = np.array([1, 5, 2, 8, 3, 9, 4, 7], dtype=float)
+    sb = np.roll(sa, 3)
+    got = luminol_cross_correlation(sts, sa, sts, sb,
+                                    max_shift_seconds=10_000)
+    hand = _hand_luminol(sts, sa.copy(), sb.copy(), max_shift=10_000.0)
+    assert np.isclose(got[0], hand[0], rtol=0, atol=1e-12)
+    assert got[1] == hand[1]
+    assert np.isclose(got[2], hand[2], rtol=0, atol=1e-12)
 
     # distributed path, mode='luminol'
     rng = np.random.RandomState(3)

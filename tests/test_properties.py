@@ -219,7 +219,11 @@ def test_kernel_cpd_pelt_is_optimal(seed, n, pen, min_size):
                    for i in range(len(segs) - 1)) + pen * len(bks)
 
     best = (np.inf, [n])
-    for k in range(0, 3):
+    # The brute force only enumerates k <= 3 breakpoints (full enumeration
+    # up to n//min_size - 1 is combinatorially infeasible), so it is a
+    # LOWER bound on solution quality, not the exact optimum: the engine
+    # must be admissible and at least as good as every enumerated set.
+    for k in range(0, 4):
         for bk in itertools.combinations(range(min_size, n - min_size + 1),
                                          k):
             segs = [0] + list(bk) + [n]
@@ -230,7 +234,10 @@ def test_kernel_cpd_pelt_is_optimal(seed, n, pen, min_size):
             if tot < best[0] - 1e-12:
                 best = (tot, list(bk) + [n])
     got = kernel_cpd_pelt(x, pen, min_size)
-    assert abs(total(got[:-1]) - best[0]) < 1e-9
+    segs = [0] + list(got[:-1]) + [n]
+    assert all(segs[i + 1] - segs[i] >= min_size
+               for i in range(len(segs) - 1)), "inadmissible segmentation"
+    assert total(got[:-1]) <= best[0] + 1e-9
 
 
 @given(st.integers(0, 2 ** 31 - 1), st.floats(0.05, 0.4),
