@@ -58,11 +58,14 @@ def main() -> int:
 
     def timed(name: str, make_df, runs: int = 2) -> None:
         # the sandbox host has noisy multi-second stalls: take min of 2
-        # runs, and a 3rd when the first two disagree > 50%
+        # runs, and a 3rd when the first two disagree > 20% (the r03
+        # q2/q4 +24%/+27% phantom regressions sat under the old 50%
+        # trigger — same input rows, plan unchanged, min-of-2 still
+        # caught a stall on both samples)
         samples: list[float] = []
         for i in range(1 if fast else runs + 1):
             if i == runs:
-                if min(samples) < 1e-9 or (max(samples) / min(samples)) < 1.5:
+                if min(samples) < 1e-9 or (max(samples) / min(samples)) < 1.2:
                     break
                 if sum(samples) > 150:
                     break

@@ -294,6 +294,36 @@ def ks_test(ts: np.ndarray, values: np.ndarray,
     return False
 
 
+def ks_d_stat(ts: np.ndarray, values: np.ndarray, ref_span: int,
+              probe_span: int) -> tuple[int, int, float] | None:
+    """The distributional core of A9 — the exact two-sample KS statistic
+    D (max ECDF gap over the union grid) between a reference window
+    ``[last_ts - ref_span, last_ts - probe_span)`` and a probe window
+    ``[last_ts - probe_span, last_ts]``, split out of ks_test so the
+    driver can value-check it against an ANSI twin.
+
+    Same form as skyline/mirage/mirage_algorithms.py:491-556, which
+    computes D over the last-hour/last-10-min windows at 1 Hz; callers
+    rescale the spans to the data cadence. The p-value/ADF gate stays in
+    ks_test (not ANSI-expressible, golden-pytest pinned).
+
+    Returns (n_ref, n_probe, d), or None under ks_test's own guards:
+    windows under 20 points, or a constant reference.
+    """
+    if ts.size < 2:
+        return None
+    last_ts = ts.max()
+    reference = values[(ts >= last_ts - ref_span)
+                       & (ts < last_ts - probe_span)]
+    probe = values[ts >= last_ts - probe_span]
+    if reference.size < 20 or probe.size < 20:
+        return None
+    if np.all(reference == reference[0]):
+        return None
+    d, _p = ks_2samp(reference, probe)
+    return int(reference.size), int(probe.size), float(d)
+
+
 def negatives_present(ts: np.ndarray, values: np.ndarray) -> bool:
     """Whether the series contains negative values (untrainable-metric
     flag). Ref: skyline/analyzer/algorithms.py:1083-1110 (min < 0)."""

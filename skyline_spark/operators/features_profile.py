@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: 61 features — the numpy-closed-form tranche of tsfresh's
+#: 105 features — the numpy-closed-form tranche of tsfresh's
 #: EfficientFCParameters basket (reference golden CSVs
 #: /root/reference/tests/baseline/*.features.transposed.csv; tsfresh
 #: names in parentheses where ours differ). Location/count features are
@@ -63,6 +63,30 @@ FEATURE_NAMES = (
     "mean_n_abs_max_7",                   # (mean_n_absolute_max, n=7)
     "corr_rvalue",                        # (linear_trend rvalue)
     "index_mass_quantile_05",             # raw 1-based index, not ratio
+    # round-4 tranche (44 more -> 105): the next numpy-closed-form
+    # EfficientFCParameters slice — the remaining quantile grid,
+    # autocorrelation lags 4-9, number_crossing_m at m in {0,1,-1},
+    # ratio_beyond_r_sigma's full r grid as raw counts, more
+    # symmetry_looking / large_standard_deviation r points,
+    # number_peaks n in {3,5,10}, value_count / range_count,
+    # index_mass_quantile q grid, normalized cid_ce, and the
+    # reoccurring-value counts behind tsfresh's percentage features
+    "q10", "q20", "q30", "q40", "q60", "q70", "q80", "q90",
+    "autocorr_lag4", "autocorr_lag5", "autocorr_lag6",
+    "autocorr_lag7", "autocorr_lag8", "autocorr_lag9",
+    "num_crossing_0", "num_crossing_1", "num_crossing_m1",
+    "count_beyond_05sigma", "count_beyond_15sigma",
+    "count_beyond_25sigma", "count_beyond_5sigma",
+    "count_beyond_6sigma", "count_beyond_7sigma", "count_beyond_10sigma",
+    "symmetry_r005", "symmetry_r02", "symmetry_r03",
+    "large_std_r005", "large_std_r035", "large_std_r05",
+    "num_peaks_3", "num_peaks_5", "num_peaks_10",
+    "value_count_0", "value_count_1", "value_count_m1",
+    "range_count_m1_1",
+    "index_mass_quantile_01", "index_mass_quantile_025",
+    "index_mass_quantile_075", "index_mass_quantile_09",
+    "cid_ce_normalized",
+    "count_reoccurring_values", "count_reoccurring_points",
 )
 
 
@@ -136,6 +160,7 @@ def compute_features(ts: np.ndarray, values: np.ndarray) -> dict[str, float]:
         "has_duplicate_max": float(np.sum(v == vmax) > 1),
         "has_duplicate_min": float(np.sum(v == vmin) > 1),
         **_second_tranche(x, v, n, mean, std, vmin, vmax, centered),
+        **_third_tranche(v, n, mean, std, centered),
     }
 
 
@@ -211,6 +236,77 @@ def _second_tranche(x: np.ndarray, v: np.ndarray, n: int, mean: float,
         "corr_rvalue": rvalue,
         "index_mass_quantile_05": imq,
     }
+
+
+def _num_crossings(v: np.ndarray, n: int, m: float) -> float:
+    """tsfresh number_crossing_m: sign changes of (x > m)."""
+    if n <= 1:
+        return 0.0
+    return float(np.sum(np.diff((v > m).astype(np.int8)) != 0))
+
+
+def _num_peaks_n(v: np.ndarray, n: int, nn: int) -> float:
+    """tsfresh number_peaks: points strictly larger than their nn
+    neighbors on both sides (support excludes the first/last nn)."""
+    if n <= 2 * nn:
+        return 0.0
+    mid = v[nn:n - nn]
+    ok = np.ones(mid.size, dtype=bool)
+    for j in range(1, nn + 1):
+        ok &= (mid > v[nn - j:n - nn - j]) & (mid > v[nn + j:n - nn + j])
+    return float(ok.sum())
+
+
+def _imq(a: np.ndarray, tot: float, q: float) -> float:
+    """index_mass_quantile as a RAW 1-based index (see FEATURE_NAMES)."""
+    if tot <= 0:
+        return 0.0
+    return float(np.searchsorted(np.cumsum(a), q * tot) + 1)
+
+
+def _third_tranche(v: np.ndarray, n: int, mean: float, std: float,
+                   centered: np.ndarray) -> dict[str, float]:
+    absd = np.abs(centered)
+    uniq, counts = np.unique(v, return_counts=True)
+    dup = counts > 1
+    a = np.abs(v)
+    tot = float(a.sum())
+    out: dict[str, float] = {}
+    for q in (10, 20, 30, 40, 60, 70, 80, 90):
+        out[f"q{q}"] = float(np.percentile(v, q))
+    for k in range(4, 10):
+        out[f"autocorr_lag{k}"] = _autocorr_k(centered, n, std, k)
+    out["num_crossing_0"] = _num_crossings(v, n, 0.0)
+    out["num_crossing_1"] = _num_crossings(v, n, 1.0)
+    out["num_crossing_m1"] = _num_crossings(v, n, -1.0)
+    for tag, r in (("05", 0.5), ("15", 1.5), ("25", 2.5), ("5", 5.0),
+                   ("6", 6.0), ("7", 7.0), ("10", 10.0)):
+        out[f"count_beyond_{tag}sigma"] = \
+            float(np.sum(absd > r * std)) if std > 0 else 0.0
+    rng_v = float(v.max()) - float(v.min())
+    med = float(np.median(v))
+    for tag, r in (("005", 0.05), ("02", 0.2), ("03", 0.3)):
+        out[f"symmetry_r{tag}"] = float(abs(mean - med) < r * rng_v)
+    for tag, r in (("005", 0.05), ("035", 0.35), ("05", 0.5)):
+        out[f"large_std_r{tag}"] = float(std > r * rng_v)
+    for nn in (3, 5, 10):
+        out[f"num_peaks_{nn}"] = _num_peaks_n(v, n, nn)
+    out["value_count_0"] = float(np.sum(v == 0.0))
+    out["value_count_1"] = float(np.sum(v == 1.0))
+    out["value_count_m1"] = float(np.sum(v == -1.0))
+    out["range_count_m1_1"] = float(np.sum((v >= -1.0) & (v < 1.0)))
+    out["index_mass_quantile_01"] = _imq(a, tot, 0.1)
+    out["index_mass_quantile_025"] = _imq(a, tot, 0.25)
+    out["index_mass_quantile_075"] = _imq(a, tot, 0.75)
+    out["index_mass_quantile_09"] = _imq(a, tot, 0.9)
+    if n > 1 and std > 0:
+        z = (v - mean) / std
+        out["cid_ce_normalized"] = float(np.sqrt(np.sum(np.diff(z) ** 2)))
+    else:
+        out["cid_ce_normalized"] = 0.0
+    out["count_reoccurring_values"] = float(dup.sum())
+    out["count_reoccurring_points"] = float(counts[dup].sum())
+    return out
 
 
 def feature_profiles(parsed: DataFrame, key: str = "conv_id") -> DataFrame:
