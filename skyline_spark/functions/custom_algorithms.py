@@ -22,16 +22,17 @@ Semantics implemented (the exercised subset of the reference's knobs):
   CONSENSUS, algorithms.py:2000-2016);
 - ``use_with`` namespace pattern restricts which series run it.
 
-Shipped library: 30 of the 36 algorithm files in the reference's
+Shipped library: 32 of the 36 algorithm files in the reference's
 skyline/custom_algorithms/ are ported (see SHIPPED at the bottom; each
 cites its reference file; SHIPPED additionally carries two simple
 non-reference example detectors, level_shift and iqr_outlier, so the
-registry holds 32 entries). The 6 unported ones all require
-capabilities absent from this container and are out of scope by the
-same rule as SURVEY §3.3: laoccfdlpnc + skyline_laoccfdlpnc (a cvxpy
-convex-program solver), skyline_prophet (prophet/stan),
-azure_ai_anomalydetector + grafana_promql_anomaly_detection +
-irregular_unstable (remote service/Graphite fetches).
+registry holds 34 entries). laoccfdlpnc + skyline_laoccfdlpnc ship
+with an own projected-gradient solve of their cvxpy interior-point
+program. The 4 unported ones all require capabilities absent from
+this container and are out of scope by the same rule as SURVEY §3.3:
+skyline_prophet (prophet/stan), azure_ai_anomalydetector +
+grafana_promql_anomaly_detection + irregular_unstable (remote
+service/Graphite fetches).
 """
 
 from __future__ import annotations
@@ -640,6 +641,20 @@ def isolation_forest(ts: np.ndarray, values: np.ndarray, params: dict):
     std = float(np.std(values))
     x = (values - float(np.mean(values))) / std if std != 0 \
         else values - float(np.mean(values))
+    score_samples = _iforest_scores(x, n_trees=n_trees, seed=seed)
+    outlier = score_samples < -0.5      # contamination='auto' offset_
+    hit = bool(outlier[-anomaly_window:].any())
+    return hit, (1.0 if hit else 0.0)
+
+
+def _iforest_scores(x: np.ndarray, n_trees: int = 100,
+                    seed: int = 0) -> np.ndarray:
+    """sklearn-style isolation-forest score_samples over a 1-D array
+    (100 trees, 256-point subsamples, uniform split thresholds, depth
+    cap ceil(log2(psi)), seeded RNG). Shared by isolation_forest and
+    the laoccfdlpnc ensemble; offsets (contamination) are the callers'
+    business."""
+    n = x.size
     rng = np.random.RandomState(seed)
     psi = min(256, n)
     max_depth = int(np.ceil(np.log2(max(psi, 2))))
@@ -658,11 +673,7 @@ def isolation_forest(ts: np.ndarray, values: np.ndarray, params: dict):
     everything = np.arange(n)
     for _ in range(n_trees):
         grow(x[rng.choice(n, psi, replace=False)], everything, 0)
-    score_samples = -np.power(
-        2.0, -(depths / n_trees) / _iforest_avg_path(psi))
-    outlier = score_samples < -0.5      # contamination='auto' offset_
-    hit = bool(outlier[-anomaly_window:].any())
-    return hit, (1.0 if hit else 0.0)
+    return -np.power(2.0, -(depths / n_trees) / _iforest_avg_path(psi))
 
 
 def _find_peaks(y: np.ndarray, distance: int) -> np.ndarray:
@@ -1975,12 +1986,19 @@ def _ocsvm_fit(X: np.ndarray, nu: float, gamma: float,
                tol: float = 1e-6,
                max_iter: int = 100000) -> tuple[np.ndarray, float]:
     """Schölkopf nu-one-class SVM dual via SMO (the libsvm ONE_CLASS
-    formulation): min 0.5 a'Ka s.t. 0 <= a_i <= 1/(nu n), sum a = 1,
+    formulation) over the RBF kernel — see _ocsvm_fit_kernel."""
+    return _ocsvm_fit_kernel(_rbf_kernel_mat(X, X, gamma), nu,
+                             tol=tol, max_iter=max_iter)
+
+
+def _ocsvm_fit_kernel(K: np.ndarray, nu: float, tol: float = 1e-6,
+                      max_iter: int = 100000) -> tuple[np.ndarray, float]:
+    """The SMO one-class solve over a PRECOMPUTED Gram matrix (any
+    kernel): min 0.5 a'Ka s.t. 0 <= a_i <= 1/(nu n), sum a = 1,
     solved by maximal-violating-pair updates. Returns (alpha, rho);
     decision for a point x is sum_i a_i k(x_i, x) - rho."""
-    n = X.shape[0]
+    n = K.shape[0]
     C = 1.0 / (nu * n)
-    K = _rbf_kernel_mat(X, X, gamma)
     alpha = np.zeros(n)
     nf = int(nu * n)
     alpha[:nf] = C                       # libsvm initialization
@@ -2137,6 +2155,222 @@ def skyline_tsb_uad_ocsvm(ts: np.ndarray, values: np.ndarray,
     return hit, (1.0 if hit else 0.0)
 
 
+# --------------------------------------------------------------------------
+# laoccfdlpnc — locally adaptive one-class classifier fusion (the last
+# solver-requiring port: cvxpy absent, so the convex program gets an own
+# projected-gradient interior-point solve below)
+# --------------------------------------------------------------------------
+
+def _nystroem_transform(X: np.ndarray, gamma: float, m: int,
+                        seed: int = 42) -> np.ndarray:
+    """sklearn.kernel_approximation.Nystroem: m random landmark rows,
+    K(X, L) @ (U/sqrt(S) @ Vt).T from the SVD of K(L, L). The reference
+    leaves Nystroem's random_state unset (nondeterministic landmarks);
+    this port seeds the permutation for reproducibility."""
+    n = X.shape[0]
+    m = min(m, n)
+    rng = np.random.RandomState(seed)
+    basis = X[rng.permutation(n)[:m]]
+    Kb = _rbf_kernel_mat(basis, basis, gamma)
+    U, S, Vt = np.linalg.svd(Kb)
+    S = np.maximum(S, 1e-12)
+    return _rbf_kernel_mat(X, basis, gamma) @ ((U / np.sqrt(S)) @ Vt).T
+
+
+def _gmm1_score_samples(x: np.ndarray) -> np.ndarray:
+    """GaussianMixture(n_components=1, covariance_type='full')
+    .score_samples over 1-D data: the single component converges to the
+    sample mean/variance (+ sklearn's reg_covar=1e-6), so the log
+    density is closed-form."""
+    mu = x.mean()
+    var = x.var() + 1e-6
+    return -0.5 * (np.log(2.0 * np.pi * var) + (x - mu) ** 2 / var)
+
+
+def _project_p15(w: np.ndarray, radius: float = 1.0) -> np.ndarray:
+    """Euclidean projection onto the l_1.5 ball: per-coordinate the
+    prox root is closed-form (quadratic in sqrt(u)), the multiplier is
+    found by bisection."""
+    a = np.abs(w)
+    if float((a ** 1.5).sum()) <= radius:
+        return w.copy()
+
+    def shrunk(lam: float) -> np.ndarray:
+        r = (-1.5 * lam + np.sqrt(2.25 * lam * lam + 4.0 * a)) / 2.0
+        return r * r
+
+    lo, hi = 0.0, 1.0
+    while float((shrunk(hi) ** 1.5).sum()) > radius:
+        hi *= 2.0
+    for _ in range(100):
+        mid = (lo + hi) / 2.0
+        if float((shrunk(mid) ** 1.5).sum()) > radius:
+            lo = mid
+        else:
+            hi = mid
+    return np.sign(w) * shrunk(hi)
+
+
+def _laoccfdlpnc_weights(S: np.ndarray, mu: float = 10.0,
+                         iters: int = 400) -> np.ndarray:
+    """Own solve of the reference's locally-adaptive weight program
+    (laoccfdlpnc.py:428-489): minimize sum_i hinge(1 - (Sw)_i)
+    - mu * sum_j log(1 - |w_j|) subject to ||w||_1.5 <= 1, labels all
+    +1, mu = 10 (the reference's interior-point loop solves once at
+    mu=10 and breaks on 'optimal'). cvxpy is absent, so: annealed
+    smoothing of the hinge (Huber) and |.| (sqrt(w^2+eps^2)), projected
+    gradient with Armijo backtracking onto the l_1.5 ball. Convex,
+    k=6 dims; converges to ~1e-7 of the probed optimum (pinned by
+    test_laoccfdlpnc_weights_optimal)."""
+    n, k = S.shape
+
+    def make_fg(delta: float, eps: float):
+        def fval(w: np.ndarray) -> float:
+            aw = np.sqrt(w * w + eps * eps)
+            if (aw >= 1.0 - 1e-12).any():
+                return np.inf
+            t = 1.0 - S @ w
+            h = np.where(t <= 0.0, 0.0,
+                         np.where(t < delta, t * t / (2.0 * delta),
+                                  t - delta / 2.0))
+            return float(h.sum() - mu * np.log(1.0 - aw).sum())
+
+        def grad(w: np.ndarray) -> np.ndarray:
+            aw = np.sqrt(w * w + eps * eps)
+            t = 1.0 - S @ w
+            dh = np.where(t <= 0.0, 0.0,
+                          np.where(t < delta, t / delta, 1.0))
+            return -(S * dh[:, None]).sum(axis=0) \
+                + mu * (w / aw) / (1.0 - aw)
+
+        return fval, grad
+
+    w = np.full(k, 0.1)
+    for delta, eps in ((1e-1, 1e-2), (1e-3, 1e-4), (1e-6, 1e-8)):
+        fval, grad = make_fg(delta, eps)
+        f = fval(w)
+        step = 1.0
+        for _ in range(iters):
+            g = grad(w)
+            improved = False
+            while step > 1e-14:
+                cand = _project_p15(w - step * g)
+                np.clip(cand, -1.0 + 1e-9, 1.0 - 1e-9, out=cand)
+                fc = fval(cand)
+                if fc < f - 1e-12:
+                    w, f = cand, fc
+                    step *= 1.5
+                    improved = True
+                    break
+                step *= 0.5
+            if not improved:
+                break
+    return w
+
+
+def laoccfdlpnc(ts: np.ndarray, values: np.ndarray, params: dict):
+    """laoccfdlpnc (skyline/custom_algorithms/laoccfdlpnc.py:38-759) —
+    locally adaptive fusion of six one-class detectors with p-norm
+    constraint: z-score the series; RBF widths (0.25, 0.5, 1)*M with M
+    the mean pairwise squared distance (computed here via the closed
+    form 2(n*sum(x^2) - sum(x)^2)/(n(n-1)), identical value to the
+    reference's squared_diffs matrix); three RBF one-class SVMs
+    (own SMO), an isolation forest (own, seed 42 like the reference's
+    random_state=42), a linear one-class SVM over a Nystroem RBF
+    embedding (300 components, gamma = the 0.5-width gamma), and a
+    single-component GMM log-density; per-detector z-scored scores,
+    two-sided 5%-trimmed min-max, locally-adaptive weights from the
+    interior-point program (own solver above), weighted scores
+    thresholded at their 5th percentile; anomalous iff a flagged point
+    lands in the last ``anomaly_window``.
+
+    Reference quirks preserved: a NaN-bearing series returns
+    (None, None) — the reference's backward-fill idiom assigns an
+    n-length np.where into the masked slots, which RAISES in numpy and
+    lands in its except; a constant series (and any solver failure)
+    returns (False, 0.0) — the reference's staged try/excepts call
+    return_result WITHOUT returning, so the final scores loop runs
+    with empty anomaly_indices. Scope cap: n > 4000 returns
+    (None, None) (three n^2 Gram matrices; the wrapper's mirage
+    downsample bounds real series the same way)."""
+    nu = float(params.get("oc_svm_nu", 0.05))
+    anomaly_window = int(params.get("anomaly_window", 1))
+    v = values.astype(np.float64)
+    n = v.size
+    if n < 30 or n > 4000:
+        return None, None
+    if np.isnan(v).any():
+        return None, None
+    sd = float(v.std())
+    if sd == 0:
+        return False, 0.0
+    x = ((v - v.mean()) / sd).reshape(-1, 1)
+    xf = x.ravel()
+    sx, sxx = float(xf.sum()), float(xf @ xf)
+    M = (2.0 * n * sxx - 2.0 * sx * sx) / (n * (n - 1))
+    if np.isnan(M) or M == 0:
+        gammas = [1.0, 0.5, 0.1]
+    else:
+        gammas = [1.0 / (2.0 * w_ * M) for w_ in (0.25, 0.5, 1)]
+    cols = []
+    for g in gammas:
+        K = _rbf_kernel_mat(x, x, g)
+        alpha, rho = _ocsvm_fit_kernel(K, nu)
+        cols.append(K @ alpha - rho)
+    cols.append(_iforest_scores(xf, n_trees=100, seed=42))
+    Z = _nystroem_transform(x, gammas[1], 300)
+    KZ = Z @ Z.T
+    alpha, rho = _ocsvm_fit_kernel(KZ, nu)
+    cols.append(KZ @ alpha - rho)
+    cols.append(_gmm1_score_samples(xf))
+    smat = np.column_stack(cols)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        smat = (smat - smat.mean(axis=0)) / smat.std(axis=0)  # zscore
+    if not np.isfinite(smat).all():
+        return False, 0.0        # the reference's error-cascade path
+    trimmed = np.empty_like(smat)
+    for j in range(smat.shape[1]):
+        col = smat[:, j]
+        c = np.clip(col, np.percentile(col, 5), np.percentile(col, 95))
+        cmin, cmax = float(c.min()), float(c.max())
+        trimmed[:, j] = 0.0 if cmin == cmax \
+            else (c - cmin) / (cmax - cmin)
+    wopt = _laoccfdlpnc_weights(trimmed, mu=10.0)
+    ws = trimmed @ wopt
+    flags = ws < float(np.percentile(ws, 5))
+    hit = bool(flags[-anomaly_window:].any())
+    return hit, (1.0 if hit else 0.0)
+
+
+def skyline_laoccfdlpnc(ts: np.ndarray, values: np.ndarray, params: dict):
+    """skyline_laoccfdlpnc (skyline/custom_algorithms/
+    skyline_laoccfdlpnc.py:62-598): sort by timestamp, determine the
+    modal resolution, and for long fine-grained series (> 1600 points
+    at < 600 s resolution) downsample to 600 s mean buckets exactly as
+    the reference does (pandas resample origin='end' + bfill,
+    functions/timeseries/downsample.py:91-93) before running the
+    laoccfdlpnc kernel. The reference dispatches the kernel to its
+    flux-tornado HTTP service (returning (None, None) when tornado is
+    disabled); this port runs the same kernel in-process — the service
+    hop is transport, not semantics."""
+    order = np.argsort(ts, kind="stable")
+    t = ts[order].astype(np.float64)
+    v = values[order].astype(np.float64)
+    n = t.size
+    if n < 2:
+        return None, None
+    diffs = np.diff(t.astype(np.int64))
+    uv, uc = np.unique(diffs, return_counts=True)
+    resolution = int(uv[np.argmax(uc)]) if uv.size else 0
+    if n > 1600 and resolution and resolution < 600:
+        df = pd.DataFrame({"value": v},
+                          index=pd.to_datetime(t, unit="s"))
+        rs = df.resample("600s", origin="end").mean().bfill()
+        t = rs.index.astype(np.int64).to_numpy() / 1e9
+        v = rs["value"].to_numpy()
+    return laoccfdlpnc(t, v, params)
+
+
 SHIPPED = {
     "sigma": sigma, "level_shift": level_shift, "iqr_outlier": iqr_outlier,
     "abs_stddev_from_median": abs_stddev_from_median,
@@ -2164,4 +2398,6 @@ SHIPPED = {
     "mmzrmp": mmzrmp,
     "one_class_svm": one_class_svm,
     "skyline_tsb_uad_ocsvm": skyline_tsb_uad_ocsvm,
+    "laoccfdlpnc": laoccfdlpnc,
+    "skyline_laoccfdlpnc": skyline_laoccfdlpnc,
 }

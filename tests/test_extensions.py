@@ -635,6 +635,43 @@ def test_lof_windowed_knn_equals_all_pairs():
                            "anomaly_window": n})[0] == bool((sc < -1.5).any())
 
 
+def test_laoccfdlpnc(noisy):
+    """laoccfdlpnc — six-detector fusion with the own interior-point
+    weight solve (skyline/custom_algorithms/laoccfdlpnc.py): spike
+    flags, quiet passes, plus the reference's quirks (NaN series ->
+    (None, None) because its fill idiom raises; constant series ->
+    (False, 0.0) via the error-cascade path). The wrapper sorts and
+    mirage-downsamples long fine-grained series before dispatch."""
+    from skyline_spark.functions.custom_algorithms import (
+        laoccfdlpnc,
+        skyline_laoccfdlpnc,
+    )
+    ts, v = noisy
+    ts, v = ts[:600] * 60.0, v[:600]
+    spiked = v.copy()
+    spiked[-1] = 400.0
+    assert laoccfdlpnc(ts, spiked, {}) == (True, 1.0)
+    assert laoccfdlpnc(ts, v, {}) == (False, 0.0)
+    assert laoccfdlpnc(ts[:100], np.full(100, 5.0), {}) == (False, 0.0)
+    nanv = v[:100].copy()
+    nanv[-1] = np.nan
+    assert laoccfdlpnc(ts[:100], nanv, {}) == (None, None)
+    assert laoccfdlpnc(ts[:10], v[:10], {}) == (None, None)
+    # wrapper: unsorted input is sorted before dispatch
+    perm = np.random.RandomState(1).permutation(ts.size)
+    assert skyline_laoccfdlpnc(ts[perm], spiked[perm], {}) == (True, 1.0)
+    # wrapper: > 1600 points at < 600 s resolution downsample to 600 s
+    # mean buckets (end-aligned); a sustained tail step survives the
+    # bucket means and still flags
+    n2 = 1800
+    t2 = np.arange(n2, dtype=float) * 60.0
+    v2 = 100 + np.random.RandomState(2).normal(0, 1, n2)
+    v2[-12:] = 400.0  # full final 600 s bucket is elevated
+    assert skyline_laoccfdlpnc(t2, v2, {}) == (True, 1.0)
+    assert skyline_laoccfdlpnc(t2, 100 + np.random.RandomState(3)
+                               .normal(0, 1, n2), {}) == (False, 0.0)
+
+
 def test_custom_consensus_override(noisy):
     """A consensus_override custom algorithm decides by itself even when
     the 3-sigma suite votes not-anomalous."""

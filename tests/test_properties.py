@@ -261,6 +261,45 @@ def test_ocsvm_nu_bound_property(seed, nu, n):
     assert float((dec < -1e-5).mean()) <= nu + 1.0 / n + 1e-9
 
 
+@given(st.integers(0, 2 ** 31 - 1))
+@settings(max_examples=10, deadline=None)
+def test_laoccfdlpnc_weights_optimal(seed):
+    """The own projected-gradient interior-point solve of laoccfdlpnc's
+    convex weight program must be within solver tolerance of the
+    optimum: no feasible probe (random points in the l_1.5 ball, or
+    local perturbations of the solution) may beat its objective by more
+    than 1e-3."""
+    from skyline_spark.functions.custom_algorithms import (
+        _laoccfdlpnc_weights,
+        _project_p15,
+    )
+    rng = np.random.RandomState(seed)
+    n = rng.randint(50, 300)
+    S = rng.uniform(0, 1, (n, 6))
+    w = _laoccfdlpnc_weights(S)
+
+    def obj(u):
+        au = np.abs(u)
+        if (au >= 1).any() or (au ** 1.5).sum() > 1 + 1e-9:
+            return np.inf
+        t = 1.0 - S @ u
+        return float(np.maximum(t, 0).sum() - 10.0 * np.log(1 - au).sum())
+
+    fw = obj(w)
+    assert np.isfinite(fw)
+    assert float((np.abs(w) ** 1.5).sum()) <= 1 + 1e-9
+    for _ in range(200):
+        c = _project_p15(rng.uniform(-1, 1, 6) * rng.uniform(0, 1) ** 2)
+        np.clip(c, -1 + 1e-9, 1 - 1e-9, out=c)
+        assert obj(c) >= fw - 1e-3
+    for r in (1e-4, 1e-3, 1e-2):
+        for _ in range(100):
+            d = rng.normal(0, 1, 6)
+            c = _project_p15(w + r * d / np.linalg.norm(d))
+            np.clip(c, -1 + 1e-9, 1 - 1e-9, out=c)
+            assert obj(c) >= fw - 1e-3
+
+
 @given(st.floats(1e-9, 1.0 - 1e-9))
 @settings(max_examples=200, deadline=None)
 def test_norm_ppf_inverts_cdf(p):
