@@ -290,6 +290,7 @@ def test_resumable_lineage(spark, tmp_path):
         read_all_sinks,
         read_checkpoint,
         run_incremental,
+        write_checkpoint,
     )
     from skyline_spark.sources.transcripts import synthetic_transcripts
     from skyline_spark.synth import EPOCH0, fixture_alert_config
@@ -317,6 +318,23 @@ def test_resumable_lineage(spark, tmp_path):
     dup = (allrows.groupBy("conv_id", "turn_idx").count()
            .where(F.col("count") > 1).count())
     assert dup == 0
+
+    # idempotent re-run EQUALITY (SURVEY §5 test-plan item 3): roll the
+    # checkpoint back and replay the last batch a third time — the same
+    # run_id must regenerate byte-identical per-turn sink sets, not
+    # just matching counts
+    def sink_rows():
+        return sorted(
+            tuple(r) for r in read_all_sinks(spark, base)
+            .select("run_id", "conv_id", "turn_idx", "sink",
+                    F.md5(F.col("text")).alias("text_md5")).collect())
+
+    before = sink_rows()
+    write_checkpoint(base, {"watermark": cut, "runs": [m1["run_id"]]})
+    m4 = run_incremental(spark, tdf, adf, base)
+    assert m4["run_id"] == m3["run_id"]
+    assert sink_rows() == before
+    assert read_checkpoint(base)["watermark"] == m3["watermark_hi"]
 
 
 def test_streaming_stateful_alert_throttle(spark, tmp_path):
