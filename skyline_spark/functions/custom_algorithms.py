@@ -22,17 +22,22 @@ Semantics implemented (the exercised subset of the reference's knobs):
   CONSENSUS, algorithms.py:2000-2016);
 - ``use_with`` namespace pattern restricts which series run it.
 
-Shipped library: 32 of the 36 algorithm files in the reference's
+Shipped library: 34 of the 36 algorithm files in the reference's
 skyline/custom_algorithms/ are ported (see SHIPPED at the bottom; each
 cites its reference file; SHIPPED additionally carries two simple
 non-reference example detectors, level_shift and iqr_outlier, so the
-registry holds 34 entries). laoccfdlpnc + skyline_laoccfdlpnc ship
+registry holds 36 entries). laoccfdlpnc + skyline_laoccfdlpnc ship
 with an own projected-gradient solve of their cvxpy interior-point
-program. The 4 unported ones all require capabilities absent from
-this container and are out of scope by the same rule as SURVEY §3.3:
-skyline_prophet (prophet/stan), azure_ai_anomalydetector +
-grafana_promql_anomaly_detection + irregular_unstable (remote
-service/Graphite fetches).
+program; skyline_prophet ships with an own deterministic prophet-lite
+(MAP piecewise-linear trend, coordinate-descent lasso, analytic
+intervals); sigma ships the full run_sigma_algorithms /
+run_sigma_oneshot_algorithms suite (custom_algorithm_sources/sigma/);
+irregular_unstable composes both with its variance gates (the Graphite
+30-day refetch maps to this engine's retention window, as with mirage).
+The 2 unported ones ARE remote API calls and nothing else
+(azure_ai_anomalydetector posts the series to an Azure endpoint,
+grafana_promql_anomaly_detection queries a Grafana/Prometheus server)
+— out of scope by the same rule as SURVEY §3.3.
 """
 
 from __future__ import annotations
@@ -67,15 +72,24 @@ class CustomAlgorithm:
 # --- shipped examples ------------------------------------------------------
 
 def sigma(ts: np.ndarray, values: np.ndarray, params: dict):
-    """k-sigma on the last point (cf. skyline/custom_algorithms/sigma.py
-    semantics: |v_last - mean| > k * sample std)."""
-    k = params.get("sigma_value", 3)
-    s = pd.Series(values)
-    std = float(s.std())
-    if std == 0 or np.isnan(std):
-        return False, 0.0
-    score = abs(float(values[-1]) - float(s.mean())) / std
-    return bool(score > k), float(score)
+    """The reference's ``sigma`` custom algorithm
+    (skyline/custom_algorithms/sigma.py:145-204): the full 9-algorithm
+    ensemble re-run with a parameterized sigma value.  ``anomaly_window
+    < 20`` routes to :func:`run_sigma_algorithms` (the windowed prefix
+    loop, sigma.py:177-184); >= 20 routes to
+    :func:`run_sigma_oneshot_algorithms` (sigma.py:184-188).
+    anomalyScore maps truthy-anomalous -> 1.0 else 0.0
+    (sigma.py:200-203)."""
+    sigma_value = int(params.get("sigma", params.get("sigma_value", 3)))
+    consensus = params.get("consensus", 6)
+    anomaly_window = int(params.get("anomaly_window", 1))
+    if anomaly_window < 20:
+        anomalous, _ = run_sigma_algorithms(
+            ts, values, sigma_value, consensus, anomaly_window)
+    else:
+        anomalous, _, _ = run_sigma_oneshot_algorithms(
+            ts, values, sigma_value, consensus, anomaly_window)
+    return anomalous, (1.0 if anomalous else 0.0)
 
 
 def level_shift(ts: np.ndarray, values: np.ndarray, params: dict):
@@ -2371,6 +2385,692 @@ def skyline_laoccfdlpnc(ts: np.ndarray, values: np.ndarray, params: dict):
     return laoccfdlpnc(t, v, params)
 
 
+# --- skyline_prophet (prophet-lite) ----------------------------------------
+
+def _prophet_lite_fit(t: np.ndarray, y: np.ndarray,
+                      changepoint_range: float,
+                      n_changepoints: int = 25,
+                      tau: float = 0.05):
+    """Deterministic MAP fit of Prophet's piecewise-linear trend model
+    (Taylor & Letham 2017; prophet's linear-growth Stan program):
+    g(t) = k*t + m + sum_j delta_j * relu(t - s_j) on scaled time/value,
+    with delta ~ Laplace(0, tau) (L1), k,m ~ N(0,5), sigma_obs
+    half-N(0,0.5), jointly optimized.  Changepoints at prophet's
+    linspace-rounded indices over the first changepoint_range of the
+    history.  Solved by coordinate-descent lasso + closed-form sigma
+    update (deterministic — no Stan, no sampling).  Returns
+    (yhat_scaled, sigma_obs) on the scaled axis."""
+    n = y.size
+    hist_size = int(np.floor(n * changepoint_range))
+    n_cp = n_changepoints
+    if n_cp + 1 > hist_size:
+        n_cp = max(hist_size - 1, 0)
+    if n_cp > 0:
+        cp_idx = np.unique(
+            np.linspace(0, hist_size - 1, n_cp + 1).round()
+            .astype(int)[1:])
+        s = t[cp_idx]
+    else:
+        s = np.empty(0)
+    A = np.column_stack([t, np.ones(n)]
+                        + [np.maximum(t - sj, 0.0) for sj in s])
+    p = A.shape[1]
+    AtA = A.T @ A
+    Aty = A.T @ y
+    theta = np.zeros(p)
+    sigma2 = max(float(np.var(y)), 1e-12)
+    ridge = 1.0 / 25.0  # k,m ~ N(0,5)
+    diag = np.diag(AtA).copy()
+    for _outer in range(6):
+        lam = sigma2 / tau  # L1 weight on the working least-squares scale
+        for _sweep in range(300):
+            max_step = 0.0
+            for j in range(p):
+                rho = Aty[j] - AtA[j] @ theta + diag[j] * theta[j]
+                if j < 2:
+                    new = rho / (diag[j] + sigma2 * ridge)
+                else:
+                    if rho > lam:
+                        new = (rho - lam) / diag[j] if diag[j] > 0 else 0.0
+                    elif rho < -lam:
+                        new = (rho + lam) / diag[j] if diag[j] > 0 else 0.0
+                    else:
+                        new = 0.0
+                max_step = max(max_step, abs(new - theta[j]))
+                theta[j] = new
+            if max_step < 1e-12:
+                break
+        resid = y - A @ theta
+        rss = float(resid @ resid)
+        # d/dsigma [n log s + RSS/(2s^2) + s^2/(2*0.25^2)] = 0
+        # -> 8 s^4 + n s^2 - RSS = 0
+        sigma2 = max((-n + np.sqrt(n * n + 32.0 * rss)) / 16.0, 1e-12)
+    return A @ theta, float(np.sqrt(sigma2))
+
+
+_PROPHET_FOURIER = {
+    "daily_seasonality": (86400.0, 4),
+    "weekly_seasonality": (604800.0, 3),
+    "yearly_seasonality": (365.25 * 86400.0, 10),
+}
+
+
+def skyline_prophet(ts: np.ndarray, values: np.ndarray, params: dict):
+    """Port of skyline/custom_algorithms/skyline_prophet.py:32-327 with
+    an own deterministic prophet-lite in place of the prophet/cmdstan
+    dependency (absent from this container): MAP piecewise-linear trend
+    (:118-127 fit_predict_model), analytic normal predictive interval at
+    ``interval_width`` instead of prophet's Monte-Carlo percentiles
+    (documented deviation — deterministic by design), optional Fourier
+    seasonality for the daily/weekly/yearly flags (all default False,
+    :100-105).  Anomaly rule is exact (:129-144 detect_anomalies +
+    :262-287): a point is anomalous when fact > yhat_upper AND
+    (fact - yhat_upper) / fact > 0; the verdict is True when any such
+    point lands in the last ``anomaly_window`` (default 1)."""
+    from skyline_spark.functions.stats import norm_ppf
+    anomaly_window = int(params.get("anomaly_window", 1))
+    interval_width = float(params.get("interval_width", 0.99))
+    changepoint_range = float(params.get("changepoint_range", 0.8))
+    seasonality_mode = params.get("seasonality_mode", "multiplicative")
+    try:
+        X_all = np.asarray(ts, dtype=np.float64)
+        Y_all = np.asarray(values, dtype=np.float64)
+        finite = np.isfinite(Y_all) & np.isfinite(X_all)
+        X = X_all[finite]  # prophet treats NaN y as missing history
+        Y = Y_all[finite]
+        n = Y.size
+        if n < 3:
+            return None, None
+        span = X[-1] - X[0]
+        t_sc = (X - X[0]) / span if span > 0 else np.zeros(n)
+        y_scale = float(np.max(np.abs(Y)))  # prophet absmax scaling
+        if y_scale == 0:
+            y_scale = 1.0
+        y_sc = Y / y_scale
+        yhat_sc, sigma_obs = _prophet_lite_fit(
+            t_sc, y_sc, changepoint_range)
+        # optional Fourier seasonality on the trend residual
+        fourier_cols = []
+        for flag, (period, order) in _PROPHET_FOURIER.items():
+            if params.get(flag, False) and span > period / 2:
+                arg = 2.0 * np.pi * np.outer(X, np.arange(1, order + 1)) \
+                    / period
+                fourier_cols += [np.cos(arg), np.sin(arg)]
+        if fourier_cols:
+            F_mat = np.hstack(fourier_cols)
+            if seasonality_mode == "multiplicative":
+                safe = np.where(np.abs(yhat_sc) < 1e-12, 1e-12, yhat_sc)
+                target = y_sc / safe - 1.0
+            else:
+                target = y_sc - yhat_sc
+            beta = np.linalg.lstsq(
+                F_mat.T @ F_mat + np.eye(F_mat.shape[1]) / 100.0,
+                F_mat.T @ target, rcond=None)[0]
+            seas = F_mat @ beta
+            if seasonality_mode == "multiplicative":
+                yhat_sc = yhat_sc * (1.0 + seas)
+            else:
+                yhat_sc = yhat_sc + seas
+            resid = y_sc - yhat_sc
+            sigma_obs = float(np.sqrt(max(np.mean(resid * resid),
+                                          1e-24)))
+        z = norm_ppf((1.0 + interval_width) / 2.0)
+        yhat_upper = (yhat_sc + z * sigma_obs) * y_scale
+        with np.errstate(divide="ignore", invalid="ignore"):
+            importance = np.where(Y > yhat_upper,
+                                  (Y - yhat_upper) / Y, 0.0)
+        flags = np.zeros(Y_all.size, dtype=int)
+        flags[finite] = ((Y > yhat_upper) & (importance > 0)).astype(int)
+        anomaly_sum = int(np.sum(flags[-anomaly_window:]))
+        if anomaly_sum > 0:
+            return True, 1.0
+        return False, 0.0
+    except Exception:
+        return None, None
+
+
+# --- irregular_unstable -----------------------------------------------------
+
+def _normalised_variance(values: np.ndarray) -> float:
+    """irregular_unstable.py:112-126 — variance of the min-max
+    normalised series, rounded to 4 places; NaN on a degenerate
+    (max == min) span exactly as the reference's unguarded division
+    produces."""
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lo = float(np.min(values))
+        hi = float(np.max(values))
+        norm = (values - lo) / (hi - lo)
+        return float(round(np.var(norm), 4))
+
+
+def irregular_unstable(ts: np.ndarray, values: np.ndarray, params: dict):
+    """Port of skyline/custom_algorithms/irregular_unstable.py:38-725.
+    The reference refetches a 30-day window from Graphite /
+    VictoriaMetrics (:340-343); in this engine the full retention window
+    IS the series handed to the algorithm (the same source mapping as
+    the mirage long-window second stage, SURVEY §2.1 S6), so both the
+    7-day and 30-day variance gates run on the given series and the
+    downsample-merge step is structurally unnecessary.  Decision flow is
+    exact: resolution > 900 -> True (:273-282); duration < 5.25d ->
+    True (:283-293); normalised variance 0 -> (None, None) (:318-328),
+    > low_variance (0.009) -> True (:329-335); 30-day normalised
+    variance >= 0.0065 -> True (:425-436); else 2-of-2 consensus over
+    spectral_residual (threshold_perc 99, the +2 anomaly-window quirk at
+    :476-481) and run_sigma_algorithms(sigma=3, consensus=6)
+    (:617-646)."""
+    low_variance = params.get("low_variance", 0.009)
+    anomaly_window = int(params.get("anomaly_window", 1))
+    threshold = params.get("threshold")
+    threshold_perc = float(params.get("threshold_perc", 99))
+    sigma_value = int(params.get("sigma", 3))
+    sigma_consensus = params.get("consensus", 6)
+    try:
+        X = np.asarray(ts, dtype=np.float64)
+        Y = np.asarray(values, dtype=np.float64)
+        diffs, counts = np.unique(np.diff(X), return_counts=True)
+        resolution = float(diffs[np.argmax(counts)])
+        if resolution > 900:
+            return True, 1.0
+        if X[-1] - X[0] < 446400:
+            return True, 1.0
+        nv = _normalised_variance(Y)
+        if not nv:  # 0.0 -> undetermined; NaN is truthy and falls through
+            return None, None
+        if nv > low_variance:
+            return True, 1.0
+        nv_long = _normalised_variance(Y)  # 30d window == this window
+        if nv_long >= 0.0065:
+            return True, 1.0
+        consensus: list[str] = []
+        sr_hit, _ = spectral_residual(X, Y, {
+            "threshold": threshold, "threshold_perc": threshold_perc,
+            "anomaly_window": anomaly_window,
+        })
+        if sr_hit:
+            consensus.append("spectral_residual")
+        sig_hit, _anoms = run_sigma_algorithms(
+            X, Y, sigma_value, sigma_consensus, anomaly_window)
+        if sig_hit:
+            consensus.append("sigma")
+        if len(consensus) >= 2:
+            return True, 1.0
+        return False, 0.0
+    except Exception:
+        return None, None
+
+
+# --- sigma custom-algorithm source ----------------------------------------
+# The reference ships a SECOND copy of the 9-algorithm suite under
+# skyline/custom_algorithm_sources/sigma/{sigma,sigma_oneshot}.py with
+# every threshold parameterized by sigma_value; run_sigma_algorithms
+# (sigma.py:622-818) re-votes prefixes of the series over an
+# anomaly_window, run_sigma_oneshot_algorithms (sigma_oneshot.py:461-602)
+# scores every point in one pass over a 7-algorithm subset.  Ported
+# quirk-for-quirk below (numba paths, since the reference sets
+# USE_NUMBA = True).
+
+_SIGMA_MIN_TOLERABLE_LENGTH = 100   # settings.py:541
+_SIGMA_MAX_TOLERABLE_BOREDOM = 100  # settings.py:559
+_SIGMA_BOREDOM_SET_SIZE = 1         # settings.py:569
+
+
+def _sigma_tail_avg(Y: np.ndarray, sigma_value: int) -> float:
+    """sigma.py:28-40 — ``sum(Y[-sigma_value:]) / sigma_value`` (NOT the
+    mean when fewer than sigma_value points remain — quirk preserved)."""
+    return float(np.sum(Y[-sigma_value:])) / sigma_value
+
+
+def _numba_histogram(a: np.ndarray, bins: int = 15):
+    """numpy twin of the reference's numba_histogram
+    (sigma.py:396-450): equal-width edges with the LAST edge pinned to
+    a_max, truncating bin index ``int(n*(x-min)/(max-min))``, x==a_max
+    forced into the last bin, out-of-range values dropped."""
+    a_min = float(a.min())
+    a_max = float(a.max())
+    delta = (a_max - a_min) / bins
+    edges = a_min + delta * np.arange(bins + 1, dtype=np.float64)
+    edges[-1] = a_max
+    if a_max == a_min:
+        hist = np.zeros(bins, dtype=np.int64)
+        hist[-1] = a.size  # compute_bin: x == a_max -> bin n-1
+        return hist, edges
+    with np.errstate(invalid="ignore"):
+        raw = bins * (a - a_min) / (a_max - a_min)
+        idx = np.where(a == a_max, bins - 1,
+                       raw.astype(np.int64, copy=False))
+    valid = (idx >= 0) & (idx < bins) & np.isfinite(a)
+    hist = np.bincount(idx[valid], minlength=bins)
+    return hist, edges
+
+
+def _sig_histogram_bins(X, Y, ts_list, res, series, sigma_value):
+    """sigma.py:474-521 numba path (numba_histogram_bins :451-471)."""
+    t = _sigma_tail_avg(Y, sigma_value)
+    hist, bins = _numba_histogram(Y, 15)
+    for index, bin_size in enumerate(hist):
+        if bin_size <= 20:
+            if index == 0:
+                if t <= bins[0]:
+                    return True
+            elif t >= bins[index] and t < bins[index + 1]:
+                return True
+    return False
+
+
+def _sig_first_hour_average(X, Y, ts_list, res, series, sigma_value):
+    """sigma.py:166-187 — mean/sample-std of the hour FULL_DURATION ago
+    (strict bounds), vs the sigma-length tail average."""
+    lo = X[-1] - 86400
+    hi = lo + 3600
+    w = Y[(X > lo) & (X < hi)]
+    if w.size == 0:
+        return False  # pandas mean of empty -> NaN -> comparison False
+    mean = float(np.mean(w))
+    std = float(np.std(w, ddof=1)) if w.size > 1 else float("nan")
+    t = _sigma_tail_avg(Y, sigma_value)
+    return bool(abs(t - mean) > sigma_value * std)
+
+
+def _sig_stddev_from_average(X, Y, ts_list, res, series, sigma_value):
+    """sigma.py:199-220 — full-series mean/sample-std vs tail average."""
+    mean = float(series.mean())
+    std = float(series.std())
+    t = _sigma_tail_avg(Y, sigma_value)
+    return bool(abs(t - mean) > sigma_value * std)
+
+
+def _sig_grubbs(X, Y, ts_list, res, series, sigma_value):
+    """sigma.py:124-164 — one-sided Grubbs on the tail average with
+    sample std and the exact t-ISF critical value."""
+    from skyline_spark.functions.stats import t_isf
+    std = float(series.std())
+    if std == 0 or np.isnan(std):
+        return False
+    n = len(series)
+    if n < 3:
+        return False  # scipy t.isf(df<=0) -> nan -> comparison False
+    mean = float(np.mean(series))
+    t = _sigma_tail_avg(Y, sigma_value)
+    z = (t - mean) / std
+    thr = t_isf(0.05 / (2 * n), n - 2)
+    g = ((n - 1) / np.sqrt(n)) * np.sqrt(thr * thr / (n - 2 + thr * thr))
+    return bool(z > g)
+
+
+def _sig_ks_test(X, Y, ts_list, res, series, sigma_value):
+    """sigma.py:523-571 — KS(last hour vs last 10 min) + ADF gate, with
+    the >60s-resolution window rescale and the constant-reference
+    guard."""
+    from skyline_spark.functions.stats import adfuller_pvalue, ks_2samp
+    hour_ago = X[-1] - 3600
+    ten_ago = X[-1] - 600
+    if res > 60:
+        hour_ago = X[-1] - res * 60
+        ten_ago = X[-1] - res * 10
+    ref = Y[(X >= hour_ago) & (X < ten_ago)]
+    probe = Y[X >= ten_ago]
+    if ref.size < 20 or probe.size < 20:
+        return False
+    if np.all(ref == ref[0]):
+        return False
+    d, p = ks_2samp(ref, probe)
+    if p < 0.05 and d > 0.5:
+        if adfuller_pvalue(ref, 10) < 0.05:
+            return True
+    return False
+
+
+def _sig_mean_subtraction_cumulation(X, Y, ts_list, res, series,
+                                     sigma_value):
+    """sigma.py:246-260 numba path — population std of the
+    mean-subtracted head and a HARDCODED 3x threshold (the numba
+    function takes sigma_value but never uses it — quirk preserved)."""
+    y = np.where(Y == 0, 0.0, Y)  # reference: x if x else 0
+    out = y - float(np.mean(y[:-1]))
+    std = float(np.std(out[:-1]))
+    return bool(abs(out[-1]) > 3 * std)
+
+
+def _sig_median_absolute_deviation(X, Y, ts_list, res, series,
+                                   sigma_value):
+    """sigma.py:44-66 numba path — last-point deviation over the median
+    deviation, threshold sigma_value * 2."""
+    median = float(np.median(Y))
+    dem = np.abs(Y - median)
+    md = float(np.median(dem))
+    if md == 0:
+        return False
+    return bool(dem[-1] / md > sigma_value * 2)
+
+
+def _sig_stddev_from_moving_average(X, Y, ts_list, res, series,
+                                    sigma_value):
+    """sigma.py:222-241 — pandas ewm(com=50, adjust=True) mean/std
+    (bias=False), last values only, so computed closed-form in numpy
+    exactly as functions/algorithms.py:146 does (equal to pandas within
+    ~1e-14)."""
+    import math
+    v = Y[-8192:]
+    n = v.size
+    if n < 2:
+        return False
+    a = 1.0 / 51.0
+    w = np.power(1.0 - a, np.arange(n - 1, -1, -1, dtype=np.float64))
+    sw = float(w.sum())
+    exp_average = float(np.dot(w, v)) / sw
+    sw2 = float(np.dot(w, w))
+    denom = sw * sw - sw2
+    if denom <= 0:
+        return False
+    var = (float(np.dot(w, (v - exp_average) ** 2)) / sw) \
+        * (sw * sw / denom)
+    std = math.sqrt(var)
+    if math.isnan(std):
+        return False
+    return bool(abs(Y[-1] - exp_average) > sigma_value * std)
+
+
+def _sig_least_squares(X, Y, ts_list, res, series, sigma_value):
+    """sigma.py:306-394 — OLS residuals (rcond=-1), sigma-length tail
+    mean of the errors vs sigma * sample std, with the round()!=0
+    guards."""
+    A = np.vstack([X, np.ones(len(X))]).T
+    m, c = np.linalg.lstsq(A, Y, rcond=-1)[0]
+    errors = Y - (m * X + c)
+    if errors.size < sigma_value:
+        return False
+    std = float(pd.Series(errors).std())
+    t = float(np.sum(errors[-sigma_value:])) / sigma_value
+    return bool(abs(t) > std * sigma_value
+                and round(std) != 0 and round(t) != 0)
+
+
+# settings.py:820-830 ALGORITHMS order — early exit depends on it.
+_SIGMA_SUITE = [
+    ("histogram_bins", _sig_histogram_bins),
+    ("first_hour_average", _sig_first_hour_average),
+    ("stddev_from_average", _sig_stddev_from_average),
+    ("grubbs", _sig_grubbs),
+    ("ks_test", _sig_ks_test),
+    ("mean_subtraction_cumulation", _sig_mean_subtraction_cumulation),
+    ("median_absolute_deviation", _sig_median_absolute_deviation),
+    ("stddev_from_moving_average", _sig_stddev_from_moving_average),
+    ("least_squares", _sig_least_squares),
+]
+
+
+def _sigma_gates(Y: np.ndarray) -> bool:
+    """run_sigma_algorithms entry gates (sigma.py:640-650)."""
+    if Y.size == 0 or Y.size < _SIGMA_MIN_TOLERABLE_LENGTH:
+        return False
+    tail = Y[-_SIGMA_MAX_TOLERABLE_BOREDOM:]
+    if len(set(tail.tolist())) == _SIGMA_BOREDOM_SET_SIZE:
+        return False
+    return True
+
+
+def _sigma_resolution(X: np.ndarray) -> float:
+    """Most-common timestamp delta (sigma.py:668-671)."""
+    diffs, counts = np.unique(np.diff(X), return_counts=True)
+    return float(diffs[np.argmax(counts)])
+
+
+def _sigma_vote(X, Y, ts_list, res, sigma_value, consensus):
+    """One ensemble pass with the maximum-false early exit
+    (sigma.py:672-744).  Returns (anomaly, algorithms_run)."""
+    series = pd.Series(Y)
+    max_false = len(_SIGMA_SUITE) - consensus + 1
+    ensemble: list[bool | None] = []
+    algorithms_run: dict[str, bool | None] = {}
+    consensus_possible = True
+    for name, fn in _SIGMA_SUITE:
+        if not consensus_possible:
+            continue
+        try:
+            r = fn(X, Y, ts_list, res, series, sigma_value)
+            failed = False
+        except Exception:
+            r = None
+            failed = True
+        algorithms_run[name] = None if failed else bool(r)
+        if r:
+            result: bool | None = True
+        elif r is None:
+            result = None  # in-algorithm error path returns None
+        else:
+            result = False
+        ensemble.append(result)
+        if ensemble.count(False) >= max_false:
+            consensus_possible = False
+    # sigma.py:735-741: the count(False) branch is overridden by the
+    # count(True) checks, so the decision reduces to this.
+    anomaly = ensemble.count(True) >= consensus
+    return anomaly, ensemble, algorithms_run
+
+
+def run_sigma_algorithms(ts: np.ndarray, values: np.ndarray,
+                         sigma_value: int, consensus: int,
+                         anomaly_window: int):
+    """Port of run_sigma_algorithms (sigma.py:622-818): entry gates,
+    a prefix re-vote per window position when anomaly_window > 1 (the
+    prefix EXCLUDES the trailing |i| points; resolution stays the
+    full-series one), then the full-series vote; returns
+    (bool(anomalies), anomalies)."""
+    anomalies: dict[int, dict] = {}
+    X = np.asarray(ts, dtype=np.float64)
+    Y = np.asarray(values, dtype=np.float64)
+    if not _sigma_gates(Y):
+        return False, anomalies
+    try:
+        res = _sigma_resolution(X)
+        n = Y.size
+        if anomaly_window > 1:
+            for i in range(-anomaly_window, 0):
+                anomaly, ensemble, algos = _sigma_vote(
+                    X[:i], Y[:i], None, res, sigma_value, consensus)
+                if anomaly:
+                    idx = n - 1 + i
+                    anomalies[int(X[idx])] = {
+                        "anomalous": True,
+                        "anomalyScore": ensemble.count(True) / len(algos),
+                        "index": idx,
+                        "value": float(Y[idx]),
+                        "algorithms_results": algos,
+                        "score": 1,
+                    }
+        anomaly, ensemble, algos = _sigma_vote(
+            X, Y, None, res, sigma_value, consensus)
+        if anomaly:
+            anomalies[int(X[-1])] = {
+                "anomalous": True,
+                "anomalyScore": ensemble.count(True) / len(algos),
+                "index": n - 1,
+                "value": float(Y[-1]),
+                "algorithms_results": algos,
+                "score": 1,
+            }
+    except Exception:
+        return False, anomalies
+    return len(anomalies) > 0, anomalies
+
+
+# --- oneshot per-point variants (sigma_oneshot.py) -------------------------
+
+def _osh_histogram_bins(X, Y, series, sigma_value, tail_avgs):
+    """sigma_oneshot.py:375-402 — per-point bin membership of the
+    rolling tail average."""
+    hist, bins = _numba_histogram(Y, 15)
+    rare = [(i, hist[i]) for i in range(len(hist)) if hist[i] <= 20]
+    scores = []
+    for t in tail_avgs:
+        score = 0
+        for bin_index, _ in rare:
+            if bin_index == 0:
+                if t <= bins[0]:
+                    score = 1
+            elif t >= bins[bin_index] and t < bins[bin_index + 1]:
+                score = 1
+        scores.append(score)
+    return scores
+
+
+def _osh_stddev_from_average(X, Y, series, sigma_value, tail_avgs):
+    """sigma_oneshot.py:145-166 — POPULATION std here (np.std), unlike
+    the windowed path's sample std — quirk preserved."""
+    mean = float(np.mean(Y))
+    std = float(np.std(Y))
+    return [1 if abs(t - mean) > sigma_value * std else 0
+            for t in tail_avgs]
+
+
+def _osh_grubbs(X, Y, series, sigma_value, tail_avgs):
+    """sigma_oneshot.py:108-134 — per-point z of the rolling tail
+    average; empty scores when std == 0 (propagates to a suite-wide
+    None, see run_sigma_oneshot_algorithms)."""
+    from skyline_spark.functions.stats import t_isf
+    std = float(series.std())
+    if std == 0 or np.isnan(std):
+        return []
+    n = len(series)
+    if n < 3:
+        return []
+    mean = float(np.mean(series))
+    thr = t_isf(0.05 / (2 * n), n - 2)
+    g = ((n - 1) / np.sqrt(n)) * np.sqrt(thr * thr / (n - 2 + thr * thr))
+    return [1 if (t - mean) / std > g else 0 for t in tail_avgs]
+
+
+def _osh_mean_subtraction_cumulation(X, Y, series, sigma_value,
+                                     tail_avgs):
+    """sigma_oneshot.py:211-241 — head-sample-std of the mean-subtracted
+    series but scored against the RAW value (the reference compares
+    ``series.iat[index]``, not the subtracted series — quirk
+    preserved)."""
+    use = np.where(Y == 0, 0.0, Y)
+    head_mean = float(np.mean(use[:-1])) if use.size > 1 else float("nan")
+    out = use - head_mean
+    std = float(pd.Series(out[:-1]).std())
+    return [1 if abs(float(series.iat[i])) > sigma_value * std else 0
+            for i in range(Y.size)]
+
+
+def _osh_median_absolute_deviation(X, Y, series, sigma_value, tail_avgs):
+    """sigma_oneshot.py:61-106 — per-point deviation ratio; empty when
+    the median deviation is 0; NaN / zero deviations score 0."""
+    median = float(series.median())
+    dem = np.abs(Y - median)
+    md = float(pd.Series(dem).median())  # pandas median: NaN-skipping
+    if md == 0:
+        return []
+    thr = sigma_value * 2
+    return [1 if (not np.isnan(d)) and d != 0 and d / md > thr else 0
+            for d in dem]
+
+
+def _osh_stddev_from_moving_average(X, Y, series, sigma_value,
+                                    tail_avgs):
+    """sigma_oneshot.py:169-190 — full pandas ewm series, per point."""
+    exp_avg = series.ewm(ignore_na=False, min_periods=0, adjust=True,
+                         com=50).mean()
+    std = series.ewm(ignore_na=False, min_periods=0, adjust=True,
+                     com=50).std(bias=False)
+    flags = (np.abs(series.to_numpy() - exp_avg.to_numpy())
+             > sigma_value * std.to_numpy())
+    return [1 if f else 0 for f in flags]
+
+
+def _osh_least_squares(X, Y, series, sigma_value, tail_avgs):
+    """sigma_oneshot.py:262-297 — per-point trailing-error mean
+    EXCLUDING the current point (empty slice -> t=0 for the first
+    sigma_value points), and the reference's precedence quirk
+    ``(abs(t) > std_dev) * sigma_value`` which reduces the sigma
+    multiplier to a truthiness factor — preserved."""
+    A = np.vstack([X, np.ones(len(X))]).T
+    m, c = np.linalg.lstsq(A, Y, rcond=-1)[0]
+    errors = (Y - (m * X + c)).tolist()
+    if len(errors) < sigma_value:
+        return [0] * Y.size
+    std = float(pd.Series(errors).std())
+    scores = []
+    for index in range(Y.size):
+        start = index - sigma_value
+        window = errors[start:index] if start >= 0 else []
+        t = sum(window) / sigma_value
+        hit = ((abs(t) > std) * sigma_value) \
+            and round(std) != 0 and round(t) != 0
+        scores.append(1 if hit else 0)
+    return scores
+
+
+# sigma_oneshot.py:496-506 USE_ALGORITHMS (first_hour_average and
+# ks_test commented out in the reference).
+_SIGMA_ONESHOT_SUITE = [
+    ("histogram_bins", _osh_histogram_bins),
+    ("stddev_from_average", _osh_stddev_from_average),
+    ("grubbs", _osh_grubbs),
+    ("mean_subtraction_cumulation", _osh_mean_subtraction_cumulation),
+    ("median_absolute_deviation", _osh_median_absolute_deviation),
+    ("stddev_from_moving_average", _osh_stddev_from_moving_average),
+    ("least_squares", _osh_least_squares),
+]
+
+
+def run_sigma_oneshot_algorithms(ts: np.ndarray, values: np.ndarray,
+                                 sigma_value: int, consensus: int,
+                                 anomaly_window: int):
+    """Port of run_sigma_oneshot_algorithms (sigma_oneshot.py:461-602):
+    per-point score vectors for 7 algorithms, per-point consensus
+    (anomalies recorded at >= consensus), but the anomalous flag
+    requires a consensus_score >= 1 in the last window — i.e. ALL seven
+    algorithms triggering (the reference's score>=1 quirk, :586).
+    Gates return (None, 0.0, {}); any algorithm yielding an empty score
+    vector collapses the whole pass to (None, 0.0, {}) via the
+    reference's KeyError path (:558-561 -> outer except)."""
+    X = np.asarray(ts, dtype=np.float64)
+    Y = np.asarray(values, dtype=np.float64)
+    anomalies: dict[int, dict] = {}
+    if not _sigma_gates(Y):
+        return None, 0.0, anomalies
+    try:
+        series = pd.Series(Y)
+        tail_avgs = series.rolling(3, min_periods=1).mean().to_numpy()
+        results: dict[str, list] = {}
+        for name, fn in _SIGMA_ONESHOT_SUITE:
+            try:
+                scores = [float(s) for s in
+                          fn(X, Y, series, sigma_value, tail_avgs)]
+            except Exception:
+                scores = []
+            if not scores:
+                return None, 0.0, {}
+            results[name] = scores
+        names = [n for n, _ in _SIGMA_ONESHOT_SUITE]
+        consensus_scores = []
+        for index in range(Y.size):
+            triggered = [n for n in names
+                         if index < len(results[n])
+                         and results[n][index] > 0]
+            score = len(triggered) / len(names) if triggered else 0
+            consensus_scores.append(score)
+            if len(triggered) >= consensus:
+                anomalies[int(X[index])] = {
+                    "anomalous": True,
+                    "anomalyScore": score,
+                    "index": index,
+                    "value": float(Y[index]),
+                    "algorithms_results":
+                        {n: (n in triggered) for n in names},
+                    "score": 1,
+                }
+        in_window = len([s for s in consensus_scores[-anomaly_window:]
+                         if s >= 1])
+        if in_window:
+            return True, 1.0, anomalies
+        return False, 0.0, anomalies
+    except Exception:
+        return None, 0.0, anomalies
+
+
 SHIPPED = {
     "sigma": sigma, "level_shift": level_shift, "iqr_outlier": iqr_outlier,
     "abs_stddev_from_median": abs_stddev_from_median,
@@ -2400,4 +3100,6 @@ SHIPPED = {
     "skyline_tsb_uad_ocsvm": skyline_tsb_uad_ocsvm,
     "laoccfdlpnc": laoccfdlpnc,
     "skyline_laoccfdlpnc": skyline_laoccfdlpnc,
+    "skyline_prophet": skyline_prophet,
+    "irregular_unstable": irregular_unstable,
 }

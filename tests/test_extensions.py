@@ -672,6 +672,121 @@ def test_laoccfdlpnc(noisy):
                                .normal(0, 1, n2), {}) == (False, 0.0)
 
 
+def test_sigma_suite(noisy):
+    """sigma — the reference's full 9-algorithm re-vote with
+    parameterized sigma (custom_algorithm_sources/sigma/sigma.py:
+    622-818): spike flags via >= consensus True votes, quiet passes,
+    the MIN_TOLERABLE_LENGTH=100 and boredom gates return False, the
+    windowed prefix loop records per-window anomalies, and the
+    anomaly_window >= 20 route hits the oneshot pass whose anomalous
+    flag needs ALL seven algorithms (the score >= 1 quirk,
+    sigma_oneshot.py:586)."""
+    from skyline_spark.functions.custom_algorithms import (
+        run_sigma_algorithms,
+        run_sigma_oneshot_algorithms,
+        sigma,
+    )
+    ts, v = noisy
+    v2 = v.copy()
+    v2[-1] = 200.0
+    assert sigma(ts, v2, {"sigma": 3}) == (True, 1.0)
+    assert sigma(ts, v, {"sigma": 3}) == (False, 0.0)
+    # gates
+    assert sigma(ts[:50], v2[:50], {}) == (False, 0.0)
+    assert sigma(ts, np.ones(ts.size), {}) == (False, 0.0)
+    # windowed path: the spike only registers at the full-series vote
+    anom, anomalies = run_sigma_algorithms(ts, v2, 3, 6, 5)
+    assert anom is True
+    assert list(anomalies) == [int(ts[-1])]
+    rec = anomalies[int(ts[-1])]
+    assert rec["index"] == ts.size - 1
+    # 6 of 9 suffice: first_hour_average (empty window) and ks_test
+    # (same distribution) stay False on this fixture
+    votes = rec["algorithms_results"]
+    assert sum(1 for r in votes.values() if r is True) >= 6
+    # a mid-series spike inside the window registers at its own index
+    v3 = v.copy()
+    v3[-3] = 200.0
+    anom3, anomalies3 = run_sigma_algorithms(ts, v3, 3, 6, 5)
+    assert anom3 is True
+    assert int(ts[-3]) in anomalies3
+    # oneshot: per-point anomalies exist at >= consensus but the
+    # anomalous flag requires all 7 (quirk preserved)
+    osh_anom, osh_score, osh_anoms = run_sigma_oneshot_algorithms(
+        ts, v2, 3, 6, 25)
+    assert osh_anom is False and osh_score == 0.0
+    assert int(ts[-1]) in osh_anoms
+    # oneshot gates return the (None, 0.0, {}) triple
+    assert run_sigma_oneshot_algorithms(ts[:50], v2[:50], 3, 6, 25) \
+        == (None, 0.0, {})
+
+
+def test_skyline_prophet(noisy):
+    """skyline_prophet — prophet-lite MAP trend + 99% interval
+    (skyline/custom_algorithms/skyline_prophet.py): an upper-interval
+    breach in the last anomaly_window flags, quiet and below-lower
+    breaches do not (the reference only keeps anomaly > 0 with positive
+    importance), a trend-following series stays quiet because the
+    piecewise trend absorbs it, and the fit is deterministic."""
+    from skyline_spark.functions.custom_algorithms import skyline_prophet
+    rng = np.random.RandomState(7)
+    n = 2000
+    ts = 1_700_000_000 + 60.0 * np.arange(n)
+    v = 100 + 0.01 * np.arange(n) + rng.normal(0, 1, n)
+    spiked = v.copy()
+    spiked[-1] = v[-1] + 30
+    assert skyline_prophet(ts, spiked, {}) == (True, 1.0)
+    assert skyline_prophet(ts, v, {}) == (False, 0.0)
+    # a NEGATIVE breach is anomaly=-1 in detect_anomalies and filtered
+    dipped = v.copy()
+    dipped[-1] = v[-1] - 30
+    assert skyline_prophet(ts, dipped, {}) == (False, 0.0)
+    # an old spike outside anomaly_window=1 does not flag
+    old_spike = v.copy()
+    old_spike[-10] = v[-10] + 30
+    assert skyline_prophet(ts, old_spike, {}) == (False, 0.0)
+    assert skyline_prophet(ts, old_spike, {"anomaly_window": 10}) \
+        == (True, 1.0)
+    # deterministic
+    assert skyline_prophet(ts, spiked, {}) == \
+        skyline_prophet(ts, spiked, {})
+    # a kinked trend is absorbed by the changepoints (no false flag)
+    kinked = v.copy()
+    kinked[n // 2:] += 0.05 * np.arange(n - n // 2)
+    assert skyline_prophet(ts, kinked, {})[0] is False
+    assert skyline_prophet(ts[:2], v[:2], {}) == (None, None)
+
+
+def test_irregular_unstable(noisy):
+    """irregular_unstable — gate cascade + 2-of-2 spectral_residual/
+    sigma consensus (skyline/custom_algorithms/irregular_unstable.py):
+    low-resolution and short-duration series short-circuit True,
+    non-low-variance series short-circuit True, a low-variance series
+    with a breaking spike needs both detectors to agree."""
+    from skyline_spark.functions.custom_algorithms import (
+        _normalised_variance,
+        irregular_unstable,
+    )
+    rng = np.random.RandomState(11)
+    n = 10080  # 7 days at 60 s
+    ts = 1_700_000_000 + 60.0 * np.arange(n)
+    quiet = 100 + rng.normal(0, 0.1, n)
+    spiked = quiet.copy()
+    spiked[-1] = 150.0
+    # min-max-normalised variance collapses under the spike's range
+    assert _normalised_variance(spiked) < 0.0065
+    assert irregular_unstable(ts, spiked, {}) == (True, 1.0)
+    # noisy-at-scale data is "not low variance" -> True short-circuit
+    assert _normalised_variance(quiet) > 0.009
+    assert irregular_unstable(ts, quiet, {}) == (True, 1.0)
+    # flat series: NaN variance falls through, both detectors quiet
+    assert irregular_unstable(ts, np.full(n, 5.0), {}) == (False, 0.0)
+    # gates
+    assert irregular_unstable(ts[::20], quiet[::20], {}) == (True, 1.0)
+    assert irregular_unstable(ts[:1000], quiet[:1000], {}) \
+        == (True, 1.0)
+
+
 def test_custom_consensus_override(noisy):
     """A consensus_override custom algorithm decides by itself even when
     the 3-sigma suite votes not-anomalous."""
