@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: 105 features — the numpy-closed-form tranche of tsfresh's
+#: 134 features — the numpy-closed-form tranche of tsfresh's
 #: EfficientFCParameters basket (reference golden CSVs
 #: /root/reference/tests/baseline/*.features.transposed.csv; tsfresh
 #: names in parentheses where ours differ). Location/count features are
@@ -87,6 +87,31 @@ FEATURE_NAMES = (
     "index_mass_quantile_075", "index_mass_quantile_09",
     "cid_ce_normalized",
     "count_reoccurring_values", "count_reoccurring_points",
+    # round-4 second tranche (29 more -> 134): the spectral /
+    # distributional EfficientFCParameters slice — fft_coefficient
+    # (real/imag/abs at k=1..3, direct-DFT term order mirrored in the
+    # SQL twin), fft_aggregated spectrum moments, energy_ratio_by_chunks
+    # (np.array_split boundaries), change_quantiles with ORDER-STATISTIC
+    # corridor bounds (discrete quantile, not tsfresh's interpolated one,
+    # so the inside-corridor membership test is bit-identical across
+    # engines), permutation_entropy (dim 3, tau 1, argsort tie order),
+    # benford_correlation (first digit via %e scientific rounding in
+    # both engines), linear_trend stderr on the ts axis, and the
+    # closed-form lag-2 partial autocorrelation
+    "fft_coef_1_real", "fft_coef_1_imag", "fft_coef_1_abs",
+    "fft_coef_2_abs", "fft_coef_3_abs",
+    "fft_agg_centroid", "fft_agg_variance",
+    "fft_agg_skew", "fft_agg_kurtosis",
+    "energy_ratio_chunk_0", "energy_ratio_chunk_1",
+    "energy_ratio_chunk_2", "energy_ratio_chunk_3",
+    "energy_ratio_chunk_4", "energy_ratio_chunk_5",
+    "energy_ratio_chunk_6", "energy_ratio_chunk_7",
+    "energy_ratio_chunk_8", "energy_ratio_chunk_9",
+    "change_q_mean_00_10", "change_q_var_00_10",
+    "change_q_mean_02_08", "change_q_var_02_08",
+    "change_q_mean_04_06", "change_q_var_04_06",
+    "permutation_entropy_3", "benford_correlation",
+    "linear_trend_stderr", "pacf_lag2",
 )
 
 
@@ -161,6 +186,7 @@ def compute_features(ts: np.ndarray, values: np.ndarray) -> dict[str, float]:
         "has_duplicate_min": float(np.sum(v == vmin) > 1),
         **_second_tranche(x, v, n, mean, std, vmin, vmax, centered),
         **_third_tranche(v, n, mean, std, centered),
+        **_fourth_tranche(ts, v, n, mean, std, centered),
     }
 
 
@@ -306,6 +332,133 @@ def _third_tranche(v: np.ndarray, n: int, mean: float, std: float,
         out["cid_ce_normalized"] = 0.0
     out["count_reoccurring_values"] = float(dup.sum())
     out["count_reoccurring_points"] = float(counts[dup].sum())
+    return out
+
+
+def _fourth_tranche(ts: np.ndarray, v: np.ndarray, n: int, mean: float,
+                    std: float, centered: np.ndarray) -> dict[str, float]:
+    out: dict[str, float] = {}
+    # fft_coefficient at k=1..3 — direct DFT dot products with the SAME
+    # term order/argument expression as the SQL twin (numpy rfft sign
+    # convention: imag = -sum v sin)
+    idx = np.arange(n, dtype=np.float64)
+    for k in (1, 2, 3):
+        ang = 2.0 * np.pi * k * idx / n
+        re = float(np.dot(v, np.cos(ang)))
+        im = -float(np.dot(v, np.sin(ang)))
+        if k == 1:
+            out["fft_coef_1_real"] = re
+            out["fft_coef_1_imag"] = im
+        out[f"fft_coef_{k}_abs"] = float(np.sqrt(re * re + im * im))
+    # fft_aggregated — weighted bin-index moments of the rfft amplitude
+    # spectrum (tsfresh centroid/variance/skew/kurtosis formulas)
+    amps = np.abs(np.fft.rfft(v))
+    tot = float(amps.sum())
+    if tot > 0:
+        bins = np.arange(amps.size, dtype=np.float64)
+        m1 = float(np.dot(amps, bins)) / tot
+        m2 = float(np.dot(amps, bins ** 2)) / tot
+        m3 = float(np.dot(amps, bins ** 3)) / tot
+        m4 = float(np.dot(amps, bins ** 4)) / tot
+        var = m2 - m1 * m1
+        out["fft_agg_centroid"] = m1
+        out["fft_agg_variance"] = var
+        if var > 0:
+            out["fft_agg_skew"] = \
+                (m3 - 3 * m1 * m2 + 2 * m1 ** 3) / var ** 1.5
+            out["fft_agg_kurtosis"] = \
+                (m4 - 4 * m1 * m3 + 6 * m1 * m1 * m2 - 3 * m1 ** 4) \
+                / (var * var)
+        else:
+            out["fft_agg_skew"] = 0.0
+            out["fft_agg_kurtosis"] = 0.0
+    else:
+        for kname in ("fft_agg_centroid", "fft_agg_variance",
+                      "fft_agg_skew", "fft_agg_kurtosis"):
+            out[kname] = 0.0
+    # energy_ratio_by_chunks — np.array_split boundaries: the first
+    # n%10 chunks get ceil(n/10) points
+    e_tot = float(np.dot(v, v))
+    q, r = divmod(n, 10)
+    start = 0
+    for j in range(10):
+        size = q + 1 if j < r else q
+        chunk = v[start:start + size]
+        start += size
+        out[f"energy_ratio_chunk_{j}"] = \
+            float(np.dot(chunk, chunk)) / e_tot if e_tot > 0 else 0.0
+    # change_quantiles (isabs=True, f_agg mean + population var) with
+    # order-statistic corridor bounds (see FEATURE_NAMES note)
+    d = np.diff(v) if n > 1 else np.empty(0)
+    srt = np.sort(v)
+    for tag, ql, qh in (("00_10", 0.0, 1.0), ("02_08", 0.2, 0.8),
+                        ("04_06", 0.4, 0.6)):
+        lo = float(srt[int(np.floor((n - 1) * ql))])
+        hi = float(srt[int(np.floor((n - 1) * qh))])
+        if n > 1:
+            inside = (v >= lo) & (v <= hi)
+            sel = np.abs(d[inside[:-1] & inside[1:]])
+        else:
+            sel = np.empty(0)
+        if sel.size:
+            m = float(sel.mean())
+            out[f"change_q_mean_{tag}"] = m
+            out[f"change_q_var_{tag}"] = float(np.mean((sel - m) ** 2))
+        else:
+            out[f"change_q_mean_{tag}"] = 0.0
+            out[f"change_q_var_{tag}"] = 0.0
+    # permutation_entropy (dim 3, tau 1) — pattern id by argsort with
+    # stable index tie-breaking; natural-log entropy
+    if n > 2:
+        a, b, c = v[:-2], v[1:-1], v[2:]
+        pats = np.array([
+            np.sum((a <= b) & (b <= c)),   # (0,1,2)
+            np.sum((a <= c) & (c < b)),    # (0,2,1)
+            np.sum((b < a) & (a <= c)),    # (1,0,2)
+            np.sum((b <= c) & (c < a)),    # (1,2,0)
+            np.sum((c < a) & (a <= b)),    # (2,0,1)
+            np.sum((c < b) & (b < a)),     # (2,1,0)
+        ], dtype=np.float64)
+        p = pats[pats > 0] / (n - 2)
+        out["permutation_entropy_3"] = float(-np.sum(p * np.log(p)))
+    else:
+        out["permutation_entropy_3"] = 0.0
+    # benford_correlation — first significant digit via %e scientific
+    # rounding (np.format_float_scientific here, printf('%e') in the
+    # SQL twin: identical on decimal-grid data), correlation against
+    # log10(1 + 1/d) in the explicit closed form both engines share
+    ax = np.abs(np.nan_to_num(v))
+    digits = np.zeros(n, dtype=np.int64)
+    for i in np.flatnonzero(ax > 0):
+        digits[i] = int(np.format_float_scientific(ax[i],
+                                                   precision=6)[0])
+    pd_ = np.array([float(np.sum(digits == dd)) / n
+                    for dd in range(1, 10)])
+    bd = np.log10(1.0 + 1.0 / np.arange(1, 10, dtype=np.float64))
+    mp_, mb = float(pd_.mean()), float(bd.mean())
+    vp = float(np.mean(pd_ * pd_)) - mp_ * mp_
+    vb = float(np.mean(bd * bd)) - mb * mb
+    cov = float(np.mean(pd_ * bd)) - mp_ * mb
+    out["benford_correlation"] = \
+        cov / np.sqrt(vp * vb) if vp > 0 and vb > 0 else 0.0
+    # linear_trend stderr on the ts axis (regr_sxx/syy/sxy formulas)
+    if n > 2:
+        tbar, vbar = float(ts.mean()), mean
+        dt = ts - tbar
+        sxx = float(np.dot(dt, dt))
+        syy = float(np.dot(v - vbar, v - vbar))
+        sxy = float(np.dot(dt, v - vbar))
+        out["linear_trend_stderr"] = float(np.sqrt(
+            max(syy - sxy * sxy / sxx, 0.0) / ((n - 2) * sxx))) \
+            if sxx > 0 else 0.0
+    else:
+        out["linear_trend_stderr"] = 0.0
+    # lag-2 partial autocorrelation, Durbin-Levinson closed form over
+    # the tsfresh-style acf estimates
+    r1 = _autocorr_k(centered, n, std, 1)
+    r2 = _autocorr_k(centered, n, std, 2)
+    denom = 1.0 - r1 * r1
+    out["pacf_lag2"] = (r2 - r1 * r1) / denom if denom != 0 else 0.0
     return out
 
 

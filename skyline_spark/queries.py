@@ -105,7 +105,7 @@ def _pz(sql: str) -> str:
     The suffix match works for arbitrarily nested/multi-line round()
     expressions; comparison-position rounds (``round(x, 0) <> 0``) are
     untouched."""
-    for p in ("6", "4", "2"):
+    for p in ("6", "4", "3", "2"):
         sql = sql.replace(f", {p}) AS ", f", {p}) + 0.0 AS ")
     return sql
 
@@ -2796,7 +2796,7 @@ REGISTRY.update({
 def q_feature_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — the ionosphere feature basket (features_profile.FEATURE_NAMES;
     tsfresh-flavored stand-in, SURVEY §2.9): the REAL applyInPandas
-    kernel's 105 features + features_sum, value-checked against a full
+    kernel's 134 features + features_sum, value-checked against a full
     SQL twin (population std, linear-interp quantiles, autocorrelation
     lags 1-9, OLS slope, the sigma/quantile/crossing/peak grids — all
     ANSI-expressible)."""
@@ -2813,7 +2813,19 @@ def q_feature_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f_c3_lag1": 2, "f_c3_lag2": 2, "f_c3_lag3": 2,
             "f_trev_lag1": 2, "f_trev_lag2": 2, "f_trev_lag3": 2,
             "f_variance": 4, "f_sum_reoccurring_values": 4,
-            "f_sum_reoccurring_points": 4}
+            "f_sum_reoccurring_points": 4,
+            # round-4 tranche: FFT-vs-direct-DFT and sum-order engine
+            # deltas are ~1e-9 absolute at sf-scale magnitudes — round
+            # coarsely enough that no delta can straddle a boundary
+            "f_fft_coef_1_real": 2, "f_fft_coef_1_imag": 2,
+            "f_fft_coef_1_abs": 2, "f_fft_coef_2_abs": 2,
+            "f_fft_coef_3_abs": 2,
+            "f_fft_agg_centroid": 4, "f_fft_agg_variance": 2,
+            "f_fft_agg_skew": 4, "f_fft_agg_kurtosis": 4,
+            "f_change_q_var_00_10": 2, "f_change_q_var_02_08": 2,
+            "f_change_q_var_04_06": 2,
+            # pacf's 1/(1-r1^2) amplifies ~1e-14 acf engine deltas
+            "f_pacf_lag2": 3}
     cols = [_RP(c, prec.get(c, 6)).alias(c)
             for c in out.columns if c != "conv_id"]
     return out.select("conv_id", *cols)
@@ -2847,7 +2859,10 @@ _FEATURES_CTES = r"""
            min(epoch(ts)) AS t0,
            regr_slope(value, epoch(ts)) AS raw_slope,
            regr_intercept(value, epoch(ts)) AS raw_icpt,
-           corr(value, epoch(ts)) AS raw_corr
+           corr(value, epoch(ts)) AS raw_corr,
+           regr_sxx(value, epoch(ts)) AS raw_sxx,
+           regr_syy(value, epoch(ts)) AS raw_syy,
+           regr_sxy(value, epoch(ts)) AS raw_sxy
     FROM valid GROUP BY conv_id),
 reocc AS (
     SELECT conv_id,
@@ -2877,7 +2892,81 @@ imq AS (
         WINDOW w AS (PARTITION BY conv_id ORDER BY epoch(ts)
                      ROWS UNBOUNDED PRECEDING))
     WHERE tot > 0 GROUP BY conv_id),
-derived AS (
+spec AS (
+    SELECT conv_id,
+           [sqrt(pow(list_sum([l[i] * cos(2 * pi() * k * (i - 1) / n)
+                               FOR i IN range(1, n + 1)]), 2)
+                 + pow(list_sum([l[i] * sin(2 * pi() * k * (i - 1) / n)
+                                 FOR i IN range(1, n + 1)]), 2))
+            FOR k IN range(0, n // 2 + 1)] AS amps
+    FROM base),
+specm AS (
+    SELECT conv_id,
+           list_sum(amps) AS s_tot,
+           list_sum([amps[j] * (j - 1)
+                     FOR j IN range(1, len(amps) + 1)]) AS s_m1,
+           list_sum([amps[j] * pow(j - 1, 2)
+                     FOR j IN range(1, len(amps) + 1)]) AS s_m2,
+           list_sum([amps[j] * pow(j - 1, 3)
+                     FOR j IN range(1, len(amps) + 1)]) AS s_m3,
+           list_sum([amps[j] * pow(j - 1, 4)
+                     FOR j IN range(1, len(amps) + 1)]) AS s_m4
+    FROM spec),
+fftc AS (
+    SELECT conv_id,
+           list_sum([l[i] * cos(2 * pi() * 1 * (i - 1) / n)
+                     FOR i IN range(1, n + 1)]) AS re1,
+           -(list_sum([l[i] * sin(2 * pi() * 1 * (i - 1) / n)
+                       FOR i IN range(1, n + 1)])) AS im1,
+           list_sum([l[i] * cos(2 * pi() * 2 * (i - 1) / n)
+                     FOR i IN range(1, n + 1)]) AS re2,
+           -(list_sum([l[i] * sin(2 * pi() * 2 * (i - 1) / n)
+                       FOR i IN range(1, n + 1)])) AS im2,
+           list_sum([l[i] * cos(2 * pi() * 3 * (i - 1) / n)
+                     FOR i IN range(1, n + 1)]) AS re3,
+           -(list_sum([l[i] * sin(2 * pi() * 3 * (i - 1) / n)
+                       FOR i IN range(1, n + 1)])) AS im3
+    FROM base),
+benf AS (
+    SELECT conv_id,
+           CASE WHEN (list_sum([x * x FOR x IN pd]) / 9.0
+                      - pow(list_sum(pd) / 9.0, 2)) > 1e-12
+                THEN (list_sum([pd[j] * bd[j] FOR j IN range(1, 10)])
+                          / 9.0
+                      - (list_sum(pd) / 9.0) * (list_sum(bd) / 9.0))
+                     / sqrt((list_sum([x * x FOR x IN pd]) / 9.0
+                             - pow(list_sum(pd) / 9.0, 2))
+                            * (list_sum([x * x FOR x IN bd]) / 9.0
+                               - pow(list_sum(bd) / 9.0, 2)))
+                ELSE 0.0 END AS benford_corr
+    FROM (SELECT conv_id,
+                 [CAST(len(list_filter(l, x -> abs(x) > 0
+                      AND left(printf('%e', abs(x)), 1)
+                          = CAST(d AS VARCHAR))) AS DOUBLE) / n
+                  FOR d IN range(1, 10)] AS pd,
+                 [log10(1 + 1.0 / d) FOR d IN range(1, 10)] AS bd
+          FROM base)),
+cqb AS (
+    SELECT conv_id, n, l,
+           ls[1] AS cq_lo0, ls[n] AS cq_hi0,
+           ls[CAST(floor((n - 1) * 0.2) AS BIGINT) + 1] AS cq_lo2,
+           ls[CAST(floor((n - 1) * 0.8) AS BIGINT) + 1] AS cq_hi8,
+           ls[CAST(floor((n - 1) * 0.4) AS BIGINT) + 1] AS cq_lo4,
+           ls[CAST(floor((n - 1) * 0.6) AS BIGINT) + 1] AS cq_hi6
+    FROM (SELECT conv_id, n, l, list_sort(l) AS ls FROM base)),
+cqd AS (
+    SELECT conv_id,
+           [abs(l[i + 1] - l[i]) FOR i IN range(1, n)
+            IF l[i] >= cq_lo0 AND l[i] <= cq_hi0
+               AND l[i + 1] >= cq_lo0 AND l[i + 1] <= cq_hi0] AS d00,
+           [abs(l[i + 1] - l[i]) FOR i IN range(1, n)
+            IF l[i] >= cq_lo2 AND l[i] <= cq_hi8
+               AND l[i + 1] >= cq_lo2 AND l[i + 1] <= cq_hi8] AS d28,
+           [abs(l[i + 1] - l[i]) FOR i IN range(1, n)
+            IF l[i] >= cq_lo4 AND l[i] <= cq_hi6
+               AND l[i + 1] >= cq_lo4 AND l[i + 1] <= cq_hi6] AS d46
+    FROM cqb),
+derived0 AS (
     SELECT conv_id, n, f_mean, f_std, f_median, f_min, f_max, f_sum,
            f_abs_energy, f_q25, f_q75, f_q05, f_q95,
            f_q10, f_q20, f_q30, f_q40, f_q60, f_q70, f_q80, f_q90,
@@ -3025,9 +3114,21 @@ derived AS (
            CASE WHEN n > 1 THEN coalesce(raw_corr, 0.0)
                 ELSE 0.0 END AS f_corr_rvalue,
            coalesce(q.imq_05, 0.0) AS f_index_mass_quantile_05,
-__TRANCHE3__
+__TRANCHE3__,
+__TRANCHE4__
     FROM base LEFT JOIN reocc r USING (conv_id)
-    LEFT JOIN imq q USING (conv_id))
+    LEFT JOIN imq q USING (conv_id)
+    LEFT JOIN specm s USING (conv_id)
+    LEFT JOIN fftc fc USING (conv_id)
+    LEFT JOIN benf bf USING (conv_id)
+    LEFT JOIN cqd c USING (conv_id)),
+derived AS (
+    SELECT *,
+           CASE WHEN 1 - f_autocorr_lag1 * f_autocorr_lag1 <> 0
+                THEN (f_autocorr_lag2 - f_autocorr_lag1 * f_autocorr_lag1)
+                     / (1 - f_autocorr_lag1 * f_autocorr_lag1)
+                ELSE 0.0 END AS f_pacf_lag2
+    FROM derived0)
 """
 
 
@@ -3099,11 +3200,95 @@ def _tranche3_derived_sql() -> str:
     return "           " + ",\n           ".join(p)
 
 
+def _tranche4_derived_sql() -> str:
+    """derived-CTE expressions for the round-4 spectral/distributional
+    tranche (features_profile._fourth_tranche): fft coefficients from
+    the fftc direct-DFT CTE, fft_aggregated moments from specm,
+    energy_ratio_by_chunks with np.array_split boundaries,
+    change_quantiles mean/population-var over the cqd corridor-diff
+    lists, the 6-pattern permutation entropy, benford correlation from
+    benf, and the regr_* linear-trend stderr — every formula in the
+    SAME operation order as the numpy kernel."""
+    p = []
+    p.append("fc.re1 AS f_fft_coef_1_real")
+    p.append("fc.im1 AS f_fft_coef_1_imag")
+    for k in (1, 2, 3):
+        p.append(f"sqrt(fc.re{k} * fc.re{k} + fc.im{k} * fc.im{k})\n"
+                 f"     AS f_fft_coef_{k}_abs")
+    m1 = "(s.s_m1 / s.s_tot)"
+    m2 = "(s.s_m2 / s.s_tot)"
+    m3 = "(s.s_m3 / s.s_tot)"
+    m4 = "(s.s_m4 / s.s_tot)"
+    var = f"({m2} - {m1} * {m1})"
+    p.append(f"CASE WHEN s.s_tot > 0 THEN {m1} ELSE 0.0 END\n"
+             "     AS f_fft_agg_centroid")
+    p.append(f"CASE WHEN s.s_tot > 0 THEN {var} ELSE 0.0 END\n"
+             "     AS f_fft_agg_variance")
+    p.append(f"CASE WHEN s.s_tot > 0 AND {var} > 0\n"
+             f"     THEN ({m3} - 3 * {m1} * {m2} + 2 * pow({m1}, 3))\n"
+             f"          / pow({var}, 1.5)\n"
+             "     ELSE 0.0 END AS f_fft_agg_skew")
+    p.append(f"CASE WHEN s.s_tot > 0 AND {var} > 0\n"
+             f"     THEN ({m4} - 4 * {m1} * {m3}\n"
+             f"           + 6 * {m1} * {m1} * {m2} - 3 * pow({m1}, 4))\n"
+             f"          / ({var} * {var})\n"
+             "     ELSE 0.0 END AS f_fft_agg_kurtosis")
+    for j in range(10):
+        lo = (f"(CASE WHEN {j} < n % 10 THEN {j} * (n // 10 + 1)\n"
+              f"           ELSE (n % 10) * (n // 10 + 1)\n"
+              f"                + ({j} - n % 10) * (n // 10) END)")
+        size = f"(CASE WHEN {j} < n % 10 THEN n // 10 + 1 ELSE n // 10 END)"
+        p.append(
+            "CASE WHEN f_abs_energy > 0\n"
+            f"     THEN coalesce(list_sum([l[i] * l[i] FOR i IN\n"
+            f"              range({lo} + 1,\n"
+            f"                    {lo} + {size} + 1)]), 0.0)\n"
+            "          / f_abs_energy\n"
+            f"     ELSE 0.0 END AS f_energy_ratio_chunk_{j}")
+    for tag, col in (("00_10", "c.d00"), ("02_08", "c.d28"),
+                     ("04_06", "c.d46")):
+        mean = f"(list_sum({col}) / len({col}))"
+        p.append(f"CASE WHEN len({col}) > 0 THEN {mean}\n"
+                 f"     ELSE 0.0 END AS f_change_q_mean_{tag}")
+        p.append(
+            f"CASE WHEN len({col}) > 0\n"
+            f"     THEN list_sum([(x - {mean}) * (x - {mean})\n"
+            f"                    FOR x IN {col}]) / len({col})\n"
+            f"     ELSE 0.0 END AS f_change_q_var_{tag}")
+    pats = [
+        "l[i] <= l[i + 1] AND l[i + 1] <= l[i + 2]",
+        "l[i] <= l[i + 2] AND l[i + 2] < l[i + 1]",
+        "l[i + 1] < l[i] AND l[i] <= l[i + 2]",
+        "l[i + 1] <= l[i + 2] AND l[i + 2] < l[i]",
+        "l[i + 2] < l[i] AND l[i] <= l[i + 1]",
+        "l[i + 2] < l[i + 1] AND l[i + 1] < l[i]",
+    ]
+    counts = ",\n              ".join(
+        f"CAST(len(list_filter(range(1, n - 1),\n"
+        f"              i -> {cond})) AS DOUBLE)" for cond in pats)
+    p.append(
+        "CASE WHEN n > 2 THEN -list_sum(\n"
+        "         [CASE WHEN cc > 0\n"
+        "              THEN (cc / (n - 2.0)) * ln(cc / (n - 2.0))\n"
+        "              ELSE 0.0 END\n"
+        f"          FOR cc IN [{counts}]])\n"
+        "     ELSE 0.0 END AS f_permutation_entropy_3")
+    p.append("coalesce(bf.benford_corr, 0.0) AS f_benford_correlation")
+    p.append(
+        "CASE WHEN n > 2 AND raw_sxx > 0\n"
+        "     THEN sqrt(greatest(raw_syy - raw_sxy * raw_sxy / raw_sxx,\n"
+        "                        0.0) / ((n - 2) * raw_sxx))\n"
+        "     ELSE 0.0 END AS f_linear_trend_stderr")
+    return "           " + ",\n           ".join(p)
+
+
 _FEATURES_CTES = _FEATURES_CTES.replace("__TRANCHE3__",
                                         _tranche3_derived_sql())
+_FEATURES_CTES = _FEATURES_CTES.replace("__TRANCHE4__",
+                                        _tranche4_derived_sql())
 
 _FEATURES_FINAL = r"""SELECT conv_id,
-       round(f_mean + f_std + f_median + f_min + f_max + f_sum
+       round((f_mean + f_std + f_median + f_min + f_max + f_sum
              + f_abs_energy + f_mean_abs_change + f_count_above_mean
              + f_count_below_mean + f_q25 + f_q75 + f_skewness_like
              + f_autocorr_lag1 + f_slope + f_length + f_rms
@@ -3114,8 +3299,8 @@ _FEATURES_FINAL = r"""SELECT conv_id,
              + f_longest_strike_above_mean + f_longest_strike_below_mean
              + f_first_loc_max + f_last_loc_max + f_first_loc_min
              + f_last_loc_min + f_count_unique + f_has_duplicate
-             + f_has_duplicate_max + f_has_duplicate_min
-             + f_variance + f_var_gt_std
+             + f_has_duplicate_max + f_has_duplicate_min)
+             + (f_variance + f_var_gt_std
              + f_c3_lag1 + f_c3_lag2 + f_c3_lag3
              + f_trev_lag1 + f_trev_lag2 + f_trev_lag3
              + f_count_beyond_1sigma + f_count_beyond_2sigma
@@ -3123,8 +3308,8 @@ _FEATURES_FINAL = r"""SELECT conv_id,
              + f_sum_reoccurring_values + f_sum_reoccurring_points
              + f_binned_entropy_10 + f_autocorr_lag2 + f_autocorr_lag3
              + f_mean_n_abs_max_7 + f_corr_rvalue
-             + f_index_mass_quantile_05
-             + f_q10 + f_q20 + f_q30 + f_q40 + f_q60 + f_q70 + f_q80
+             + f_index_mass_quantile_05)
+             + (f_q10 + f_q20 + f_q30 + f_q40 + f_q60 + f_q70 + f_q80
              + f_q90 + f_autocorr_lag4 + f_autocorr_lag5
              + f_autocorr_lag6 + f_autocorr_lag7 + f_autocorr_lag8
              + f_autocorr_lag9 + f_num_crossing_0 + f_num_crossing_1
@@ -3140,7 +3325,21 @@ _FEATURES_FINAL = r"""SELECT conv_id,
              + f_index_mass_quantile_025 + f_index_mass_quantile_075
              + f_index_mass_quantile_09 + f_cid_ce_normalized
              + f_count_reoccurring_values
-             + f_count_reoccurring_points, 2)
+             + f_count_reoccurring_points)
+             + (f_fft_coef_1_real + f_fft_coef_1_imag + f_fft_coef_1_abs
+             + f_fft_coef_2_abs + f_fft_coef_3_abs
+             + f_fft_agg_centroid + f_fft_agg_variance
+             + f_fft_agg_skew + f_fft_agg_kurtosis
+             + f_energy_ratio_chunk_0 + f_energy_ratio_chunk_1
+             + f_energy_ratio_chunk_2 + f_energy_ratio_chunk_3
+             + f_energy_ratio_chunk_4 + f_energy_ratio_chunk_5
+             + f_energy_ratio_chunk_6 + f_energy_ratio_chunk_7
+             + f_energy_ratio_chunk_8 + f_energy_ratio_chunk_9
+             + f_change_q_mean_00_10 + f_change_q_var_00_10
+             + f_change_q_mean_02_08 + f_change_q_var_02_08
+             + f_change_q_mean_04_06 + f_change_q_var_04_06
+             + f_permutation_entropy_3 + f_benford_correlation
+             + f_linear_trend_stderr + f_pacf_lag2), 2)
            AS features_sum,
        round(f_mean, 6) AS f_mean, round(f_std, 6) AS f_std,
        round(f_median, 6) AS f_median, round(f_min, 6) AS f_min,
@@ -3238,22 +3437,50 @@ _FEATURES_FINAL = r"""SELECT conv_id,
        round(f_index_mass_quantile_09, 6) AS f_index_mass_quantile_09,
        round(f_cid_ce_normalized, 6) AS f_cid_ce_normalized,
        round(f_count_reoccurring_values, 6) AS f_count_reoccurring_values,
-       round(f_count_reoccurring_points, 6) AS f_count_reoccurring_points
+       round(f_count_reoccurring_points, 6) AS f_count_reoccurring_points,
+       round(f_fft_coef_1_real, 2) AS f_fft_coef_1_real,
+       round(f_fft_coef_1_imag, 2) AS f_fft_coef_1_imag,
+       round(f_fft_coef_1_abs, 2) AS f_fft_coef_1_abs,
+       round(f_fft_coef_2_abs, 2) AS f_fft_coef_2_abs,
+       round(f_fft_coef_3_abs, 2) AS f_fft_coef_3_abs,
+       round(f_fft_agg_centroid, 4) AS f_fft_agg_centroid,
+       round(f_fft_agg_variance, 2) AS f_fft_agg_variance,
+       round(f_fft_agg_skew, 4) AS f_fft_agg_skew,
+       round(f_fft_agg_kurtosis, 4) AS f_fft_agg_kurtosis,
+       round(f_energy_ratio_chunk_0, 6) AS f_energy_ratio_chunk_0,
+       round(f_energy_ratio_chunk_1, 6) AS f_energy_ratio_chunk_1,
+       round(f_energy_ratio_chunk_2, 6) AS f_energy_ratio_chunk_2,
+       round(f_energy_ratio_chunk_3, 6) AS f_energy_ratio_chunk_3,
+       round(f_energy_ratio_chunk_4, 6) AS f_energy_ratio_chunk_4,
+       round(f_energy_ratio_chunk_5, 6) AS f_energy_ratio_chunk_5,
+       round(f_energy_ratio_chunk_6, 6) AS f_energy_ratio_chunk_6,
+       round(f_energy_ratio_chunk_7, 6) AS f_energy_ratio_chunk_7,
+       round(f_energy_ratio_chunk_8, 6) AS f_energy_ratio_chunk_8,
+       round(f_energy_ratio_chunk_9, 6) AS f_energy_ratio_chunk_9,
+       round(f_change_q_mean_00_10, 6) AS f_change_q_mean_00_10,
+       round(f_change_q_var_00_10, 2) AS f_change_q_var_00_10,
+       round(f_change_q_mean_02_08, 6) AS f_change_q_mean_02_08,
+       round(f_change_q_var_02_08, 2) AS f_change_q_var_02_08,
+       round(f_change_q_mean_04_06, 6) AS f_change_q_mean_04_06,
+       round(f_change_q_var_04_06, 2) AS f_change_q_var_04_06,
+       round(f_permutation_entropy_3, 6) AS f_permutation_entropy_3,
+       round(f_benford_correlation, 6) AS f_benford_correlation,
+       round(f_linear_trend_stderr, 6) AS f_linear_trend_stderr,
+       round(f_pacf_lag2, 3) AS f_pacf_lag2
 FROM derived
 """
 
 
 def _features_sql_block(sfx: str, src: str) -> str:
     s = _FEATURES_CTES
-    for name in ("base", "reocc", "imq", "derived"):
-        s = s.replace(f" {name} AS (", f" {name}{sfx} AS (")
-        s = s.replace(f"\n{name} AS (", f"\n{name}{sfx} AS (")
-    s = (s.replace("FROM base LEFT JOIN reocc r USING (conv_id)",
-                   f"FROM base{sfx} LEFT JOIN reocc{sfx} r USING (conv_id)")
-         .replace("LEFT JOIN imq q USING (conv_id))",
-                  f"LEFT JOIN imq{sfx} q USING (conv_id))")
-         .replace("FROM base)", f"FROM base{sfx})")
-         .replace("FROM valid", f"FROM {src}"))
+    if sfx:
+        # rename every CTE (definition + reference) with the suffix;
+        # \b keeps imq_05-style column names and derived0-vs-derived
+        # prefixes apart
+        for name in ("base", "reocc", "imq", "spec", "specm", "fftc",
+                     "benf", "cqb", "cqd", "derived0", "derived"):
+            s = _re.sub(rf"\b{name}\b", f"{name}{sfx}", s)
+    s = s.replace("FROM valid", f"FROM {src}")
     return s
 
 
