@@ -485,3 +485,81 @@ def test_streaming_flux_aggregate(spark, tmp_path):
         got[["namespace", "bucket_start", "avg", "sum", "min", "max"]],
         want[["namespace", "bucket_start", "avg", "sum", "min", "max"]],
         check_dtype=False)
+
+
+def test_streaming_stateful_analyze(spark, tmp_path):
+    """applyInPandasWithState analyze: each (conv_id, metric) series'
+    raw retention window lives in group state (the Redis FULL_DURATION
+    window analogue) — turns split over THREE chronological
+    micro-batches must converge to verdicts IDENTICAL to the batch
+    kernel on the full input, per series, at the same pinned `now`."""
+    import os
+
+    from skyline_spark.operators.analyze import analyze
+    from skyline_spark.operators.parse import parse_events
+    from skyline_spark.plans.pipeline import batch_now
+    from skyline_spark.sources.transcripts import synthetic_transcripts
+    from skyline_spark.streaming.analyze import streaming_analyze
+    from skyline_spark.synth import fixture_pipeline_config
+
+    tdf = synthetic_transcripts(spark)
+    parsed = parse_events(tdf).where(F.col("value").isNotNull())
+    now = batch_now(tdf)
+    cfg = fixture_pipeline_config()
+
+    # three chronological files = three micro-batches; every series
+    # straddles the batch boundaries, so its verdict can only be right
+    # if the window state survives them
+    pp = parsed.select("conv_id", "metric", "ts", "value").toPandas() \
+        .sort_values("ts", kind="stable", ignore_index=True)
+    cuts = [0, len(pp) // 3, 2 * len(pp) // 3, len(pp)]
+    srcdir = str(tmp_path / "turns")
+    os.makedirs(srcdir, exist_ok=True)
+    for i in range(3):
+        spark.createDataFrame(pp.iloc[cuts[i]:cuts[i + 1]]) \
+            .coalesce(1).write.parquet(f"{srcdir}/b{i}")
+
+    stream = (spark.readStream
+              .schema("conv_id string, metric string, ts timestamp, "
+                      "value double")
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false").parquet(f"{srcdir}/b*"))
+    out = streaming_analyze(stream, cfg, rules=[], now=now)
+    q = (out.writeStream.format("memory").queryName("stream_verdicts")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_an"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    emitted = spark.sql("SELECT * FROM stream_verdicts").toPandas()
+    # one emission per series per micro-batch it had rows in; the
+    # converged verdict is the one with the LATEST window head
+    # (last_ts is monotone per series as state accumulates; n_points is
+    # NOT — the retention trim can shrink the window as the head
+    # advances, which is exactly why it can't be the sort key)
+    # (drop_duplicates keep='last', NOT groupby().last() — the latter
+    # takes the last NON-NULL per column and would resurrect an early
+    # partial-window Stale exception over the final None)
+    last = (emitted.sort_values("last_ts", kind="stable")
+            .drop_duplicates(["conv_id", "metric"], keep="last")
+            .reset_index(drop=True))
+
+    want = (analyze(parsed, cfg, now, rules=[])
+            .select("conv_id", "metric", "anomalous", "exception",
+                    "datapoint", "n_points", "last_ts", "triggered")
+            .toPandas())
+    merged = last.merge(want, on=["conv_id", "metric"],
+                        suffixes=("_s", "_b"))
+    assert len(merged) == len(want) == len(last)
+    assert (merged.anomalous_s == merged.anomalous_b).all()
+    assert (merged.exception_s.fillna("-")
+            == merged.exception_b.fillna("-")).all()
+    assert (merged.n_points_s == merged.n_points_b).all()
+    assert (merged.last_ts_s == merged.last_ts_b).all()
+    assert all(list(a) == list(b) for a, b in
+               zip(merged.triggered_s, merged.triggered_b))
+    # datapoint: exact equality (same kernel, same float path)
+    import numpy as np
+    assert np.allclose(merged.datapoint_s.astype(float),
+                       merged.datapoint_b.astype(float),
+                       rtol=0, atol=0, equal_nan=True)
