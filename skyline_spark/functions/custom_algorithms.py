@@ -2815,15 +2815,21 @@ def _sigma_resolution(X: np.ndarray) -> float:
     return float(diffs[np.argmax(counts)])
 
 
-def _sigma_vote(X, Y, ts_list, res, sigma_value, consensus):
+def _sigma_vote(X, Y, ts_list, res, sigma_value, consensus,
+                algorithms: tuple | None = None):
     """One ensemble pass with the maximum-false early exit
-    (sigma.py:672-744).  Returns (anomaly, algorithms_run)."""
+    (sigma.py:672-744).  Returns (anomaly, algorithms_run).
+    ``algorithms`` restricts the suite (the settings.ALGORITHMS
+    analogue — maximum_false_count scales with the restricted
+    length, exactly as the reference derives it from len(ALGORITHMS))."""
     series = pd.Series(Y)
-    max_false = len(_SIGMA_SUITE) - consensus + 1
+    suite = [(n, f) for n, f in _SIGMA_SUITE
+             if algorithms is None or n in algorithms]
+    max_false = len(suite) - consensus + 1
     ensemble: list[bool | None] = []
     algorithms_run: dict[str, bool | None] = {}
     consensus_possible = True
-    for name, fn in _SIGMA_SUITE:
+    for name, fn in suite:
         if not consensus_possible:
             continue
         try:
@@ -2846,6 +2852,33 @@ def _sigma_vote(X, Y, ts_list, res, sigma_value, consensus):
     # count(True) checks, so the decision reduces to this.
     anomaly = ensemble.count(True) >= consensus
     return anomaly, ensemble, algorithms_run
+
+
+#: the SQL-expressible 8 of the suite (everything but ks_test), in
+#: settings.ALGORITHMS order — the sigma_vote_sql8 oracle restriction
+SIGMA_SQL8_ALGORITHMS = (
+    "histogram_bins", "first_hour_average", "stddev_from_average",
+    "grubbs", "mean_subtraction_cumulation",
+    "median_absolute_deviation", "stddev_from_moving_average",
+    "least_squares")
+
+
+def sigma_vote_flags(ts: np.ndarray, values: np.ndarray,
+                     sigma_value: int = 3, consensus: int = 6,
+                     algorithms: tuple | None = None):
+    """Oracle/test surface: the run_sigma_algorithms entry gates + ONE
+    ensemble pass (no anomaly-window prefix loop), returning
+    (gated, anomaly, algorithms_run) so per-algorithm flags are
+    observable even on non-anomalous series.  Not-run algorithms
+    (post-early-exit) are simply absent from algorithms_run."""
+    X = np.asarray(ts, dtype=np.float64)
+    Y = np.asarray(values, dtype=np.float64)
+    if not _sigma_gates(Y):
+        return True, False, {}
+    res = _sigma_resolution(X)
+    anomaly, _ensemble, algos = _sigma_vote(
+        X, Y, None, res, sigma_value, consensus, algorithms)
+    return False, anomaly, algos
 
 
 def run_sigma_algorithms(ts: np.ndarray, values: np.ndarray,

@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import re as _re
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1560,6 +1562,166 @@ FROM final8
 """).replace("__GRUBBS_LUT__", _grubbs_lut_literals())
 
 
+def q_sigma_vote_sql8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — the sigma custom algorithm's run_sigma_algorithms
+    ensemble (custom_algorithm_sources/sigma/sigma.py:622-818)
+    restricted to its 8 SQL-expressible algorithms (everything but
+    ks_test), sigma=3, consensus=6, anomaly_window=1: the entry gates
+    (MIN_TOLERABLE_LENGTH=100 + boredom, NO stale gate — a custom
+    algorithm just analyzes the series it is handed), the
+    sigma-source thresholds where they differ from the analyzer kernel
+    (86400-literal first-hour window, POPULATION-std
+    mean_subtraction_cumulation with its hardcoded 3x, the numba
+    truncating histogram with edge-comparison membership), the
+    maximum-false early exit (post-exit algorithms emit NULL flags)
+    and the count(True) >= consensus vote — all value-checked per
+    series against the DuckDB twin."""
+    from skyline_spark.functions.consensus import preprocess_series
+    from skyline_spark.functions.custom_algorithms import (
+        SIGMA_SQL8_ALGORITHMS,
+        sigma_vote_flags,
+    )
+    from skyline_spark.plans.pipeline import batch_now
+    tdf = transcripts_from_events(spark, sf_dir)
+    parsed = parse_events(tdf)
+    now = batch_now(tdf)
+    cfg = PipelineConfig(full_duration=FD, stale_period=STALE,
+                         analyze_derivatives=False)
+    key_map = (("t_hist", "histogram_bins"), ("t_fha", "first_hour_average"),
+               ("t_sfa", "stddev_from_average"), ("t_grb", "grubbs"),
+               ("t_msc", "mean_subtraction_cumulation"),
+               ("t_mad", "median_absolute_deviation"),
+               ("t_ewm", "stddev_from_moving_average"),
+               ("t_lsq", "least_squares"))
+
+    def fp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts_epoch", kind="stable")
+        ts, vals = preprocess_series(pdf["ts_epoch"].to_numpy(np.float64),
+                                     pdf["value"].to_numpy(np.float64),
+                                     now, cfg)
+        if vals.size == 0:  # no point inside FD: absent from the twin
+            return pd.DataFrame(
+                columns=["conv_id", "gated", "anomalous", "datapoint",
+                         "t_hist", "t_fha", "t_sfa", "t_grb", "t_msc",
+                         "t_mad", "t_ewm", "t_lsq"])
+        gated, anom, algos = sigma_vote_flags(
+            ts, vals, 3, 6, SIGMA_SQL8_ALGORITHMS)
+        row = {"conv_id": pdf["conv_id"].iloc[0], "gated": gated,
+               "anomalous": bool(anom),
+               "datapoint": round(float(vals[-1]), 6) + 0.0
+               if vals.size else None}
+        for col, full in key_map:
+            row[col] = None if gated else algos.get(full)
+        return pd.DataFrame([row])
+
+    schema = ("conv_id string, gated boolean, anomalous boolean, "
+              "datapoint double, t_hist boolean, t_fha boolean, "
+              "t_sfa boolean, t_grb boolean, t_msc boolean, "
+              "t_mad boolean, t_ewm boolean, t_lsq boolean")
+    proj = parsed.where(F.col("value").isNotNull()).select(
+        "conv_id", epoch_seconds(F.col("ts")).alias("ts_epoch"), "value")
+    return proj.groupBy("conv_id").applyInPandas(fp, schema=schema)
+
+
+def _sigma_vote8_sql() -> str:
+    """DuckDB twin of q_sigma_vote_sql8 — the vote8 CTE chain surgically
+    re-based onto the sigma source's semantics (each replace asserts its
+    anchor so kernel-twin edits cannot silently desync this one)."""
+    blk = _vote8_sql_block(FD, "_sg")
+    # 1. sigma has NO stale gate (sigma.py:640-650: length + boredom only)
+    old = f"\n                WHEN now - last_x > {STALE} THEN 'Stale'"
+    assert old in blk
+    blk = blk.replace(old, "")
+    # 2. sigma's first-hour window is a hardcoded day (sigma.py:175),
+    # not FULL_DURATION
+    old = f"WHERE o.x > b.last_x - {FD} AND o.x < b.last_x - {FD} + 3600"
+    assert old in blk
+    blk = blk.replace(
+        old, "WHERE o.x > b.last_x - 86400 AND o.x < b.last_x - 86400"
+             " + 3600")
+    # 3. sigma's numba mean_subtraction_cumulation uses POPULATION std
+    # of the head (sigma.py:246-260), not the kernel's sample std
+    old = "stddev_samp(CASE WHEN rnd > 1 THEN y END) AS head_std"
+    assert old in blk
+    blk = blk.replace(
+        old, "stddev_pop(CASE WHEN rnd > 1 THEN y END) AS head_std")
+    # sigma's numba histogram (sigma.py:396-471): counts by TRUNCATING
+    # bin index with x == max forced into bin 14; tail-average
+    # membership by EDGE comparison with the top edge pinned to vmax
+    hist_ctes = """
+, sg_hist AS (
+    SELECT conv_id, min(y) AS vmin, max(y) AS vmax
+    FROM ordered_sg GROUP BY conv_id),
+sg_hcnt AS (
+    SELECT o.conv_id,
+           CASE WHEN o.y = h.vmax THEN 14
+                ELSE CAST(floor(15 * (o.y - h.vmin)
+                                / (h.vmax - h.vmin)) AS INT) END AS b,
+           count(*) AS cnt
+    FROM ordered_sg o JOIN sg_hist h USING (conv_id)
+    WHERE h.vmax > h.vmin GROUP BY 1, 2),
+sg_bins AS (
+    SELECT h.conv_id, h.vmin, h.vmax, gs.b, coalesce(c.cnt, 0) AS cnt
+    FROM sg_hist h
+    CROSS JOIN (SELECT unnest(range(0, 15)) AS b) gs
+    LEFT JOIN sg_hcnt c ON c.conv_id = h.conv_id AND c.b = gs.b
+    WHERE h.vmax > h.vmin),
+sg_hhit AS (
+    SELECT b.conv_id,
+           bool_or(b.cnt <= 20 AND b.b >= 0 AND b.b < 15 AND
+               (CASE WHEN b.b = 0 THEN e.tav <= b.vmin
+                     ELSE e.tav >= b.vmin
+                              + b.b * ((b.vmax - b.vmin) / 15.0)
+                          AND e.tav <
+                              (CASE WHEN b.b = 14 THEN b.vmax
+                                    ELSE b.vmin + (b.b + 1)
+                                         * ((b.vmax - b.vmin) / 15.0)
+                               END) END)) AS hh
+    FROM sg_bins b JOIN exc_sg e USING (conv_id) GROUP BY b.conv_id),
+sgflags AS (
+    SELECT v.conv_id, v.exception IS NOT NULL AS gated, v.datapoint,
+           CASE WHEN v.exception IS NOT NULL THEN NULL
+                ELSE coalesce(h.hh, FALSE) END AS hist2,
+           v.fha, v.sfa, v.grb, v.msc, v.mad, v.ewm, v.lsq
+    FROM votes8_sg v LEFT JOIN sg_hhit h USING (conv_id))"""
+    # maximum-false early exit (max_false = 8 - 6 + 1 = 3) in the
+    # settings.ALGORITHMS order minus ks_test: run_i while falses < 3
+    names = ["hist2", "fha", "sfa", "grb", "msc", "mad", "ewm", "lsq"]
+    seq = ["CAST(NOT hist2 AS INT) AS c1"]
+    for i, nm in enumerate(names[1:], start=2):
+        seq.append(f"(c{i - 1} < 3) AS r{i}")
+        seq.append(f"c{i - 1} + CASE WHEN r{i} AND NOT {nm} THEN 1 "
+                   f"ELSE 0 END AS c{i}")
+    seq_cte = (",\nsgseq AS (\n    SELECT *,\n           "
+               + ",\n           ".join(seq)
+               + "\n    FROM sgflags WHERE NOT gated)")
+    trues = ["CASE WHEN hist2 THEN 1 ELSE 0 END"] + [
+        f"CASE WHEN r{i} AND {nm} THEN 1 ELSE 0 END"
+        for i, nm in enumerate(names[1:], start=2)]
+    out_flags = ["       hist2 AS t_hist"] + [
+        f"       CASE WHEN r{i} THEN {nm} END AS t_{nm}"
+        for i, nm in enumerate(names[1:], start=2)]
+    flags_sql = ",\n".join(out_flags)
+    final = f"""
+SELECT conv_id, FALSE AS gated,
+       ({' + '.join(trues)}) >= 6 AS anomalous,
+       datapoint + 0.0 AS datapoint,
+{flags_sql}
+FROM sgseq
+UNION ALL
+SELECT conv_id, TRUE AS gated, FALSE AS anomalous,
+       datapoint + 0.0 AS datapoint,
+       NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
+FROM sgflags WHERE gated
+"""
+    return (_sql("__VSG__").replace("__VSG__", blk)
+            + hist_ctes + seq_cte + final) \
+        .replace("__GRUBBS_LUT__", _grubbs_lut_literals())
+
+
+SQL_SIGMA_VOTE_SQL8 = _sigma_vote8_sql()
+
+
 REGISTRY: dict[str, tuple] = {
     "parse_events": (q_parse, SQL_PARSE),
     "skip_list": (q_skip_list, SQL_SKIP_LIST),
@@ -1588,6 +1750,7 @@ REGISTRY: dict[str, tuple] = {
     "consensus_verdicts": (q_consensus_verdicts, None),
     "consensus_vote_sql5": (q_consensus_sql5, SQL_CONSENSUS_SQL5),
     "consensus_vote_sql8": (q_consensus_sql8, SQL_CONSENSUS_SQL8),
+    "sigma_vote_sql8": (q_sigma_vote_sql8, SQL_SIGMA_VOTE_SQL8),
     "sink_counts": (q_sink_counts, None),
 }
 
@@ -3790,11 +3953,14 @@ _DRIVER_WINDOW = [
     "parse_events", "skip_list", "validate_events", "sort_dedup",
     "retention_trim", "non_negative_derivative", "downsample_1h",
     "fill_forward_1h", "flux_fill_lkv", "exception_filters",
-    # per-algorithm oracles (each also inside consensus_vote_sql8)
-    "stddev_from_average", "median_absolute_deviation",
+    # per-algorithm oracles (each also inside consensus_vote_sql8;
+    # stddev_from_average is demoted past the window in favor of
+    # sigma_vote_sql8 — it stays green via check_oracles and is
+    # value-checked inside BOTH vote twins)
+    "median_absolute_deviation",
     "mean_subtraction_cumulation", "least_squares", "first_hour_average",
     "histogram_bins", "stddev_from_moving_average", "mad_prefilter",
-    "ks_d_sql",
+    "ks_d_sql", "sigma_vote_sql8",
     # aggregation / correlation
     "flux_aggregate_1h", "correlate_pearson", "correlate_luminol_sql",
     # the analyze kernel + routing + run aggregates (8-algorithm forms)

@@ -719,6 +719,25 @@ def test_sigma_suite(noisy):
     # oneshot gates return the (None, 0.0, {}) triple
     assert run_sigma_oneshot_algorithms(ts[:50], v2[:50], 3, 6, 25) \
         == (None, 0.0, {})
+    # oracle surface: maximum-false early exit stops the suite — on a
+    # quiet series the first three algorithms (histogram_bins,
+    # first_hour_average, stddev_from_average) all vote False at
+    # consensus 6 over 8, so grubbs onward never run
+    from skyline_spark.functions.custom_algorithms import (
+        SIGMA_SQL8_ALGORITHMS,
+        sigma_vote_flags,
+    )
+    gated, anom, algos = sigma_vote_flags(ts, v, 3, 6,
+                                          SIGMA_SQL8_ALGORITHMS)
+    assert (gated, anom) == (False, False)
+    assert list(algos) == ["histogram_bins", "first_hour_average",
+                           "stddev_from_average"]
+    g2, a2, algos2 = sigma_vote_flags(ts, v2, 3, 6,
+                                      SIGMA_SQL8_ALGORITHMS)
+    assert (g2, a2) == (False, True)
+    assert len(algos2) == 8
+    assert sigma_vote_flags(ts[:50], v[:50], 3, 6,
+                            SIGMA_SQL8_ALGORITHMS) == (True, False, {})
 
 
 def test_skyline_prophet(noisy):
