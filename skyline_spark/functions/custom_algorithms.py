@@ -3048,6 +3048,32 @@ _SIGMA_ONESHOT_SUITE = [
 ]
 
 
+def oneshot_score_vectors(ts: np.ndarray, values: np.ndarray,
+                          sigma_value: int) -> dict[str, list] | None:
+    """The per-point score vectors of the oneshot pass
+    (sigma_oneshot.py:526-552) — also the sigma_oneshot_sql oracle
+    surface.  None when the entry gates fail OR any algorithm yields an
+    empty vector (the reference's KeyError -> outer-except collapse,
+    :558-561)."""
+    X = np.asarray(ts, dtype=np.float64)
+    Y = np.asarray(values, dtype=np.float64)
+    if not _sigma_gates(Y):
+        return None
+    series = pd.Series(Y)
+    tail_avgs = series.rolling(3, min_periods=1).mean().to_numpy()
+    results: dict[str, list] = {}
+    for name, fn in _SIGMA_ONESHOT_SUITE:
+        try:
+            scores = [float(s) for s in
+                      fn(X, Y, series, sigma_value, tail_avgs)]
+        except Exception:
+            scores = []
+        if not scores:
+            return None
+        results[name] = scores
+    return results
+
+
 def run_sigma_oneshot_algorithms(ts: np.ndarray, values: np.ndarray,
                                  sigma_value: int, consensus: int,
                                  anomaly_window: int):
@@ -3062,21 +3088,10 @@ def run_sigma_oneshot_algorithms(ts: np.ndarray, values: np.ndarray,
     X = np.asarray(ts, dtype=np.float64)
     Y = np.asarray(values, dtype=np.float64)
     anomalies: dict[int, dict] = {}
-    if not _sigma_gates(Y):
-        return None, 0.0, anomalies
     try:
-        series = pd.Series(Y)
-        tail_avgs = series.rolling(3, min_periods=1).mean().to_numpy()
-        results: dict[str, list] = {}
-        for name, fn in _SIGMA_ONESHOT_SUITE:
-            try:
-                scores = [float(s) for s in
-                          fn(X, Y, series, sigma_value, tail_avgs)]
-            except Exception:
-                scores = []
-            if not scores:
-                return None, 0.0, {}
-            results[name] = scores
+        results = oneshot_score_vectors(X, Y, sigma_value)
+        if results is None:
+            return None, 0.0, anomalies
         names = [n for n, _ in _SIGMA_ONESHOT_SUITE]
         consensus_scores = []
         for index in range(Y.size):

@@ -1722,6 +1722,196 @@ FROM sgflags WHERE gated
 SQL_SIGMA_VOTE_SQL8 = _sigma_vote8_sql()
 
 
+def q_sigma_oneshot_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.10 — per-POINT score equality of the oneshot sigma pass
+    (custom_algorithm_sources/sigma/sigma_oneshot.py:461-602, the
+    anomaly_window >= 20 route): one row per (series, point) carrying
+    all seven per-point algorithm scores plus the >= consensus(6)
+    point-anomaly flag, value-checked against a DuckDB twin (per-prefix
+    ewm trajectory, rolling-3 tail averages, the raw-value
+    mean-subtraction quirk, the trailing-error least-squares window
+    with its empty-slice zeros, the numba histogram).  Series that the
+    reference collapses to (None, 0.0, {}) — entry gates, zero sample
+    std, zero median deviation — emit no rows on either side."""
+    from skyline_spark.functions.consensus import preprocess_series
+    from skyline_spark.functions.custom_algorithms import (
+        oneshot_score_vectors,
+    )
+    from skyline_spark.plans.pipeline import batch_now
+    tdf = transcripts_from_events(spark, sf_dir)
+    parsed = parse_events(tdf)
+    now = batch_now(tdf)
+    cfg = PipelineConfig(full_duration=FD, stale_period=STALE,
+                         analyze_derivatives=False)
+    cols = ["conv_id", "rn", "s_hist", "s_sfa", "s_grb", "s_msc",
+            "s_mad", "s_ewm", "s_lsq", "n_trig", "point_anomaly"]
+    order = ("histogram_bins", "stddev_from_average", "grubbs",
+             "mean_subtraction_cumulation", "median_absolute_deviation",
+             "stddev_from_moving_average", "least_squares")
+
+    def fp(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts_epoch", kind="stable")
+        ts, vals = preprocess_series(pdf["ts_epoch"].to_numpy(np.float64),
+                                     pdf["value"].to_numpy(np.float64),
+                                     now, cfg)
+        scores = oneshot_score_vectors(ts, vals, 3) \
+            if vals.size else None
+        if scores is None:
+            return pd.DataFrame(columns=cols)
+        mat = np.array([scores[k] for k in order])  # 7 x n
+        n_trig = mat.sum(axis=0).astype(int)
+        out = {"conv_id": pdf["conv_id"].iloc[0],
+               "rn": np.arange(1, vals.size + 1)}
+        for col, k in zip(cols[2:9], order):
+            out[col] = np.asarray(scores[k], dtype=np.int32)
+        out["n_trig"] = n_trig
+        out["point_anomaly"] = n_trig >= 6
+        return pd.DataFrame(out)[cols]
+
+    schema = ("conv_id string, rn long, s_hist int, s_sfa int, "
+              "s_grb int, s_msc int, s_mad int, s_ewm int, s_lsq int, "
+              "n_trig int, point_anomaly boolean")
+    proj = parsed.where(F.col("value").isNotNull()).select(
+        "conv_id", epoch_seconds(F.col("ts")).alias("ts_epoch"), "value")
+    return proj.groupBy("conv_id").applyInPandas(fp, schema=schema)
+
+
+def _sigma_oneshot_sql() -> str:
+    """DuckDB twin of q_sigma_oneshot_sql — per-point score vectors on
+    top of the vote8 per-series aggregates (grubbs LUT, residual std,
+    median deviation), with the oneshot-specific pieces built here:
+    rolling-3 tail averages, the per-prefix ewm trajectory (exact
+    adjust=True weights), the numba histogram membership per point, and
+    the trailing-error least-squares window."""
+    blk = _vote8_sql_block(FD, "_os")
+    extra = """
+, gstat_os AS (
+    SELECT conv_id, stddev_pop(y) AS pstd
+    FROM ordered_os GROUP BY conv_id),
+okset_os AS (
+    -- gates + the empty-score-vector collapses: series the reference
+    -- returns (None, 0.0, {}) for emit NO rows on either side
+    SELECT e.conv_id FROM exc_os e
+    JOIN madx_os m USING (conv_id)
+    WHERE e.n >= 100 AND e.tail_distinct > 1
+          AND e.std > 0 AND m.mad_dev <> 0),
+pt_os AS (
+    SELECT o.conv_id, o.x, o.y, e.n AS sn, e.n - o.rnd + 1 AS rn,
+           avg(o.y) OVER (PARTITION BY o.conv_id ORDER BY o.x
+                          ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+               AS tavg
+    FROM ordered_os o JOIN exc_os e USING (conv_id)
+    WHERE o.conv_id IN (SELECT conv_id FROM okset_os)),
+oshist_os AS (
+    SELECT conv_id, min(y) AS vmin, max(y) AS vmax
+    FROM ordered_os GROUP BY conv_id),
+oshcnt_os AS (
+    SELECT o.conv_id,
+           CASE WHEN o.y = h.vmax THEN 14
+                ELSE CAST(floor(15 * (o.y - h.vmin)
+                                / (h.vmax - h.vmin)) AS INT) END AS b,
+           count(*) AS cnt
+    FROM ordered_os o JOIN oshist_os h USING (conv_id)
+    WHERE h.vmax > h.vmin GROUP BY 1, 2),
+osbins_os AS (
+    SELECT h.conv_id, h.vmin, h.vmax, gs.b, coalesce(c.cnt, 0) AS cnt
+    FROM oshist_os h
+    CROSS JOIN (SELECT unnest(range(0, 15)) AS b) gs
+    LEFT JOIN oshcnt_os c ON c.conv_id = h.conv_id AND c.b = gs.b
+    WHERE h.vmax > h.vmin),
+oshhit_os AS (
+    SELECT p.conv_id, p.rn,
+           CASE WHEN bool_or(b.cnt <= 20 AND
+               (CASE WHEN b.b = 0 THEN p.tavg <= b.vmin
+                     ELSE p.tavg >= b.vmin
+                              + b.b * ((b.vmax - b.vmin) / 15.0)
+                          AND p.tavg <
+                              (CASE WHEN b.b = 14 THEN b.vmax
+                                    ELSE b.vmin + (b.b + 1)
+                                         * ((b.vmax - b.vmin) / 15.0)
+                               END) END))
+                THEN 1 ELSE 0 END AS s_hist
+    FROM pt_os p JOIN osbins_os b USING (conv_id)
+    GROUP BY p.conv_id, p.rn),
+oserr_os AS (
+    SELECT p.conv_id, p.rn, p.x, p.y, p.sn, p.tavg,
+           p.y - (e.m * p.x + e.c) AS err
+    FROM pt_os p JOIN exc_os e USING (conv_id)),
+oslag_os AS (
+    SELECT *,
+           lag(err, 3) OVER w AS e3, lag(err, 2) OVER w AS e2,
+           lag(err, 1) OVER w AS e1
+    FROM oserr_os
+    WINDOW w AS (PARTITION BY conv_id ORDER BY x)),
+osew_os AS (
+    SELECT conv_id, list(y ORDER BY x) AS v
+    FROM ordered_os
+    WHERE conv_id IN (SELECT conv_id FROM okset_os)
+    GROUP BY conv_id),
+osewj_os AS (
+    SELECT conv_id, v, unnest(range(1, len(v) + 1)) AS j
+    FROM osew_os),
+osewp_os AS (
+    SELECT conv_id, CAST(j AS BIGINT) AS rn, v[j] AS vj,
+           list_sum([pow(1.0 - 1.0 / 51.0, CAST(j - k AS DOUBLE))
+                     FOR k IN range(1, j + 1)]) AS sw,
+           list_sum([pow(1.0 - 1.0 / 51.0, CAST(j - k AS DOUBLE))
+                     * v[k] FOR k IN range(1, j + 1)]) AS swx,
+           list_sum([pow(1.0 - 1.0 / 51.0, CAST(j - k AS DOUBLE))
+                     * pow(1.0 - 1.0 / 51.0, CAST(j - k AS DOUBLE))
+                     FOR k IN range(1, j + 1)]) AS sw2,
+           j AS jj, v AS vv
+    FROM osewj_os),
+osewv_os AS (
+    SELECT conv_id, rn, vj, swx / sw AS emu,
+           CASE WHEN jj < 2 OR sw * sw - sw2 <= 0 THEN NULL
+                ELSE sqrt((list_sum(
+                         [pow(1.0 - 1.0 / 51.0, CAST(jj - k AS DOUBLE))
+                          * (vv[k] - swx / sw) * (vv[k] - swx / sw)
+                          FOR k IN range(1, jj + 1)]) / sw)
+                      * (sw * sw / (sw * sw - sw2))) END AS es
+    FROM osewp_os)
+SELECT l.conv_id, l.rn,
+       h.s_hist,
+       CASE WHEN abs(l.tavg - e.mean) > 3 * g.pstd
+            THEN 1 ELSE 0 END AS s_sfa,
+       CASE WHEN (l.tavg - e.mean) / e.std > gt.g
+            THEN 1 ELSE 0 END AS s_grb,
+       CASE WHEN abs(l.y) > 3 * e.head_std THEN 1 ELSE 0 END AS s_msc,
+       CASE WHEN abs(l.y - e.med) <> 0
+                 AND abs(l.y - e.med) / m.mad_dev > 6
+            THEN 1 ELSE 0 END AS s_mad,
+       CASE WHEN abs(l.y - w.emu) > 3 * w.es THEN 1 ELSE 0 END AS s_ewm,
+       CASE WHEN l.rn > 3
+                 AND abs((l.e3 + l.e2 + l.e1) / 3.0) > r.rstd
+                 AND round(r.rstd, 0) <> 0
+                 AND round((l.e3 + l.e2 + l.e1) / 3.0, 0) <> 0
+            THEN 1 ELSE 0 END AS s_lsq
+FROM oslag_os l
+JOIN exc_os e USING (conv_id)
+JOIN gstat_os g USING (conv_id)
+JOIN gthr_os gt USING (conv_id)
+JOIN madx_os m USING (conv_id)
+JOIN resid_os r USING (conv_id)
+JOIN oshhit_os h ON h.conv_id = l.conv_id AND h.rn = l.rn
+JOIN osewv_os w ON w.conv_id = l.conv_id AND w.rn = l.rn
+"""
+    body = (_sql("__VOS__").replace("__VOS__", blk) + extra) \
+        .replace("__GRUBBS_LUT__", _grubbs_lut_literals())
+    # wrap to add the consensus columns from the seven scores
+    return f"""WITH inner_q AS ({body})
+SELECT conv_id, rn, s_hist, s_sfa, s_grb, s_msc, s_mad, s_ewm, s_lsq,
+       (s_hist + s_sfa + s_grb + s_msc + s_mad + s_ewm + s_lsq)
+           AS n_trig,
+       (s_hist + s_sfa + s_grb + s_msc + s_mad + s_ewm + s_lsq) >= 6
+           AS point_anomaly
+FROM inner_q
+"""
+
+
+SQL_SIGMA_ONESHOT = _sigma_oneshot_sql()
+
+
 REGISTRY: dict[str, tuple] = {
     "parse_events": (q_parse, SQL_PARSE),
     "skip_list": (q_skip_list, SQL_SKIP_LIST),
@@ -1751,6 +1941,7 @@ REGISTRY: dict[str, tuple] = {
     "consensus_vote_sql5": (q_consensus_sql5, SQL_CONSENSUS_SQL5),
     "consensus_vote_sql8": (q_consensus_sql8, SQL_CONSENSUS_SQL8),
     "sigma_vote_sql8": (q_sigma_vote_sql8, SQL_SIGMA_VOTE_SQL8),
+    "sigma_oneshot_sql": (q_sigma_oneshot_sql, SQL_SIGMA_ONESHOT),
     "sink_counts": (q_sink_counts, None),
 }
 
@@ -3954,13 +4145,13 @@ _DRIVER_WINDOW = [
     "retention_trim", "non_negative_derivative", "downsample_1h",
     "fill_forward_1h", "flux_fill_lkv", "exception_filters",
     # per-algorithm oracles (each also inside consensus_vote_sql8;
-    # stddev_from_average is demoted past the window in favor of
-    # sigma_vote_sql8 — it stays green via check_oracles and is
-    # value-checked inside BOTH vote twins)
+    # stddev_from_average and histogram_bins are demoted past the
+    # window in favor of the two sigma-suite oracles — both stay green
+    # via check_oracles and are value-checked inside the vote twins)
     "median_absolute_deviation",
     "mean_subtraction_cumulation", "least_squares", "first_hour_average",
-    "histogram_bins", "stddev_from_moving_average", "mad_prefilter",
-    "ks_d_sql", "sigma_vote_sql8",
+    "stddev_from_moving_average", "mad_prefilter",
+    "ks_d_sql", "sigma_vote_sql8", "sigma_oneshot_sql",
     # aggregation / correlation
     "flux_aggregate_1h", "correlate_pearson", "correlate_luminol_sql",
     # the analyze kernel + routing + run aggregates (8-algorithm forms)
