@@ -22,7 +22,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-#: 134 features — the numpy-closed-form tranche of tsfresh's
+#: 145 features — the numpy-closed-form tranche of tsfresh's
 #: EfficientFCParameters basket (reference golden CSVs
 #: /root/reference/tests/baseline/*.features.transposed.csv; tsfresh
 #: names in parentheses where ours differ). Location/count features are
@@ -112,6 +112,17 @@ FEATURE_NAMES = (
     "change_q_mean_04_06", "change_q_var_04_06",
     "permutation_entropy_3", "benford_correlation",
     "linear_trend_stderr", "pacf_lag2",
+    # round-4 third tranche (11 more -> 145): agg_linear_trend over
+    # chunk-mean series (tsfresh _aggregate_on_chunks: consecutive
+    # chunk_len slices, x-axis = chunk index) at chunk_len 10 and 50,
+    # and agg_autocorrelation (mean/median/var of the adjusted acf at
+    # lags 1..min(40, n-1) — the statsmodels adjusted estimator, which
+    # equals the autocorr_lag_k definition used above)
+    "agg_lt10_slope", "agg_lt10_intercept",
+    "agg_lt10_rvalue", "agg_lt10_stderr",
+    "agg_lt50_slope", "agg_lt50_intercept",
+    "agg_lt50_rvalue", "agg_lt50_stderr",
+    "agg_acf_mean", "agg_acf_median", "agg_acf_var",
 )
 
 
@@ -459,6 +470,41 @@ def _fourth_tranche(ts: np.ndarray, v: np.ndarray, n: int, mean: float,
     r2 = _autocorr_k(centered, n, std, 2)
     denom = 1.0 - r1 * r1
     out["pacf_lag2"] = (r2 - r1 * r1) / denom if denom != 0 else 0.0
+    # agg_linear_trend — OLS over the chunk-mean series, x = chunk index
+    for size in (10, 50):
+        k = -(-n // size)  # ceil
+        if k > 2:
+            means = np.array([float(v[j * size:(j + 1) * size].mean())
+                              for j in range(k)])
+            xs = np.arange(k, dtype=np.float64)
+            xbar = float(xs.mean())
+            ybar = float(means.mean())
+            sxx = float(np.dot(xs - xbar, xs - xbar))
+            syy = float(np.dot(means - ybar, means - ybar))
+            sxy = float(np.dot(xs - xbar, means - ybar))
+            slope = sxy / sxx
+            out[f"agg_lt{size}_slope"] = slope
+            out[f"agg_lt{size}_intercept"] = ybar - slope * xbar
+            out[f"agg_lt{size}_rvalue"] = \
+                sxy / np.sqrt(sxx * syy) if syy > 0 else 0.0
+            out[f"agg_lt{size}_stderr"] = float(np.sqrt(
+                max(syy - sxy * sxy / sxx, 0.0) / ((k - 2) * sxx)))
+        else:
+            for a in ("slope", "intercept", "rvalue", "stderr"):
+                out[f"agg_lt{size}_{a}"] = 0.0
+    # agg_autocorrelation — adjusted acf at lags 1..min(40, n-1)
+    maxlag = min(40, n - 1)
+    if maxlag >= 1 and std > 0:
+        acfs = np.array([_autocorr_k(centered, n, std, k)
+                         for k in range(1, maxlag + 1)])
+        out["agg_acf_mean"] = float(acfs.mean())
+        out["agg_acf_median"] = float(np.median(acfs))
+        m_ = float(acfs.mean())
+        out["agg_acf_var"] = float(np.mean((acfs - m_) ** 2))
+    else:
+        out["agg_acf_mean"] = 0.0
+        out["agg_acf_median"] = 0.0
+        out["agg_acf_var"] = 0.0
     return out
 
 

@@ -3150,7 +3150,7 @@ REGISTRY.update({
 def q_feature_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — the ionosphere feature basket (features_profile.FEATURE_NAMES;
     tsfresh-flavored stand-in, SURVEY §2.9): the REAL applyInPandas
-    kernel's 134 features + features_sum, value-checked against a full
+    kernel's 145 features + features_sum, value-checked against a full
     SQL twin (population std, linear-interp quantiles, autocorrelation
     lags 1-9, OLS slope, the sigma/quantile/crossing/peak grids — all
     ANSI-expressible)."""
@@ -3320,6 +3320,29 @@ cqd AS (
             IF l[i] >= cq_lo4 AND l[i] <= cq_hi6
                AND l[i + 1] >= cq_lo4 AND l[i + 1] <= cq_hi6] AS d46
     FROM cqb),
+agrows AS (
+    SELECT conv_id, value AS y,
+           row_number() OVER (PARTITION BY conv_id
+                              ORDER BY epoch(ts)) AS rn
+    FROM valid),
+agc10 AS (
+    SELECT conv_id, CAST((rn - 1) // 10 AS DOUBLE) AS cx, avg(y) AS cy
+    FROM agrows GROUP BY conv_id, (rn - 1) // 10),
+aglt10 AS (
+    SELECT conv_id, count(*) AS k10,
+           regr_slope(cy, cx) AS sl10, regr_intercept(cy, cx) AS ic10,
+           corr(cy, cx) AS rv10, regr_sxx(cy, cx) AS sxx10,
+           regr_syy(cy, cx) AS syy10, regr_sxy(cy, cx) AS sxy10
+    FROM agc10 GROUP BY conv_id),
+agc50 AS (
+    SELECT conv_id, CAST((rn - 1) // 50 AS DOUBLE) AS cx, avg(y) AS cy
+    FROM agrows GROUP BY conv_id, (rn - 1) // 50),
+aglt50 AS (
+    SELECT conv_id, count(*) AS k50,
+           regr_slope(cy, cx) AS sl50, regr_intercept(cy, cx) AS ic50,
+           corr(cy, cx) AS rv50, regr_sxx(cy, cx) AS sxx50,
+           regr_syy(cy, cx) AS syy50, regr_sxy(cy, cx) AS sxy50
+    FROM agc50 GROUP BY conv_id),
 derived0 AS (
     SELECT conv_id, n, f_mean, f_std, f_median, f_min, f_max, f_sum,
            f_abs_energy, f_q25, f_q75, f_q05, f_q95,
@@ -3469,13 +3492,16 @@ derived0 AS (
                 ELSE 0.0 END AS f_corr_rvalue,
            coalesce(q.imq_05, 0.0) AS f_index_mass_quantile_05,
 __TRANCHE3__,
-__TRANCHE4__
+__TRANCHE4__,
+__TRANCHE5__
     FROM base LEFT JOIN reocc r USING (conv_id)
     LEFT JOIN imq q USING (conv_id)
     LEFT JOIN specm s USING (conv_id)
     LEFT JOIN fftc fc USING (conv_id)
     LEFT JOIN benf bf USING (conv_id)
-    LEFT JOIN cqd c USING (conv_id)),
+    LEFT JOIN cqd c USING (conv_id)
+    LEFT JOIN aglt10 a1 USING (conv_id)
+    LEFT JOIN aglt50 a5 USING (conv_id)),
 derived AS (
     SELECT *,
            CASE WHEN 1 - f_autocorr_lag1 * f_autocorr_lag1 <> 0
@@ -3636,10 +3662,51 @@ def _tranche4_derived_sql() -> str:
     return "           " + ",\n           ".join(p)
 
 
+def _tranche5_derived_sql() -> str:
+    """derived-CTE expressions for the agg_linear_trend /
+    agg_autocorrelation tranche — regr_* over the chunk-mean series and
+    the adjusted-acf aggregate, mirroring features_profile's numpy
+    formulas operation-for-operation."""
+    p = []
+    for size, a in ((10, "a1"), (50, "a5")):
+        k = f"{a}.k{size}"
+        sxx, syy, sxy = (f"{a}.sxx{size}", f"{a}.syy{size}",
+                         f"{a}.sxy{size}")
+        p.append(f"CASE WHEN {k} > 2 THEN coalesce({a}.sl{size}, 0.0)\n"
+                 f"     ELSE 0.0 END AS f_agg_lt{size}_slope")
+        p.append(f"CASE WHEN {k} > 2 THEN coalesce({a}.ic{size}, 0.0)\n"
+                 f"     ELSE 0.0 END AS f_agg_lt{size}_intercept")
+        p.append(f"CASE WHEN {k} > 2 AND {syy} > 0\n"
+                 f"     THEN {sxy} / sqrt({sxx} * {syy})\n"
+                 f"     ELSE 0.0 END AS f_agg_lt{size}_rvalue")
+        p.append(f"CASE WHEN {k} > 2\n"
+                 f"     THEN sqrt(greatest({syy} - {sxy} * {sxy} / {sxx},"
+                 f" 0.0)\n"
+                 f"          / (({k} - 2) * {sxx}))\n"
+                 f"     ELSE 0.0 END AS f_agg_lt{size}_stderr")
+    acf = ("[list_sum([(l[i] - f_mean) * (l[i + lg] - f_mean)\n"
+           "           FOR i IN range(1, n - lg + 1)])\n"
+           "  / (f_std * f_std * (n - lg))\n"
+           "  FOR lg IN range(1, least(40, n - 1) + 1)]")
+    mean = f"(list_sum({acf}) / len({acf}))"
+    p.append(f"CASE WHEN n > 1 AND f_std > 0 THEN {mean}\n"
+             "     ELSE 0.0 END AS f_agg_acf_mean")
+    p.append(f"CASE WHEN n > 1 AND f_std > 0\n"
+             f"     THEN list_aggregate({acf}, 'median')\n"
+             "     ELSE 0.0 END AS f_agg_acf_median")
+    p.append(f"CASE WHEN n > 1 AND f_std > 0\n"
+             f"     THEN list_sum([(ac - {mean}) * (ac - {mean})\n"
+             f"                    FOR ac IN {acf}]) / len({acf})\n"
+             "     ELSE 0.0 END AS f_agg_acf_var")
+    return "           " + ",\n           ".join(p)
+
+
 _FEATURES_CTES = _FEATURES_CTES.replace("__TRANCHE3__",
                                         _tranche3_derived_sql())
 _FEATURES_CTES = _FEATURES_CTES.replace("__TRANCHE4__",
                                         _tranche4_derived_sql())
+_FEATURES_CTES = _FEATURES_CTES.replace("__TRANCHE5__",
+                                        _tranche5_derived_sql())
 
 _FEATURES_FINAL = r"""SELECT conv_id,
        round((f_mean + f_std + f_median + f_min + f_max + f_sum
@@ -3693,7 +3760,12 @@ _FEATURES_FINAL = r"""SELECT conv_id,
              + f_change_q_mean_02_08 + f_change_q_var_02_08
              + f_change_q_mean_04_06 + f_change_q_var_04_06
              + f_permutation_entropy_3 + f_benford_correlation
-             + f_linear_trend_stderr + f_pacf_lag2), 2)
+             + f_linear_trend_stderr + f_pacf_lag2)
+             + (f_agg_lt10_slope + f_agg_lt10_intercept
+             + f_agg_lt10_rvalue + f_agg_lt10_stderr
+             + f_agg_lt50_slope + f_agg_lt50_intercept
+             + f_agg_lt50_rvalue + f_agg_lt50_stderr
+             + f_agg_acf_mean + f_agg_acf_median + f_agg_acf_var), 2)
            AS features_sum,
        round(f_mean, 6) AS f_mean, round(f_std, 6) AS f_std,
        round(f_median, 6) AS f_median, round(f_min, 6) AS f_min,
@@ -3820,7 +3892,18 @@ _FEATURES_FINAL = r"""SELECT conv_id,
        round(f_permutation_entropy_3, 6) AS f_permutation_entropy_3,
        round(f_benford_correlation, 6) AS f_benford_correlation,
        round(f_linear_trend_stderr, 6) AS f_linear_trend_stderr,
-       round(f_pacf_lag2, 3) AS f_pacf_lag2
+       round(f_pacf_lag2, 3) AS f_pacf_lag2,
+       round(f_agg_lt10_slope, 6) AS f_agg_lt10_slope,
+       round(f_agg_lt10_intercept, 6) AS f_agg_lt10_intercept,
+       round(f_agg_lt10_rvalue, 6) AS f_agg_lt10_rvalue,
+       round(f_agg_lt10_stderr, 6) AS f_agg_lt10_stderr,
+       round(f_agg_lt50_slope, 6) AS f_agg_lt50_slope,
+       round(f_agg_lt50_intercept, 6) AS f_agg_lt50_intercept,
+       round(f_agg_lt50_rvalue, 6) AS f_agg_lt50_rvalue,
+       round(f_agg_lt50_stderr, 6) AS f_agg_lt50_stderr,
+       round(f_agg_acf_mean, 6) AS f_agg_acf_mean,
+       round(f_agg_acf_median, 6) AS f_agg_acf_median,
+       round(f_agg_acf_var, 6) AS f_agg_acf_var
 FROM derived
 """
 
@@ -3832,7 +3915,8 @@ def _features_sql_block(sfx: str, src: str) -> str:
         # \b keeps imq_05-style column names and derived0-vs-derived
         # prefixes apart
         for name in ("base", "reocc", "imq", "spec", "specm", "fftc",
-                     "benf", "cqb", "cqd", "derived0", "derived"):
+                     "benf", "cqb", "cqd", "agrows", "agc10", "agc50",
+                     "aglt10", "aglt50", "derived0", "derived"):
             s = _re.sub(rf"\b{name}\b", f"{name}{sfx}", s)
     s = s.replace("FROM valid", f"FROM {src}")
     return s
