@@ -1912,6 +1912,46 @@ FROM inner_q
 SQL_SIGMA_ONESHOT = _sigma_oneshot_sql()
 
 
+def q_alert_throttle_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9 — the EXPIRATION_TIME alert throttle (one alert per metric per
+    window — the ``last_alert.<alerter>.<metric>`` Redis-key semantics,
+    skyline/analyzer/analyzer.py:4364-4374) driven over every distinct
+    parsed event time per metric at a fixed 900 s expiration, so each
+    metric's sequential emit chain is hundreds of decisions long.
+    Value-checked against a RECURSIVE-CTE DuckDB twin that rebuilds the
+    emit chain (next emit = min event time >= last emit + expiration).
+    The per-rule expiration resolution is value-checked separately via
+    the routed-turns twins; this oracle pins the throttle scan itself."""
+    from skyline_spark.operators.alerts import throttle_alerts_exact
+    alerts = (_valid(spark, sf_dir)
+              .where(F.col("metric").isNotNull())
+              .select("metric",
+                      epoch_seconds(F.col("ts")).alias("last_ts"))
+              .distinct()
+              .withColumn("expiration_time", F.lit(900.0)))
+    return throttle_alerts_exact(alerts).select(
+        "metric", "last_ts", "emit_alert")
+
+
+SQL_ALERT_THROTTLE = _sql("""
+, ev AS (
+    SELECT DISTINCT metric, epoch(ts) AS t
+    FROM valid WHERE metric IS NOT NULL),
+em AS (
+    SELECT metric, min(t) AS t FROM ev GROUP BY metric
+    UNION ALL
+    SELECT metric, t FROM (
+        SELECT em.metric,
+               (SELECT min(e.t) FROM ev e
+                WHERE e.metric = em.metric
+                      AND e.t >= em.t + 900.0) AS t
+        FROM em) nx
+    WHERE t IS NOT NULL)
+SELECT e.metric, e.t AS last_ts, m.t IS NOT NULL AS emit_alert
+FROM ev e LEFT JOIN em m ON m.metric = e.metric AND m.t = e.t
+""").replace("WITH ", "WITH RECURSIVE ", 1)
+
+
 REGISTRY: dict[str, tuple] = {
     "parse_events": (q_parse, SQL_PARSE),
     "skip_list": (q_skip_list, SQL_SKIP_LIST),
@@ -1942,6 +1982,7 @@ REGISTRY: dict[str, tuple] = {
     "consensus_vote_sql8": (q_consensus_sql8, SQL_CONSENSUS_SQL8),
     "sigma_vote_sql8": (q_sigma_vote_sql8, SQL_SIGMA_VOTE_SQL8),
     "sigma_oneshot_sql": (q_sigma_oneshot_sql, SQL_SIGMA_ONESHOT),
+    "alert_throttle_sql": (q_alert_throttle_sql, SQL_ALERT_THROTTLE),
     "sink_counts": (q_sink_counts, None),
 }
 
@@ -4229,13 +4270,15 @@ _DRIVER_WINDOW = [
     "retention_trim", "non_negative_derivative", "downsample_1h",
     "fill_forward_1h", "flux_fill_lkv", "exception_filters",
     # per-algorithm oracles (each also inside consensus_vote_sql8;
-    # stddev_from_average and histogram_bins are demoted past the
-    # window in favor of the two sigma-suite oracles — both stay green
-    # via check_oracles and are value-checked inside the vote twins)
+    # stddev_from_average, histogram_bins and mean_subtraction_cumulation
+    # are demoted past the window in favor of the sigma-suite and
+    # alert-throttle oracles — all stay green via check_oracles and are
+    # value-checked inside the vote twins)
     "median_absolute_deviation",
-    "mean_subtraction_cumulation", "least_squares", "first_hour_average",
+    "least_squares", "first_hour_average",
     "stddev_from_moving_average", "mad_prefilter",
     "ks_d_sql", "sigma_vote_sql8", "sigma_oneshot_sql",
+    "alert_throttle_sql",
     # aggregation / correlation
     "flux_aggregate_1h", "correlate_pearson", "correlate_luminol_sql",
     # the analyze kernel + routing + run aggregates (8-algorithm forms)
