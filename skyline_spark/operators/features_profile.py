@@ -123,6 +123,28 @@ FEATURE_NAMES = (
     "agg_lt50_slope", "agg_lt50_intercept",
     "agg_lt50_rvalue", "agg_lt50_stderr",
     "agg_acf_mean", "agg_acf_median", "agg_acf_var",
+    # round-4 fourth tranche (27 more -> 172): the spectral-depth
+    # EfficientFCParameters slice —
+    # partial_autocorrelation lags 3..9 (Durbin-Levinson over the
+    # adjusted-acf estimates, extending the pacf_lag2 convention),
+    # spkt_welch_density coeff {2,5,8} + fourier_entropy bins
+    # {2,3,5,10,100} over an own Welch periodogram in the
+    # scipy.signal.welch default form (fs=1, periodic Hann,
+    # nperseg=min(n,256), 50% overlap, per-segment constant detrend,
+    # density scaling; entropy binning uses the same clamped-floor
+    # formula as binned_entropy_10), and cwt_coefficients — Ricker
+    # wavelet, scipy.signal.cwt conv semantics (wavelet length
+    # min(10w, n), mode='same') at widths {2,5,10,20} and coeff
+    # positions {0,5,10}
+    "pacf_lag3", "pacf_lag4", "pacf_lag5", "pacf_lag6",
+    "pacf_lag7", "pacf_lag8", "pacf_lag9",
+    "welch_c2", "welch_c5", "welch_c8",
+    "fourier_entropy_b2", "fourier_entropy_b3", "fourier_entropy_b5",
+    "fourier_entropy_b10", "fourier_entropy_b100",
+    "cwt_w2_c0", "cwt_w2_c5", "cwt_w2_c10",
+    "cwt_w5_c0", "cwt_w5_c5", "cwt_w5_c10",
+    "cwt_w10_c0", "cwt_w10_c5", "cwt_w10_c10",
+    "cwt_w20_c0", "cwt_w20_c5", "cwt_w20_c10",
 )
 
 
@@ -198,6 +220,7 @@ def compute_features(ts: np.ndarray, values: np.ndarray) -> dict[str, float]:
         **_second_tranche(x, v, n, mean, std, vmin, vmax, centered),
         **_third_tranche(v, n, mean, std, centered),
         **_fourth_tranche(ts, v, n, mean, std, centered),
+        **_fifth_tranche(v, n, std, centered),
     }
 
 
@@ -374,7 +397,13 @@ def _fourth_tranche(ts: np.ndarray, v: np.ndarray, n: int, mean: float,
         var = m2 - m1 * m1
         out["fft_agg_centroid"] = m1
         out["fft_agg_variance"] = var
-        if var > 0:
+        # guards mirrored in the SQL twin: on a constant series (std=0)
+        # the non-DC amplitudes are pure engine noise (exact zeros from
+        # the FFT butterflies, ~1e-13 residues from the direct DFT), so
+        # the moment quotients are noise/noise — gate on the EXACT
+        # time-domain std; the relative-epsilon var guard additionally
+        # keeps single-bin spectra (var = cancellation noise) at 0.0
+        if std > 0 and var > 1e-12 * (m2 + m1 * m1):
             out["fft_agg_skew"] = \
                 (m3 - 3 * m1 * m2 + 2 * m1 ** 3) / var ** 1.5
             out["fft_agg_kurtosis"] = \
@@ -505,6 +534,95 @@ def _fourth_tranche(ts: np.ndarray, v: np.ndarray, n: int, mean: float,
         out["agg_acf_mean"] = 0.0
         out["agg_acf_median"] = 0.0
         out["agg_acf_var"] = 0.0
+    return out
+
+
+def _welch_pxx(v: np.ndarray, n: int) -> np.ndarray | None:
+    """Own Welch periodogram in the scipy.signal.welch DEFAULT form the
+    tsfresh spkt_welch_density / fourier_entropy calculators rely on:
+    fs=1, periodic Hann window, nperseg=min(n, 256), noverlap=nperseg//2,
+    per-segment constant detrend, 'density' scaling (1/sum(win^2)),
+    one-sided doubling except DC and the even-nperseg Nyquist bin, mean
+    average over segments. Written term-for-term like the SQL twin
+    (direct DFT there, rfft here — deltas absorbed by output rounding)."""
+    nper = min(n, 256)
+    if nper < 2:
+        return None
+    step = nper - nper // 2
+    nseg = (n - nper) // step + 1
+    i = np.arange(nper, dtype=np.float64)
+    win = 0.5 - 0.5 * np.cos(2.0 * np.pi * i / nper)
+    acc = np.zeros(nper // 2 + 1)
+    for s in range(nseg):
+        seg = v[s * step:s * step + nper]
+        acc += np.abs(np.fft.rfft((seg - seg.mean()) * win)) ** 2
+    pxx = acc / (nseg * float(np.dot(win, win)))
+    if nper % 2 == 0:
+        pxx[1:-1] *= 2.0
+    else:
+        pxx[1:] *= 2.0
+    return pxx
+
+
+def _binned_entropy_arr(x: np.ndarray, bins: int) -> float:
+    """binned_entropy over an arbitrary array with the SAME clamped
+    floor bin-index formula as binned_entropy_10 (written identically
+    in the SQL twin so edge values bin the same way in both engines)."""
+    mn, mx = float(x.min()), float(x.max())
+    if mx <= mn:
+        return 0.0
+    b = np.minimum(np.floor((x - mn) / (mx - mn) * bins), bins - 1)
+    p = np.unique(b, return_counts=True)[1] / x.size
+    return float(-np.sum(p * np.log(p)))
+
+
+def _fifth_tranche(v: np.ndarray, n: int, std: float,
+                   centered: np.ndarray) -> dict[str, float]:
+    out: dict[str, float] = {}
+    # partial_autocorrelation lags 3..9 — Durbin-Levinson recursion over
+    # the adjusted-acf estimates (r_k = autocorr_lag_k above); stage 2
+    # reproduces the pacf_lag2 closed form, stages 3..9 extend it.
+    # Guard convention: a zero denominator at any stage yields 0.0.
+    r = [_autocorr_k(centered, n, std, k) for k in range(1, 10)]
+    phi = [r[0]]
+    for k in range(2, 10):
+        num = r[k - 1] - sum(phi[j] * r[k - 2 - j] for j in range(k - 1))
+        den = 1.0 - sum(phi[j] * r[j] for j in range(k - 1))
+        pkk = num / den if den != 0 else 0.0
+        phi = [phi[j] - pkk * phi[k - 2 - j]
+               for j in range(k - 1)] + [pkk]
+        if k >= 3:
+            out[f"pacf_lag{k}"] = pkk
+    # Welch periodogram features — gated on std > 0 (mirrored in the
+    # SQL twin): a constant series detrends to an exact-zero segment in
+    # one engine but an ~1e-15 constant residual in the other, and the
+    # scale-free entropy of that residual's window-spectrum shape would
+    # flip between 0.0 and a finite value
+    pxx = _welch_pxx(v, n) if std > 0 else None
+    if pxx is None:
+        for c in (2, 5, 8):
+            out[f"welch_c{c}"] = 0.0
+        for b in (2, 3, 5, 10, 100):
+            out[f"fourier_entropy_b{b}"] = 0.0
+    else:
+        for c in (2, 5, 8):
+            out[f"welch_c{c}"] = float(pxx[c]) if pxx.size > c else 0.0
+        pmax = float(pxx.max())
+        for b in (2, 3, 5, 10, 100):
+            out[f"fourier_entropy_b{b}"] = \
+                _binned_entropy_arr(pxx / pmax, b) if pmax > 0 else 0.0
+    # cwt_coefficients — Ricker wavelet of length min(10w, n),
+    # np.convolve mode='same' (the wavelet is even, so scipy's reversal
+    # is a no-op), value at position coeff; coeff >= n degenerates to 0
+    for w in (2, 5, 10, 20):
+        nn = min(10 * w, n)
+        vec = np.arange(nn, dtype=np.float64) - (nn - 1) / 2.0
+        wav = (2.0 / (np.sqrt(3.0 * w) * np.pi ** 0.25)
+               * (1.0 - vec * vec / (w * w))
+               * np.exp(-vec * vec / (2.0 * w * w)))
+        conv = np.convolve(v, wav, mode="same")
+        for c in (0, 5, 10):
+            out[f"cwt_w{w}_c{c}"] = float(conv[c]) if c < n else 0.0
     return out
 
 

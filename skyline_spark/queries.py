@@ -3191,7 +3191,7 @@ REGISTRY.update({
 def q_feature_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — the ionosphere feature basket (features_profile.FEATURE_NAMES;
     tsfresh-flavored stand-in, SURVEY §2.9): the REAL applyInPandas
-    kernel's 145 features + features_sum, value-checked against a full
+    kernel's 172 features + features_sum, value-checked against a full
     SQL twin (population std, linear-interp quantiles, autocorrelation
     lags 1-9, OLS slope, the sigma/quantile/crossing/peak grids — all
     ANSI-expressible)."""
@@ -3219,8 +3219,20 @@ def q_feature_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f_fft_agg_skew": 4, "f_fft_agg_kurtosis": 4,
             "f_change_q_var_00_10": 2, "f_change_q_var_02_08": 2,
             "f_change_q_var_04_06": 2,
-            # pacf's 1/(1-r1^2) amplifies ~1e-14 acf engine deltas
-            "f_pacf_lag2": 3}
+            # pacf's 1/(1-r1^2) amplifies ~1e-14 acf engine deltas;
+            # deeper Durbin stages amplify further
+            "f_pacf_lag2": 3, "f_pacf_lag3": 3, "f_pacf_lag4": 3,
+            "f_pacf_lag5": 3, "f_pacf_lag6": 3, "f_pacf_lag7": 3,
+            "f_pacf_lag8": 3, "f_pacf_lag9": 3,
+            # welch pxx magnitudes scale with variance*nperseg
+            "f_welch_c2": 2, "f_welch_c5": 2, "f_welch_c8": 2,
+            "f_fourier_entropy_b2": 6, "f_fourier_entropy_b3": 6,
+            "f_fourier_entropy_b5": 6, "f_fourier_entropy_b10": 6,
+            "f_fourier_entropy_b100": 6,
+            "f_cwt_w2_c0": 4, "f_cwt_w2_c5": 4, "f_cwt_w2_c10": 4,
+            "f_cwt_w5_c0": 4, "f_cwt_w5_c5": 4, "f_cwt_w5_c10": 4,
+            "f_cwt_w10_c0": 4, "f_cwt_w10_c5": 4, "f_cwt_w10_c10": 4,
+            "f_cwt_w20_c0": 4, "f_cwt_w20_c5": 4, "f_cwt_w20_c10": 4}
     cols = [_RP(c, prec.get(c, 6)).alias(c)
             for c in out.columns if c != "conv_id"]
     return out.select("conv_id", *cols)
@@ -3384,6 +3396,40 @@ aglt50 AS (
            corr(cy, cx) AS rv50, regr_sxx(cy, cx) AS sxx50,
            regr_syy(cy, cx) AS syy50, regr_sxy(cy, cx) AS sxy50
     FROM agc50 GROUP BY conv_id),
+welch AS (
+    SELECT conv_id, pxx, list_max(pxx) AS pmax, list_min(pxx) AS pmn,
+           len(pxx) AS np
+    FROM (
+        SELECT conv_id,
+               [(CASE WHEN k = 0 OR (nper % 2 = 0 AND k = nper // 2)
+                      THEN 1.0 ELSE 2.0 END)
+                * list_sum(
+                    [pow(list_sum([(l[s * step + i + 1] - sm[s + 1])
+                                   * wl[i + 1]
+                                   * cos(2 * pi() * k * i / nper)
+                                   FOR i IN range(0, nper)]), 2)
+                     + pow(list_sum([(l[s * step + i + 1] - sm[s + 1])
+                                     * wl[i + 1]
+                                     * sin(2 * pi() * k * i / nper)
+                                     FOR i IN range(0, nper)]), 2)
+                     FOR s IN range(0, nseg)])
+                / (nseg * wsum2)
+                FOR k IN range(0, nper // 2 + 1)] AS pxx
+        FROM (
+            SELECT conv_id, n, l, nper, step, nseg, wl,
+                   list_sum([x * x FOR x IN wl]) AS wsum2,
+                   [list_sum([l[s * step + i + 1]
+                              FOR i IN range(0, nper)]) / nper
+                    FOR s IN range(0, nseg)] AS sm
+            FROM (
+                SELECT conv_id, n, l, nper, step,
+                       (n - nper) // step + 1 AS nseg,
+                       [0.5 - 0.5 * cos(2 * pi() * i / nper)
+                        FOR i IN range(0, nper)] AS wl
+                FROM (SELECT conv_id, n, l, least(n, 256) AS nper,
+                             least(n, 256) - least(n, 256) // 2 AS step
+                      FROM base)
+                WHERE nper >= 2)))),
 derived0 AS (
     SELECT conv_id, n, f_mean, f_std, f_median, f_min, f_max, f_sum,
            f_abs_energy, f_q25, f_q75, f_q05, f_q95,
@@ -3534,7 +3580,8 @@ derived0 AS (
            coalesce(q.imq_05, 0.0) AS f_index_mass_quantile_05,
 __TRANCHE3__,
 __TRANCHE4__,
-__TRANCHE5__
+__TRANCHE5__,
+__TRANCHE6__
     FROM base LEFT JOIN reocc r USING (conv_id)
     LEFT JOIN imq q USING (conv_id)
     LEFT JOIN specm s USING (conv_id)
@@ -3542,14 +3589,15 @@ __TRANCHE5__
     LEFT JOIN benf bf USING (conv_id)
     LEFT JOIN cqd c USING (conv_id)
     LEFT JOIN aglt10 a1 USING (conv_id)
-    LEFT JOIN aglt50 a5 USING (conv_id)),
+    LEFT JOIN aglt50 a5 USING (conv_id)
+    LEFT JOIN welch wf USING (conv_id)),
 derived AS (
     SELECT *,
            CASE WHEN 1 - f_autocorr_lag1 * f_autocorr_lag1 <> 0
                 THEN (f_autocorr_lag2 - f_autocorr_lag1 * f_autocorr_lag1)
                      / (1 - f_autocorr_lag1 * f_autocorr_lag1)
                 ELSE 0.0 END AS f_pacf_lag2
-    FROM derived0)
+    FROM derived0)__PACF_CTES__
 """
 
 
@@ -3645,11 +3693,15 @@ def _tranche4_derived_sql() -> str:
              "     AS f_fft_agg_centroid")
     p.append(f"CASE WHEN s.s_tot > 0 THEN {var} ELSE 0.0 END\n"
              "     AS f_fft_agg_variance")
-    p.append(f"CASE WHEN s.s_tot > 0 AND {var} > 0\n"
+    # relative-epsilon guard (mirrored in the numpy kernel): bare
+    # var > 0 flips across engines when var is cancellation noise on a
+    # constant series, blowing the quotients up to 1e14 on one side
+    vguard = f"f_std > 0 AND {var} > 1e-12 * ({m2} + {m1} * {m1})"
+    p.append(f"CASE WHEN s.s_tot > 0 AND {vguard}\n"
              f"     THEN ({m3} - 3 * {m1} * {m2} + 2 * pow({m1}, 3))\n"
              f"          / pow({var}, 1.5)\n"
              "     ELSE 0.0 END AS f_fft_agg_skew")
-    p.append(f"CASE WHEN s.s_tot > 0 AND {var} > 0\n"
+    p.append(f"CASE WHEN s.s_tot > 0 AND {vguard}\n"
              f"     THEN ({m4} - 4 * {m1} * {m3}\n"
              f"           + 6 * {m1} * {m1} * {m2} - 3 * pow({m1}, 4))\n"
              f"          / ({var} * {var})\n"
@@ -3742,12 +3794,104 @@ def _tranche5_derived_sql() -> str:
     return "           " + ",\n           ".join(p)
 
 
+def _tranche6_derived_sql() -> str:
+    """derived-CTE expressions for the round-4 spectral-depth tranche
+    (features_profile._fifth_tranche, minus the pacf chain which needs
+    its own CTE recursion): spkt_welch_density / fourier_entropy over
+    the welch CTE's periodogram list (entropy binning = the SAME
+    clamped-floor formula as binned_entropy_10, over pxx/pmax), and
+    Ricker cwt_coefficients as windowed dot products with the wavelet
+    weights written analytically — every formula in the SAME operation
+    order as the numpy kernel."""
+    p = []
+    for c in (2, 5, 8):
+        p.append(f"coalesce(CASE WHEN f_std > 0 AND wf.np > {c}\n"
+                 f"              THEN wf.pxx[{c + 1}] END, 0.0)\n"
+                 f"     AS f_welch_c{c}")
+    for b in (2, 3, 5, 10, 100):
+        p.append(
+            "CASE WHEN f_std > 0 AND wf.pmax > 0\n"
+            "          AND (1.0 - wf.pmn / wf.pmax) > 0\n"
+            "     THEN -list_sum(\n"
+            "         [CASE WHEN cnt > 0\n"
+            "              THEN (cnt / CAST(wf.np AS DOUBLE))\n"
+            "                   * ln(cnt / CAST(wf.np AS DOUBLE))\n"
+            "              ELSE 0.0 END\n"
+            "          FOR cnt IN\n"
+            "          [CAST(len(list_filter(wf.pxx, x ->\n"
+            "               least(floor((x / wf.pmax - wf.pmn / wf.pmax)\n"
+            f"                          / (1.0 - wf.pmn / wf.pmax)\n"
+            f"                          * {b}), {b} - 1) = bb)) AS DOUBLE)\n"
+            f"           FOR bb IN range(0, {b})]])\n"
+            f"     ELSE 0.0 END AS f_fourier_entropy_b{b}")
+    for w in (2, 5, 10, 20):
+        N = f"least({10 * w}, n)"
+        for c in (0, 5, 10):
+            K = f"((least({10 * w}, n) - 1) // 2 + {c})"
+            p.append(
+                f"CASE WHEN n > {c} THEN list_sum(\n"
+                f"         [l[j + 1]\n"
+                f"          * ((2.0 / (sqrt({3 * w}.0) * pow(pi(), 0.25)))\n"
+                f"             * (1 - pow(({K} - j) - ({N} - 1) / 2.0, 2)\n"
+                f"                    / {w * w}.0)\n"
+                f"             * exp(-pow(({K} - j) - ({N} - 1) / 2.0, 2)\n"
+                f"                   / (2.0 * {w * w}.0)))\n"
+                f"          FOR j IN range(greatest(0, {K} - {N} + 1),\n"
+                f"                         least(n - 1, {K}) + 1)])\n"
+                f"     ELSE 0.0 END AS f_cwt_w{w}_c{c}")
+    return "           " + ",\n           ".join(p)
+
+
+def _pacf_ctes_sql() -> str:
+    """The Durbin-Levinson CTE chain for partial_autocorrelation lags
+    3..9 — dp{k} adds the stage-k reflection coefficient f_pacf_lag{k},
+    dp{k}b rolls the phi vector forward; generated so each stage's
+    num/den/update expressions unroll mechanically in the SAME
+    operation order as features_profile._fifth_tranche's recursion."""
+    ctes = [",\ndp2 AS (\n"
+            "    SELECT *, f_autocorr_lag1 * (1 - f_pacf_lag2) AS ph2_1,\n"
+            "           f_pacf_lag2 AS ph2_2\n"
+            "    FROM derived)"]
+    src = "dp2"
+    for k in range(3, 10):
+        prev = [f"ph{k - 1}_{j}" for j in range(1, k)]
+        num = (f"f_autocorr_lag{k} - ("
+               + " + ".join(f"{prev[j]} * f_autocorr_lag{k - 1 - j}"
+                            for j in range(k - 1)) + ")")
+        den = ("1 - ("
+               + " + ".join(f"{prev[j]} * f_autocorr_lag{j + 1}"
+                            for j in range(k - 1)) + ")")
+        ctes.append(
+            f",\ndp{k} AS (\n"
+            f"    SELECT *,\n"
+            f"           CASE WHEN ({den}) <> 0\n"
+            f"                THEN ({num})\n"
+            f"                     / ({den})\n"
+            f"                ELSE 0.0 END AS f_pacf_lag{k}\n"
+            f"    FROM {src})")
+        src = f"dp{k}"
+        if k < 9:
+            cols = ",\n           ".join(
+                f"{prev[j]} - f_pacf_lag{k} * {prev[k - 2 - j]}"
+                f" AS ph{k}_{j + 1}" for j in range(k - 1))
+            ctes.append(
+                f",\ndp{k}b AS (\n"
+                f"    SELECT *, {cols},\n"
+                f"           f_pacf_lag{k} AS ph{k}_{k}\n"
+                f"    FROM dp{k})")
+            src = f"dp{k}b"
+    return "".join(ctes)
+
+
 _FEATURES_CTES = _FEATURES_CTES.replace("__TRANCHE3__",
                                         _tranche3_derived_sql())
 _FEATURES_CTES = _FEATURES_CTES.replace("__TRANCHE4__",
                                         _tranche4_derived_sql())
 _FEATURES_CTES = _FEATURES_CTES.replace("__TRANCHE5__",
                                         _tranche5_derived_sql())
+_FEATURES_CTES = _FEATURES_CTES.replace("__TRANCHE6__",
+                                        _tranche6_derived_sql())
+_FEATURES_CTES = _FEATURES_CTES.replace("__PACF_CTES__", _pacf_ctes_sql())
 
 _FEATURES_FINAL = r"""SELECT conv_id,
        round((f_mean + f_std + f_median + f_min + f_max + f_sum
@@ -3806,7 +3950,17 @@ _FEATURES_FINAL = r"""SELECT conv_id,
              + f_agg_lt10_rvalue + f_agg_lt10_stderr
              + f_agg_lt50_slope + f_agg_lt50_intercept
              + f_agg_lt50_rvalue + f_agg_lt50_stderr
-             + f_agg_acf_mean + f_agg_acf_median + f_agg_acf_var), 2)
+             + f_agg_acf_mean + f_agg_acf_median + f_agg_acf_var)
+             + (f_pacf_lag3 + f_pacf_lag4 + f_pacf_lag5 + f_pacf_lag6
+             + f_pacf_lag7 + f_pacf_lag8 + f_pacf_lag9
+             + f_welch_c2 + f_welch_c5 + f_welch_c8
+             + f_fourier_entropy_b2 + f_fourier_entropy_b3
+             + f_fourier_entropy_b5 + f_fourier_entropy_b10
+             + f_fourier_entropy_b100
+             + f_cwt_w2_c0 + f_cwt_w2_c5 + f_cwt_w2_c10
+             + f_cwt_w5_c0 + f_cwt_w5_c5 + f_cwt_w5_c10
+             + f_cwt_w10_c0 + f_cwt_w10_c5 + f_cwt_w10_c10
+             + f_cwt_w20_c0 + f_cwt_w20_c5 + f_cwt_w20_c10), 2)
            AS features_sum,
        round(f_mean, 6) AS f_mean, round(f_std, 6) AS f_std,
        round(f_median, 6) AS f_median, round(f_min, 6) AS f_min,
@@ -3944,8 +4098,35 @@ _FEATURES_FINAL = r"""SELECT conv_id,
        round(f_agg_lt50_stderr, 6) AS f_agg_lt50_stderr,
        round(f_agg_acf_mean, 6) AS f_agg_acf_mean,
        round(f_agg_acf_median, 6) AS f_agg_acf_median,
-       round(f_agg_acf_var, 6) AS f_agg_acf_var
-FROM derived
+       round(f_agg_acf_var, 6) AS f_agg_acf_var,
+       round(f_pacf_lag3, 3) AS f_pacf_lag3,
+       round(f_pacf_lag4, 3) AS f_pacf_lag4,
+       round(f_pacf_lag5, 3) AS f_pacf_lag5,
+       round(f_pacf_lag6, 3) AS f_pacf_lag6,
+       round(f_pacf_lag7, 3) AS f_pacf_lag7,
+       round(f_pacf_lag8, 3) AS f_pacf_lag8,
+       round(f_pacf_lag9, 3) AS f_pacf_lag9,
+       round(f_welch_c2, 2) AS f_welch_c2,
+       round(f_welch_c5, 2) AS f_welch_c5,
+       round(f_welch_c8, 2) AS f_welch_c8,
+       round(f_fourier_entropy_b2, 6) AS f_fourier_entropy_b2,
+       round(f_fourier_entropy_b3, 6) AS f_fourier_entropy_b3,
+       round(f_fourier_entropy_b5, 6) AS f_fourier_entropy_b5,
+       round(f_fourier_entropy_b10, 6) AS f_fourier_entropy_b10,
+       round(f_fourier_entropy_b100, 6) AS f_fourier_entropy_b100,
+       round(f_cwt_w2_c0, 4) AS f_cwt_w2_c0,
+       round(f_cwt_w2_c5, 4) AS f_cwt_w2_c5,
+       round(f_cwt_w2_c10, 4) AS f_cwt_w2_c10,
+       round(f_cwt_w5_c0, 4) AS f_cwt_w5_c0,
+       round(f_cwt_w5_c5, 4) AS f_cwt_w5_c5,
+       round(f_cwt_w5_c10, 4) AS f_cwt_w5_c10,
+       round(f_cwt_w10_c0, 4) AS f_cwt_w10_c0,
+       round(f_cwt_w10_c5, 4) AS f_cwt_w10_c5,
+       round(f_cwt_w10_c10, 4) AS f_cwt_w10_c10,
+       round(f_cwt_w20_c0, 4) AS f_cwt_w20_c0,
+       round(f_cwt_w20_c5, 4) AS f_cwt_w20_c5,
+       round(f_cwt_w20_c10, 4) AS f_cwt_w20_c10
+FROM dp9
 """
 
 
@@ -3957,7 +4138,9 @@ def _features_sql_block(sfx: str, src: str) -> str:
         # prefixes apart
         for name in ("base", "reocc", "imq", "spec", "specm", "fftc",
                      "benf", "cqb", "cqd", "agrows", "agc10", "agc50",
-                     "aglt10", "aglt50", "derived0", "derived"):
+                     "aglt10", "aglt50", "welch", "derived0", "derived",
+                     "dp2", "dp3", "dp3b", "dp4", "dp4b", "dp5", "dp5b",
+                     "dp6", "dp6b", "dp7", "dp7b", "dp8", "dp8b", "dp9"):
             s = _re.sub(rf"\b{name}\b", f"{name}{sfx}", s)
     s = s.replace("FROM valid", f"FROM {src}")
     return s
@@ -4087,9 +4270,9 @@ valid_head AS (
     + _features_sql_block("_h", "valid_head")
     + f"""
 , cur_sum AS (
-    SELECT conv_id, ({_FSUM_EXPR}) AS cur FROM derived_c),
+    SELECT conv_id, ({_FSUM_EXPR}) AS cur FROM dp9_c),
 tr_sum AS (
-    SELECT conv_id, ({_FSUM_EXPR}) AS trained FROM derived_h),
+    SELECT conv_id, ({_FSUM_EXPR}) AS trained FROM dp9_h),
 matched AS (
     SELECT r.conv_id, r.metric,
            CASE WHEN t.trained IS NOT NULL AND t.trained <> 0
