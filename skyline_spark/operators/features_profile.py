@@ -145,6 +145,14 @@ FEATURE_NAMES = (
     "cwt_w5_c0", "cwt_w5_c5", "cwt_w5_c10",
     "cwt_w10_c0", "cwt_w10_c5", "cwt_w10_c10",
     "cwt_w20_c0", "cwt_w20_c5", "cwt_w20_c10",
+    # round-4 fifth tranche (5 more -> 177): ar_coefficient at
+    # tsfresh's default grid (k=10, coeff 0..4) — the AutoReg(lags=10,
+    # trend='c') OLS fit, solved by an OWN Cholesky factorization of
+    # the normal equations written operation-for-operation identically
+    # in numpy and the unrolled SQL twin (NOT lstsq/SVD, whose
+    # pseudo-inverse path would diverge across engines on
+    # ill-conditioned lag matrices); coeff 0 is the intercept
+    "ar_k10_c0", "ar_k10_c1", "ar_k10_c2", "ar_k10_c3", "ar_k10_c4",
 )
 
 
@@ -576,6 +584,49 @@ def _binned_entropy_arr(x: np.ndarray, bins: int) -> float:
     return float(-np.sum(p * np.log(p)))
 
 
+def _ar_ols(v: np.ndarray, n: int, k: int = 10) -> list[float] | None:
+    """AutoReg(lags=k, trend='c') OLS coefficients [c, phi_1..phi_k]
+    via an OWN Cholesky solve of the normal equations — the identical
+    operation sequence is unrolled in the SQL twin, so both engines
+    follow the same floating-point path (lstsq's SVD would not).
+    Returns None (-> all-0.0 features) when there are fewer usable rows
+    than parameters or a pivot degenerates (relative guard, mirrored)."""
+    if n < 2 * k + 1:
+        return None
+    # normal equations over rows t = k..n-1: regressors [1, x_{t-1}..x_{t-k}]
+    m = k + 1
+    a = np.empty((m, m))
+    b = np.empty(m)
+    nobs = n - k
+    a[0, 0] = float(nobs)
+    b[0] = float(v[k:].sum())
+    for p in range(1, m):
+        a[0, p] = a[p, 0] = float(v[k - p:n - p].sum())
+        b[p] = float(np.dot(v[k - p:n - p], v[k:]))
+        for q in range(p, m):
+            a[p, q] = a[q, p] = float(np.dot(v[k - p:n - p],
+                                             v[k - q:n - q]))
+    # Cholesky a = L L^T, unrolled identically in SQL
+    L = np.zeros((m, m))
+    for j in range(m):
+        d = a[j, j] - float(np.dot(L[j, :j], L[j, :j]))
+        if not d > 1e-10 * (abs(a[j, j]) + 1.0):
+            return None
+        L[j, j] = np.sqrt(d)
+        for i in range(j + 1, m):
+            L[i, j] = (a[i, j]
+                       - float(np.dot(L[i, :j], L[j, :j]))) / L[j, j]
+    # forward then back substitution
+    z = np.zeros(m)
+    for i in range(m):
+        z[i] = (b[i] - float(np.dot(L[i, :i], z[:i]))) / L[i, i]
+    beta = np.zeros(m)
+    for i in range(m - 1, -1, -1):
+        beta[i] = (z[i] - float(np.dot(L[i + 1:, i], beta[i + 1:]))) \
+            / L[i, i]
+    return [float(x) for x in beta]
+
+
 def _fifth_tranche(v: np.ndarray, n: int, std: float,
                    centered: np.ndarray) -> dict[str, float]:
     out: dict[str, float] = {}
@@ -611,6 +662,10 @@ def _fifth_tranche(v: np.ndarray, n: int, std: float,
         for b in (2, 3, 5, 10, 100):
             out[f"fourier_entropy_b{b}"] = \
                 _binned_entropy_arr(pxx / pmax, b) if pmax > 0 else 0.0
+    # ar_coefficient (k=10, coeff 0..4) — see FEATURE_NAMES note
+    beta = _ar_ols(v, n)
+    for c in range(5):
+        out[f"ar_k10_c{c}"] = beta[c] if beta is not None else 0.0
     # cwt_coefficients — Ricker wavelet of length min(10w, n),
     # np.convolve mode='same' (the wavelet is even, so scipy's reversal
     # is a no-op), value at position coeff; coeff >= n degenerates to 0

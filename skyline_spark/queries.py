@@ -3232,7 +3232,11 @@ def q_feature_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f_cwt_w2_c0": 4, "f_cwt_w2_c5": 4, "f_cwt_w2_c10": 4,
             "f_cwt_w5_c0": 4, "f_cwt_w5_c5": 4, "f_cwt_w5_c10": 4,
             "f_cwt_w10_c0": 4, "f_cwt_w10_c5": 4, "f_cwt_w10_c10": 4,
-            "f_cwt_w20_c0": 4, "f_cwt_w20_c5": 4, "f_cwt_w20_c10": 4}
+            "f_cwt_w20_c0": 4, "f_cwt_w20_c5": 4, "f_cwt_w20_c10": 4,
+            # ar OLS betas are O(1); Cholesky amplifies Gram-sum engine
+            # deltas by the condition number
+            "f_ar_k10_c0": 3, "f_ar_k10_c1": 3, "f_ar_k10_c2": 3,
+            "f_ar_k10_c3": 3, "f_ar_k10_c4": 3}
     cols = [_RP(c, prec.get(c, 6)).alias(c)
             for c in out.columns if c != "conv_id"]
     return out.select("conv_id", *cols)
@@ -3842,6 +3846,97 @@ def _tranche6_derived_sql() -> str:
     return "           " + ",\n           ".join(p)
 
 
+#: CTE names generated by _ar_ctes_sql (also fed to the suffix-rename
+#: loop in _features_sql_block)
+_AR_CTE_NAMES = (("ara",)
+                 + tuple(f"acj{j}" for j in range(11))
+                 + tuple(f"azf{i}" for i in range(11))
+                 + tuple(f"abt{i}" for i in range(10, -1, -1))
+                 + ("arb", "dfin"))
+
+
+def _ar_ctes_sql() -> str:
+    """ar_coefficient (k=10, coeff 0..4) — the AutoReg normal-equation
+    Gram sums (ara), then an OWN Cholesky factorization + forward/back
+    substitution mirroring features_profile._ar_ols
+    operation-for-operation: one CTE per Cholesky column (acj{j}: the
+    d_j pivot with the same relative guard, then that column of L),
+    one per forward-substitution step (azf{i}: z_i), one per
+    back-substitution step (abt{i}: beta_i), and the n >= 21
+    usable-rows gate. Sequential values MUST materialize as CTE
+    columns — chaining them all as lateral aliases in one SELECT makes
+    the binder's substitution expansion combinatorial. A failed pivot
+    NULL-propagates and the final coalesced ok gate emits 0.0."""
+    k = 10
+    m = k + 1
+    cols = []
+    for p_ in range(m):
+        for q in range(p_, m):
+            if p_ == 0 and q == 0:
+                cols.append(f"CAST(n - {k} AS DOUBLE) AS a0_0")
+            elif p_ == 0:
+                cols.append(
+                    f"list_sum([l[t + 1 - {q}]\n"
+                    f"                     FOR t IN range({k}, n)])"
+                    f" AS a0_{q}")
+            else:
+                cols.append(
+                    f"list_sum([l[t + 1 - {p_}] * l[t + 1 - {q}]\n"
+                    f"                     FOR t IN range({k}, n)])"
+                    f" AS a{p_}_{q}")
+    cols.append(f"list_sum([l[t + 1] FOR t IN range({k}, n)]) AS b0")
+    for p_ in range(1, m):
+        cols.append(
+            f"list_sum([l[t + 1 - {p_}] * l[t + 1]\n"
+            f"                     FOR t IN range({k}, n)]) AS b{p_}")
+    parts = [",\nara AS (\n    SELECT conv_id, n,\n           "
+             + ",\n           ".join(cols) + "\n    FROM base)"]
+
+    def aent(i, j):
+        return f"a{min(i, j)}_{max(i, j)}"
+
+    src = "ara"
+    for j in range(m):
+        dot = " + ".join(f"l{j}_{mm} * l{j}_{mm}" for mm in range(j))
+        d = aent(j, j) + (f" - ({dot})" if dot else "")
+        ch = [f"coalesce(({d})\n"
+              f"               > 1e-10 * (abs({aent(j, j)}) + 1.0),"
+              f" FALSE) AS ok{j}",
+              f"CASE WHEN ok{j} THEN sqrt({d}) END AS l{j}_{j}"]
+        for i in range(j + 1, m):
+            dot = " + ".join(f"l{i}_{mm} * l{j}_{mm}" for mm in range(j))
+            num = aent(i, j) + (f" - ({dot})" if dot else "")
+            ch.append(f"CASE WHEN ok{j} THEN ({num}) / l{j}_{j} END"
+                      f" AS l{i}_{j}")
+        parts.append(f",\nacj{j} AS (\n    SELECT *,\n           "
+                     + ",\n           ".join(ch) + f"\n    FROM {src})")
+        src = f"acj{j}"
+    for i in range(m):
+        dot = " + ".join(f"l{i}_{mm} * z{mm}" for mm in range(i))
+        num = f"b{i}" + (f" - ({dot})" if dot else "")
+        parts.append(f",\nazf{i} AS (\n    SELECT *,\n"
+                     f"           ({num}) / l{i}_{i} AS z{i}\n"
+                     f"    FROM {src})")
+        src = f"azf{i}"
+    for i in range(m - 1, -1, -1):
+        dot = " + ".join(f"l{mm}_{i} * t{mm}" for mm in range(i + 1, m))
+        num = f"z{i}" + (f" - ({dot})" if dot else "")
+        parts.append(f",\nabt{i} AS (\n    SELECT *,\n"
+                     f"           ({num}) / l{i}_{i} AS t{i}\n"
+                     f"    FROM {src})")
+        src = f"abt{i}"
+    okall = (f"n >= {2 * k + 1} AND "
+             + " AND ".join(f"ok{j}" for j in range(m)))
+    feats = ",\n           ".join(
+        f"CASE WHEN {okall}\n                THEN t{c} ELSE 0.0 END"
+        f" AS f_ar_k10_c{c}" for c in range(5))
+    parts.append(",\narb AS (\n    SELECT conv_id,\n           "
+                 + feats + f"\n    FROM {src})")
+    parts.append(",\ndfin AS (\n    SELECT * FROM dp9 LEFT JOIN arb"
+                 " USING (conv_id))")
+    return "".join(parts)
+
+
 def _pacf_ctes_sql() -> str:
     """The Durbin-Levinson CTE chain for partial_autocorrelation lags
     3..9 — dp{k} adds the stage-k reflection coefficient f_pacf_lag{k},
@@ -3891,7 +3986,8 @@ _FEATURES_CTES = _FEATURES_CTES.replace("__TRANCHE5__",
                                         _tranche5_derived_sql())
 _FEATURES_CTES = _FEATURES_CTES.replace("__TRANCHE6__",
                                         _tranche6_derived_sql())
-_FEATURES_CTES = _FEATURES_CTES.replace("__PACF_CTES__", _pacf_ctes_sql())
+_FEATURES_CTES = _FEATURES_CTES.replace("__PACF_CTES__",
+                                        _pacf_ctes_sql() + _ar_ctes_sql())
 
 _FEATURES_FINAL = r"""SELECT conv_id,
        round((f_mean + f_std + f_median + f_min + f_max + f_sum
@@ -3960,7 +4056,9 @@ _FEATURES_FINAL = r"""SELECT conv_id,
              + f_cwt_w2_c0 + f_cwt_w2_c5 + f_cwt_w2_c10
              + f_cwt_w5_c0 + f_cwt_w5_c5 + f_cwt_w5_c10
              + f_cwt_w10_c0 + f_cwt_w10_c5 + f_cwt_w10_c10
-             + f_cwt_w20_c0 + f_cwt_w20_c5 + f_cwt_w20_c10), 2)
+             + f_cwt_w20_c0 + f_cwt_w20_c5 + f_cwt_w20_c10)
+             + (f_ar_k10_c0 + f_ar_k10_c1 + f_ar_k10_c2
+             + f_ar_k10_c3 + f_ar_k10_c4), 2)
            AS features_sum,
        round(f_mean, 6) AS f_mean, round(f_std, 6) AS f_std,
        round(f_median, 6) AS f_median, round(f_min, 6) AS f_min,
@@ -4125,8 +4223,13 @@ _FEATURES_FINAL = r"""SELECT conv_id,
        round(f_cwt_w10_c10, 4) AS f_cwt_w10_c10,
        round(f_cwt_w20_c0, 4) AS f_cwt_w20_c0,
        round(f_cwt_w20_c5, 4) AS f_cwt_w20_c5,
-       round(f_cwt_w20_c10, 4) AS f_cwt_w20_c10
-FROM dp9
+       round(f_cwt_w20_c10, 4) AS f_cwt_w20_c10,
+       round(f_ar_k10_c0, 3) AS f_ar_k10_c0,
+       round(f_ar_k10_c1, 3) AS f_ar_k10_c1,
+       round(f_ar_k10_c2, 3) AS f_ar_k10_c2,
+       round(f_ar_k10_c3, 3) AS f_ar_k10_c3,
+       round(f_ar_k10_c4, 3) AS f_ar_k10_c4
+FROM dfin
 """
 
 
@@ -4136,11 +4239,12 @@ def _features_sql_block(sfx: str, src: str) -> str:
         # rename every CTE (definition + reference) with the suffix;
         # \b keeps imq_05-style column names and derived0-vs-derived
         # prefixes apart
-        for name in ("base", "reocc", "imq", "spec", "specm", "fftc",
-                     "benf", "cqb", "cqd", "agrows", "agc10", "agc50",
-                     "aglt10", "aglt50", "welch", "derived0", "derived",
-                     "dp2", "dp3", "dp3b", "dp4", "dp4b", "dp5", "dp5b",
-                     "dp6", "dp6b", "dp7", "dp7b", "dp8", "dp8b", "dp9"):
+        for name in (("base", "reocc", "imq", "spec", "specm", "fftc",
+                      "benf", "cqb", "cqd", "agrows", "agc10", "agc50",
+                      "aglt10", "aglt50", "welch", "derived0", "derived",
+                      "dp2", "dp3", "dp3b", "dp4", "dp4b", "dp5", "dp5b",
+                      "dp6", "dp6b", "dp7", "dp7b", "dp8", "dp8b", "dp9")
+                     + _AR_CTE_NAMES):
             s = _re.sub(rf"\b{name}\b", f"{name}{sfx}", s)
     s = s.replace("FROM valid", f"FROM {src}")
     return s
@@ -4270,9 +4374,9 @@ valid_head AS (
     + _features_sql_block("_h", "valid_head")
     + f"""
 , cur_sum AS (
-    SELECT conv_id, ({_FSUM_EXPR}) AS cur FROM dp9_c),
+    SELECT conv_id, ({_FSUM_EXPR}) AS cur FROM dfin_c),
 tr_sum AS (
-    SELECT conv_id, ({_FSUM_EXPR}) AS trained FROM dp9_h),
+    SELECT conv_id, ({_FSUM_EXPR}) AS trained FROM dfin_h),
 matched AS (
     SELECT r.conv_id, r.metric,
            CASE WHEN t.trained IS NOT NULL AND t.trained <> 0
