@@ -22,22 +22,24 @@ Semantics implemented (the exercised subset of the reference's knobs):
   CONSENSUS, algorithms.py:2000-2016);
 - ``use_with`` namespace pattern restricts which series run it.
 
-Shipped library: 34 of the 36 algorithm files in the reference's
+Shipped library: all 36 algorithm files in the reference's
 skyline/custom_algorithms/ are ported (see SHIPPED at the bottom; each
 cites its reference file; SHIPPED additionally carries two simple
 non-reference example detectors, level_shift and iqr_outlier, so the
-registry holds 36 entries). laoccfdlpnc + skyline_laoccfdlpnc ship
+registry holds 38 entries). laoccfdlpnc + skyline_laoccfdlpnc ship
 with an own projected-gradient solve of their cvxpy interior-point
 program; skyline_prophet ships with an own deterministic prophet-lite
 (MAP piecewise-linear trend, coordinate-descent lasso, analytic
 intervals); sigma ships the full run_sigma_algorithms /
 run_sigma_oneshot_algorithms suite (custom_algorithm_sources/sigma/);
 irregular_unstable composes both with its variance gates (the Graphite
-30-day refetch maps to this engine's retention window, as with mirage).
-The 2 unported ones ARE remote API calls and nothing else
-(azure_ai_anomalydetector posts the series to an Azure endpoint,
-grafana_promql_anomaly_detection queries a Grafana/Prometheus server)
-— out of scope by the same rule as SURVEY §3.3.
+30-day refetch maps to this engine's retention window, as with mirage);
+grafana_promql_anomaly_detection's band logic is fully local in the
+reference and ported quirk-for-quirk; azure_ai_anomalydetector ports
+the wrapper semantics exactly, with the one remote round-trip (the
+Azure univariate API) replaced by an own local spectral-residual
+detector per the published algorithm behind the service (documented in
+its docstring).
 """
 
 from __future__ import annotations
@@ -450,11 +452,33 @@ def spectral_residual(ts: np.ndarray, values: np.ndarray, params: dict):
     anomaly_window = int(params.get("anomaly_window", 1))
     if anomaly_window == 1:
         anomaly_window = 3
+    outliers = _sr_outlier_flags(
+        ts, values, threshold=threshold, threshold_perc=threshold_perc,
+        window_amp=window_amp, window_local=window_local, n_est=n_est,
+        n_grad=n_grad, amp_method=amp_method, local_method=local_method,
+        amp_side=amp_side)
+    if outliers is None:
+        return None, None
+    hit = bool(outliers[-anomaly_window:].any())
+    return hit, (1.0 if hit else 0.0)
+
+
+def _sr_outlier_flags(ts: np.ndarray, values: np.ndarray, *,
+                      threshold=None, threshold_perc: float = 99.0,
+                      window_amp: int = 20, window_local: int = 20,
+                      n_est: int = 20, n_grad: int = 5,
+                      amp_method: str = "reflect",
+                      local_method: str = "reflect",
+                      amp_side: str = "bilateral") -> np.ndarray | None:
+    """Per-point spectral-residual outlier flags — the saliency math of
+    :func:`spectral_residual` factored out so the azure stand-in can
+    reuse the identical flag array; returns None when the series is too
+    short or the transform degenerates."""
     try:
         x = values.astype(np.float64)
         t = ts.astype(np.float64)
         if x.size <= max(window_local, window_amp, n_grad + 1):
-            return None, None
+            return None
         # pad estimated points so the tail sits mid-window (:369-389)
         dx = x[-1] - x[-n_grad - 1:-1]
         dt = t[-1] - t[-n_grad - 1:-1]
@@ -484,9 +508,161 @@ def spectral_residual(ts: np.ndarray, values: np.ndarray, params: dict):
         iscore = (sr - ma_sr) / (ma_sr + _SR_EPSILON)
         thr = float(threshold) if threshold is not None \
             else float(np.percentile(iscore, threshold_perc))
-        outliers = iscore > thr
-        hit = bool(outliers[-anomaly_window:].any())
-        return hit, (1.0 if hit else 0.0)
+        return iscore > thr
+    except Exception:
+        return None
+
+
+def azure_ai_anomalydetector(ts: np.ndarray, values: np.ndarray,
+                             params: dict):
+    """Port of skyline/custom_algorithms/azure_ai_anomalydetector.py:
+    180-341 — the wrapper semantics quirk-for-quirk, with the remote
+    ``AnomalyDetectorClient.detect_univariate_entire_series`` round-trip
+    replaced by an OWN local spectral-residual detector (the published
+    algorithm behind the Azure univariate service, Ren et al. 2019,
+    arXiv:1906.03821 — the same saliency math as
+    :func:`_sr_outlier_flags`).  ``sensitivity`` (0..99, default 99,
+    azure_ai_anomalydetector.py:190-193) maps to the SR threshold
+    percentile directly — an own deterministic stand-in for the
+    service's margin calibration.  Ported faithfully from the wrapper:
+    the per-point 0/1 anomalyScore_list, ``anomalous = any flag in the
+    last anomaly_window points`` (:273-277), and the unreliable
+    discard — ``total flags > n/5`` hardcoded, NOT max_anomaly_ratio,
+    which the reference accepts but never applies (:279-286) — which
+    forces (False, 0.0) (:316-318)."""
+    anomaly_window = int(params.get("anomaly_window", 1))
+    try:
+        sensitivity = int(params.get("sensitivity", 99))
+    except (TypeError, ValueError):
+        sensitivity = 99
+    flags = _sr_outlier_flags(
+        ts, values,
+        threshold_perc=float(min(max(sensitivity, 1), 99)))
+    if flags is None:
+        return None, None
+    score_list = flags.astype(np.float64)
+    anomalous = bool(score_list[-anomaly_window:].sum() > 0)
+    if float(score_list.sum()) > (len(values) / 5):
+        # "this algorithm does not suit this data" — discard
+        return False, 0.0
+    return anomalous, (1.0 if anomalous else 0.0)
+
+
+def grafana_promql_anomaly_detection(ts: np.ndarray, values: np.ndarray,
+                                     params: dict):
+    """Port of skyline/custom_algorithms/
+    grafana_promql_anomaly_detection.py:28-592 — the (fully local)
+    band logic of grafana/promql-anomaly-detection re-expressed on
+    numpy/pandas.  Quirk-for-quirk with the reference:
+
+    - resolution = the modal timestamp diff (:154-159); timestamps
+      floor-aligned to it (:289);
+    - series spanning < 5.5 days return (None, None) (:294-299);
+    - resolution < 600 s: pandas ``resample('10min', origin='end')``
+      on the MEDIAN with bfill, falling back to the MEAN when <= 10
+      non-zero resampled values or min-max-normalised variance <=
+      0.009 (:312-396);
+    - missing grid points filled with the median of up to the 3
+      previous (already-filled) values; leading gaps stay NaN
+      (:409-424);
+    - trailing move_mean/move_std (min_count=1, ddof=0 — the
+      bottleneck defaults) over int(3600/res) samples; cov against a
+      zero/NaN-cleaned mean; std zeroed where cov <= threshold_by_covar
+      (which defaults to 1 — the reference's except-clause overwrites
+      its own 0.5 initialiser, :222-225); smoothed over
+      int(93600/res) samples (:436-470);
+    - bands avg +/- smoothed_std * stddev_multiplier, margin bands
+      avg +/- avg * margin_multiplier where smoothed_std == 0, lower
+      clipped at 0 (:471-487); NaNs filled with nanmeans (:488-490);
+    - out-of-band runs shorter than min_anomaly_duration_seconds
+      (default 300 — measured START to LAST member, so a single point
+      has duration 0) are dropped; scores are 1 only at period START
+      timestamps, and the verdict is any score in the last
+      anomaly_window grid points (:491-537) — with the default
+      anomaly_window=1 a qualifying run can never start at the final
+      point, a reference quirk preserved as-is."""
+    anomaly_window = int(params.get("anomaly_window", 1))
+    min_dur = int(params.get("min_anomaly_duration_seconds", 300))
+    try:
+        threshold_by_covar = int(params["threshold_by_covar"])
+    except (KeyError, TypeError, ValueError):
+        threshold_by_covar = 1
+    stddev_multiplier = int(params.get("stddev_multiplier", 2))
+    margin_multiplier = float(params.get("margin_multiplier", 0.5))
+    short_window = int(params.get("short_window", 3600))
+    smoothing_window_seconds = int(
+        params.get("smoothing_window_seconds", 93600))
+    low_variance = 0.009
+    try:
+        diffs = np.diff(ts.astype(np.int64))
+        uniq, counts = np.unique(diffs, return_counts=True)
+        resolution = int(uniq[np.argmax(counts)])
+        t = (ts.astype(np.int64) // resolution * resolution)
+        v = values.astype(np.float64)
+        if int(t[-1] - t[0]) < (86400 * 5.5):
+            return None, None
+        if resolution < 600:
+            np_max, np_min = float(np.amax(v)), float(np.amin(v))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                norm = (v - np_min) / (np_max - np_min)
+                normalised_var = round(float(np.var(norm)), 4)
+            aggregate_on_mean = normalised_var <= low_variance
+            df = pd.DataFrame(
+                {"value": v},
+                index=pd.DatetimeIndex(pd.to_datetime(t, unit="s")))
+            res_df = df.resample("10min", origin="end").median().bfill()
+            non_zero = int((res_df["value"].to_numpy() != 0).sum())
+            if non_zero <= 10 or aggregate_on_mean:
+                res_df = df.resample("10min", origin="end").mean().bfill()
+            t = np.array([int(x.value // 10 ** 9) for x in res_df.index],
+                         dtype=np.int64)
+            v = res_df["value"].to_numpy(dtype=np.float64)
+            resolution = 600
+        expected_ts = np.arange(t[0], t[-1] + resolution, resolution)
+        expected_v = np.full_like(expected_ts, np.nan, dtype=np.float64)
+        expected_v[np.isin(expected_ts, t)] = v
+        for i in range(len(expected_v)):
+            if np.isnan(expected_v[i]):
+                prev = expected_v[max(0, i - 3):i]
+                prev = prev[~np.isnan(prev)]
+                if len(prev) > 0:
+                    expected_v[i] = np.median(prev)
+        vals = expected_v
+        w_avg = int(short_window / resolution)
+        w_smooth = int(smoothing_window_seconds / resolution)
+        s = pd.Series(vals)
+        moving_avg = s.rolling(w_avg, min_periods=1).mean().to_numpy()
+        moving_std = s.rolling(w_avg, min_periods=1).std(ddof=0).to_numpy()
+        avg_clean = np.where(
+            np.isnan(moving_avg) | (moving_avg == 0), 1e-10, moving_avg)
+        cov = moving_std / avg_clean
+        filtered_std = np.where(cov > threshold_by_covar, moving_std, 0)
+        smoothed_std = pd.Series(filtered_std).rolling(
+            w_smooth, min_periods=1).mean().to_numpy()
+        lower = moving_avg - smoothed_std * stddev_multiplier
+        upper = moving_avg + smoothed_std * stddev_multiplier
+        margin = moving_avg * margin_multiplier
+        lower = np.where(smoothed_std == 0, moving_avg - margin, lower)
+        upper = np.where(smoothed_std == 0, moving_avg + margin, upper)
+        lower = np.clip(lower, a_min=0, a_max=None)
+        vals_f = np.nan_to_num(vals, nan=float(np.nanmean(vals)))
+        lower_f = np.nan_to_num(lower, nan=float(np.nanmean(lower)))
+        upper_f = np.nan_to_num(upper, nan=float(np.nanmean(upper)))
+        flags = (vals_f < lower_f) | (vals_f > upper_f)
+        start_ts = set()
+        i, n = 0, len(flags)
+        while i < n:
+            if flags[i]:
+                start = int(expected_ts[i])
+                while i + 1 < n and flags[i + 1]:
+                    i += 1
+                if int(expected_ts[i]) - start >= min_dur:
+                    start_ts.add(start)
+            i += 1
+        scores = np.array([1.0 if int(x) in start_ts else 0.0
+                           for x in expected_ts])
+        anomalous = bool(scores[-anomaly_window:].sum() > 0)
+        return anomalous, (1.0 if anomalous else 0.0)
     except Exception:
         return None, None
 
@@ -3150,4 +3326,6 @@ SHIPPED = {
     "skyline_laoccfdlpnc": skyline_laoccfdlpnc,
     "skyline_prophet": skyline_prophet,
     "irregular_unstable": irregular_unstable,
+    "azure_ai_anomalydetector": azure_ai_anomalydetector,
+    "grafana_promql_anomaly_detection": grafana_promql_anomaly_detection,
 }

@@ -806,6 +806,65 @@ def test_irregular_unstable(noisy):
         == (True, 1.0)
 
 
+def test_azure_ai_anomalydetector(noisy):
+    """azure_ai_anomalydetector — the wrapper semantics
+    (skyline/custom_algorithms/azure_ai_anomalydetector.py:273-318)
+    over the local spectral-residual stand-in: anomaly_window vote,
+    n/5 unreliable discard, too-short -> (None, None)."""
+    from skyline_spark.functions.custom_algorithms import (
+        azure_ai_anomalydetector,
+    )
+    ts, v = noisy
+    spiked = v.copy()
+    spiked[-1] = 200.0
+    assert azure_ai_anomalydetector(ts, spiked, {}) == (True, 1.0)
+    assert azure_ai_anomalydetector(ts, v, {})[0] is False
+    # sensitivity 50 -> half the points flagged -> > n/5 -> discarded
+    assert azure_ai_anomalydetector(
+        ts, spiked, {"sensitivity": 50}) == (False, 0.0)
+    assert azure_ai_anomalydetector(ts[:10], v[:10], {}) == (None, None)
+
+
+def test_grafana_promql_anomaly_detection():
+    """grafana_promql_anomaly_detection
+    (skyline/custom_algorithms/grafana_promql_anomaly_detection.py):
+    margin bands on a quiet 600 s series, sustained-run duration
+    filter, the anomaly_window=1 start-timestamp quirk, the < 5.5 day
+    gate, and the < 600 s median-resample path."""
+    from skyline_spark.functions.custom_algorithms import (
+        grafana_promql_anomaly_detection as gpad,
+    )
+    rng = np.random.RandomState(7)
+    n = 7 * 144  # 7 days at 600 s
+    ts = 1_700_000_000 + 600.0 * np.arange(n)
+    quiet = 100 + rng.normal(0, 1, n)
+    assert gpad(ts, quiet, {"anomaly_window": 3}) == (False, 0.0)
+    # sustained 3-point breach of the +50% margin band ending at the
+    # last point: run starts at n-3, duration 1200 s >= 300 s
+    burst = quiet.copy()
+    burst[-3:] = 300.0
+    assert gpad(ts, burst, {"anomaly_window": 3}) == (True, 1.0)
+    # reference quirk: scores mark only run STARTS, and a run starting
+    # at the final point has duration 0 -> the default anomaly_window=1
+    # can never fire
+    assert gpad(ts, burst, {}) == (False, 0.0)
+    # a single out-of-band point has duration 0 -> dropped
+    single = quiet.copy()
+    single[-2] = 300.0
+    assert gpad(ts, single, {"anomaly_window": 3}) == (False, 0.0)
+    # < 5.5 days -> undeterminable
+    assert gpad(ts[:400], quiet[:400], {"anomaly_window": 3}) \
+        == (None, None)
+    # 60 s resolution takes the median resample path down to 600 s
+    n2 = 7 * 1440
+    ts2 = 1_700_000_000 + 60.0 * np.arange(n2)
+    q2 = 100 + rng.normal(0, 1, n2)
+    assert gpad(ts2, q2, {"anomaly_window": 4}) == (False, 0.0)
+    b2 = q2.copy()
+    b2[-40:] = 300.0  # ~4 resampled buckets
+    assert gpad(ts2, b2, {"anomaly_window": 4}) == (True, 1.0)
+
+
 def test_custom_consensus_override(noisy):
     """A consensus_override custom algorithm decides by itself even when
     the 3-sigma suite votes not-anomalous."""
