@@ -1,0 +1,165 @@
+"""Webapp read path — the Panorama anomaly-browsing API (§3.3).
+
+Reference: skyline/webapp/backend.py:128-720 (``panorama_request``) —
+the Flask endpoint that assembles a MySQL SELECT over the ``anomalies``
+table from request args, plus webapp.py's "latest anomalies" default
+view.  The reference stores one MySQL row per detected anomaly
+(``skyline/panorama/panorama.py`` inserts ``metric_id,
+anomalous_datapoint, anomaly_timestamp, full_duration,
+created_timestamp``); the webapp only ever reads it back with the
+filter/order/limit grammar ported here.
+
+Spark shape: the anomaly store is a DataFrame derived from the analyze
+verdicts (one row per anomalous, non-exception series), and each
+request is a declarative filter -> orderBy -> limit plan over it.  The
+MySQL autoincrement ``id`` is reproduced deterministically as
+``row_number() OVER (ORDER BY anomaly_timestamp, metric, conv_id)`` —
+insertion order in the reference IS detection-time order, and the
+tie-break by name makes the id reproducible across engines.  The id
+window is global (single partition) by design: like the MySQL
+autoincrement it mirrors, it runs over the *anomalies* (already reduced
+by the kernel to a tiny fraction of input rows), never over raw turns,
+so it stays driver-feasible at any input scale.
+
+Quirks ported faithfully from backend.py:
+
+- an unknown ``metric`` name adds NO filter (the found_id lookup fails
+  and the WHERE clause is silently skipped, backend.py:255-283);
+- an unmatched ``metric_like`` pattern yields ``WHERE metric_id IN
+  (0)`` — an empty result, not an unfiltered one (backend.py:335-338);
+- ``count_by_metric`` RESETS the query string, discarding any
+  metric/metric_like filter parsed before it, while from/until
+  timestamps (parsed after) still apply (backend.py:357-367);
+- a non-integer ``limit`` falls back to 10 (backend.py:662-673);
+  ``order`` is DESC unless exactly 'ASC' (backend.py:675-685);
+- search: ``ORDER BY id {order} LIMIT {limit}``; count:
+  ``GROUP BY metric_id ORDER BY COUNT(*) {order} LIMIT {limit}``
+  (backend.py:686-694) — the count ordering adds a metric_id
+  tie-break here so the limited prefix is deterministic (MySQL leaves
+  ties arbitrary).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def metric_dimension(parsed: DataFrame) -> DataFrame:
+    """The ``metrics`` dimension table (MySQL ``metrics(id, metric)``,
+    populated at ingestion): every distinct metric base_name with a
+    deterministic dense-rank id.  Config-sized (one row per metric
+    name, not per series)."""
+    return (parsed.where(F.col("metric").isNotNull())
+            .select("metric").distinct()
+            .withColumn("metric_id",
+                        F.dense_rank().over(Window.orderBy("metric"))))
+
+
+def anomalies_table(verdicts: DataFrame, metrics: DataFrame,
+                    full_duration: int, now: float) -> DataFrame:
+    """The ``anomalies`` store (panorama.py insert columns): one row
+    per anomalous non-exception verdict with the deterministic
+    autoincrement stand-in id.  ``metrics`` is the
+    :func:`metric_dimension` output (tiny -> broadcast join)."""
+    anom = (verdicts
+            .where(F.col("anomalous") & F.col("exception").isNull()
+                   & F.col("metric").isNotNull())
+            .join(F.broadcast(metrics), "metric"))
+    w = Window.orderBy("anomaly_timestamp", "metric", "conv_id")
+    return (anom
+            .select(
+                F.col("conv_id"),
+                F.col("metric_id"),
+                F.col("metric"),
+                F.col("datapoint").alias("anomalous_datapoint"),
+                F.col("last_ts").cast("bigint").alias("anomaly_timestamp"),
+                F.lit(int(full_duration)).cast("bigint")
+                    .alias("full_duration"),
+                F.lit(int(now)).cast("bigint").alias("created_timestamp"))
+            .withColumn("id", F.row_number().over(w).cast("bigint")))
+
+
+_SEARCH_COLS = ("id", "metric_id", "metric", "anomalous_datapoint",
+                "anomaly_timestamp", "full_duration", "created_timestamp")
+
+
+def panorama_request(anomalies: DataFrame, metrics: DataFrame, *,
+                     metric: str | None = None,
+                     metric_like: str | None = None,
+                     from_timestamp: int | str | None = None,
+                     until_timestamp: int | str | None = None,
+                     count_by_metric: bool = False,
+                     limit: int | str = 10,
+                     order: str = "DESC") -> DataFrame:
+    """backend.py:128-720 — one Panorama request as a DataFrame plan.
+
+    The metric / metric_like lookups hit the config-sized metrics
+    dimension driver-side (the reference's ``metric_id_from_base_name``
+    / ``metric_ids_from_metric_like`` MySQL lookups); everything else
+    stays distributed.  Timestamp args accept epoch ints, or the
+    reference's two string forms ('%Y%m%d %H:%M' then '%Y-%m-%d
+    %H:%M', backend.py:373-386) interpreted as UTC for determinism
+    (the reference uses server-local mktime)."""
+    try:
+        limit = int(limit)
+    except (TypeError, ValueError):
+        limit = 10
+    order_desc = (order != "ASC")
+    from_ts = _epoch(from_timestamp)
+    until_ts = _epoch(until_timestamp)
+
+    filtered = anomalies
+    if isinstance(metric, str) and metric != "all":
+        ids = [r.metric_id for r in
+               metrics.where(F.col("metric") == metric).collect()]
+        if ids:
+            filtered = filtered.where(F.col("metric_id") == ids[0])
+        # else: found_id falsy -> no filter added (reference quirk)
+    if isinstance(metric_like, str) and metric_like != "all":
+        ids = [r.metric_id for r in
+               metrics.where(F.col("metric").like(metric_like)).collect()]
+        filtered = filtered.where(
+            F.col("metric_id").isin(ids) if ids else F.lit(False))
+
+    if count_by_metric:
+        # the reference resets the query string here, dropping any
+        # metric/metric_like filter parsed before this arg
+        filtered = anomalies
+    if from_ts is not None:
+        filtered = filtered.where(F.col("anomaly_timestamp") >= from_ts)
+    if until_ts is not None:
+        filtered = filtered.where(F.col("anomaly_timestamp") <= until_ts)
+
+    if count_by_metric:
+        cnt = (filtered.groupBy("metric_id")
+               .agg(F.count(F.lit(1)).alias("n")))
+        keys = ([F.col("n").desc(), F.col("metric_id")] if order_desc
+                else [F.col("n").asc(), F.col("metric_id")])
+        return cnt.orderBy(*keys).limit(limit)
+
+    key = F.col("id").desc() if order_desc else F.col("id").asc()
+    return filtered.select(*_SEARCH_COLS).orderBy(key).limit(limit)
+
+
+def latest_anomalies(anomalies: DataFrame) -> DataFrame:
+    """The no-args default view: the 10 newest rows by id
+    (webapp backend.py:214-233 / db_latest_anomalies)."""
+    return (anomalies.select(*_SEARCH_COLS)
+            .orderBy(F.col("id").desc()).limit(10))
+
+
+def _epoch(ts) -> int | None:
+    if ts is None or ts == "all":
+        return None
+    if isinstance(ts, str) and ":" in ts:
+        import calendar
+        import datetime
+        for fmt in ("%Y%m%d %H:%M", "%Y-%m-%d %H:%M"):
+            try:
+                return int(calendar.timegm(
+                    datetime.datetime.strptime(ts, fmt).timetuple()))
+            except ValueError:
+                continue
+        raise ValueError(f"unparseable timestamp {ts!r}")
+    return int(ts)

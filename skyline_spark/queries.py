@@ -3188,6 +3188,111 @@ REGISTRY.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# §3.3 webapp read path — Panorama over the 8-algorithm kernel store
+# ---------------------------------------------------------------------------
+
+def _panorama_store(spark: SparkSession, sf_dir: str):
+    """Shared Spark side of the panorama twins: restricted 8-algorithm
+    analyze -> metrics dimension -> deterministic anomalies store."""
+    from skyline_spark.operators.webapp import (
+        anomalies_table,
+        metric_dimension,
+    )
+    tdf, parsed, now, cfg, v = _restricted_analyze(
+        spark, sf_dir, SQL8_ALGS, 6)
+    metrics = metric_dimension(parsed)
+    return anomalies_table(v, metrics, FD, now), metrics
+
+
+def q_panorama_search_sql8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 — the Panorama anomaly-search endpoint
+    (webapp/backend.py:128-690) over the 8-algorithm kernel's anomaly
+    store: metric_like + from_timestamp filters, ORDER BY id DESC
+    LIMIT 10, value-checked end-to-end (the store rows themselves
+    derive from the same kernel the sql8 vote oracles pin)."""
+    from skyline_spark.operators.webapp import panorama_request
+    store, metrics = _panorama_store(spark, sf_dir)
+    return panorama_request(store, metrics, metric_like="%.turns.rate",
+                            from_timestamp=0, limit=10, order="DESC") \
+        .drop("conv_id")
+
+
+def q_panorama_count_sql8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3 — the Panorama count_by_metric endpoint
+    (backend.py:357-367, 691-694) including the reference quirk that
+    count_by_metric RESETS the query string and silently discards the
+    metric_like filter parsed before it (the twin counts over ALL
+    metrics even though the Spark call passes metric_like)."""
+    from skyline_spark.operators.webapp import panorama_request
+    store, metrics = _panorama_store(spark, sf_dir)
+    return panorama_request(store, metrics, metric_like="purchase%",
+                            count_by_metric=True, from_timestamp=0,
+                            limit=100, order="DESC")
+
+
+_PANORAMA_STORE_SQL = f"""
+, conv_metric_p8 AS (
+    SELECT conv_id, max(metric) AS metric FROM valid GROUP BY conv_id),
+metrics_p8 AS (
+    SELECT metric, DENSE_RANK() OVER (ORDER BY metric) AS metric_id
+    FROM (SELECT DISTINCT metric FROM parsed WHERE metric IS NOT NULL)),
+anom_p8 AS (
+    SELECT f.conv_id, m.metric, d.metric_id,
+           f.datapoint AS anomalous_datapoint,
+           CAST(b.last_x AS BIGINT) AS anomaly_timestamp,
+           CAST({FD} AS BIGINT) AS full_duration,
+           CAST(b.now AS BIGINT) AS created_timestamp
+    FROM final8_p8 f
+    JOIN base_p8 b USING (conv_id)
+    JOIN conv_metric_p8 m USING (conv_id)
+    JOIN metrics_p8 d USING (metric)
+    WHERE f.anomalous AND f.exception IS NULL),
+store_p8 AS (
+    SELECT *, CAST(ROW_NUMBER() OVER (
+        ORDER BY anomaly_timestamp, metric, conv_id) AS BIGINT) AS id
+    FROM anom_p8)"""
+
+SQL_PANORAMA_SEARCH_SQL8 = (
+    _PROLOGUE
+    .replace("__TRANSCRIPTS__", DUCKDB_TRANSCRIPTS_SQL)
+    .replace("__EVENT_RE__", EVENT_RE)
+    + _vote8_sql_block(FD, "_p8").replace(
+        "__GRUBBS_LUT__", _grubbs_lut_literals())
+    + _PANORAMA_STORE_SQL
+    + """
+SELECT id, metric_id, metric, anomalous_datapoint, anomaly_timestamp,
+       full_duration, created_timestamp
+FROM store_p8
+WHERE metric_id IN (SELECT metric_id FROM metrics_p8
+                    WHERE metric LIKE '%.turns.rate')
+  AND anomaly_timestamp >= 0
+ORDER BY id DESC LIMIT 10
+""")
+
+SQL_PANORAMA_COUNT_SQL8 = (
+    _PROLOGUE
+    .replace("__TRANSCRIPTS__", DUCKDB_TRANSCRIPTS_SQL)
+    .replace("__EVENT_RE__", EVENT_RE)
+    + _vote8_sql_block(FD, "_p8").replace(
+        "__GRUBBS_LUT__", _grubbs_lut_literals())
+    + _PANORAMA_STORE_SQL
+    + """
+SELECT metric_id, CAST(COUNT(*) AS BIGINT) AS n
+FROM store_p8
+WHERE anomaly_timestamp >= 0
+GROUP BY metric_id
+ORDER BY n DESC, metric_id LIMIT 100
+""")
+
+REGISTRY.update({
+    "panorama_search_sql8": (q_panorama_search_sql8,
+                             SQL_PANORAMA_SEARCH_SQL8),
+    "panorama_count_sql8": (q_panorama_count_sql8,
+                            SQL_PANORAMA_COUNT_SQL8),
+})
+
+
 def q_feature_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — the ionosphere feature basket (features_profile.FEATURE_NAMES;
     tsfresh-flavored stand-in, SURVEY §2.9): the REAL applyInPandas
@@ -4562,7 +4667,6 @@ _DRIVER_WINDOW = [
     # alert-throttle oracles — all stay green via check_oracles and are
     # value-checked inside the vote twins)
     "median_absolute_deviation",
-    "least_squares", "first_hour_average",
     "stddev_from_moving_average", "mad_prefilter",
     "ks_d_sql", "sigma_vote_sql8", "sigma_oneshot_sql",
     "alert_throttle_sql",
@@ -4572,6 +4676,10 @@ _DRIVER_WINDOW = [
     "consensus_vote_sql8", "sink_counts_sql5", "routed_turns_sql8",
     "run_summary_sql8", "illuminance_sql8", "anomaly_breakdown_sql8",
     "mirage_vote_sql8", "feature_profiles", "ionosphere_match_sql8",
+    # webapp read path (panorama over the sql8 kernel store;
+    # least_squares + first_hour_average demoted past the window in
+    # their favor — both stay value-checked inside consensus_vote_sql8)
+    "panorama_search_sql8", "panorama_count_sql8",
     # boundary / cross-series / custom algorithms
     "boundary_static", "drop_off_cliff", "anomaly_episodes",
     "second_order_anomalous", "custom_abs_stddev_from_median",

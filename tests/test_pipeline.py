@@ -155,6 +155,52 @@ def test_webapp_read_api(result):
     assert set(anoms.sink) <= {"anomalous", "deferred", "ionosphere"}
 
 
+def test_panorama_request(result):
+    """§3.3 Panorama grammar (webapp/backend.py:128-720) over the
+    pipeline's anomaly store: deterministic ids, the unknown-metric
+    no-filter quirk, the unmatched-metric_like empty quirk, the
+    count_by_metric filter-reset quirk, and the limit fallback."""
+    from skyline_spark.operators.parse import parse_events
+    from skyline_spark.operators.webapp import (
+        anomalies_table,
+        latest_anomalies,
+        metric_dimension,
+        panorama_request,
+    )
+    from skyline_spark.plans.pipeline import batch_now
+    res, tdf, _ = result
+    parsed = parse_events(tdf)
+    metrics = metric_dimension(parsed)
+    store = anomalies_table(res.verdicts, metrics, 86400,
+                            batch_now(tdf))
+    rows = store.orderBy("id").toPandas()
+    n_anom = len(rows)
+    assert n_anom >= 2
+    assert list(rows.id) == list(range(1, n_anom + 1))
+    # ids follow (anomaly_timestamp, metric, conv_id)
+    assert list(rows.anomaly_timestamp) == \
+        sorted(rows.anomaly_timestamp)
+    # unknown metric -> the reference silently applies NO filter
+    assert panorama_request(store, metrics,
+                            metric="no.such.metric").count() == n_anom
+    # known metric -> equality filter
+    one = rows.metric.iloc[0]
+    got = panorama_request(store, metrics, metric=one).toPandas()
+    assert (got.metric == one).all() and len(got) >= 1
+    # unmatched metric_like -> WHERE metric_id IN (0) -> empty
+    assert panorama_request(store, metrics,
+                            metric_like="zzz%").count() == 0
+    # count_by_metric discards the metric_like filter parsed before it
+    cnt = panorama_request(store, metrics, metric_like="zzz%",
+                           count_by_metric=True).toPandas()
+    assert int(cnt.n.sum()) == n_anom
+    # non-int limit falls back to 10; ASC order flips the id sort
+    asc = panorama_request(store, metrics, limit="bogus",
+                           order="ASC").toPandas()
+    assert list(asc.id) == list(rows.id[:10])
+    assert latest_anomalies(store).count() == min(10, n_anom)
+
+
 def test_sink_counts(result):
     _, _, v = result
     counts = v.groupby("sink").size().to_dict()
