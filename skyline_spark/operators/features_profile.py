@@ -155,6 +155,44 @@ FEATURE_NAMES = (
     "ar_k10_c0", "ar_k10_c1", "ar_k10_c2", "ar_k10_c3", "ar_k10_c4",
 )
 
+# round-4 sixth tranche (109 more -> 286): the FULL tsfresh default
+# grids of families previously sampled at a few points —
+# symmetry_looking r = 0.0..0.95 step 0.05 (16 new),
+# large_standard_deviation r = 0.05..0.95 step 0.05 (15 new),
+# index_mass_quantile q = 0.1..0.9 step 0.1 (6 new),
+# change_quantiles every ql < qh corridor over {0,.2,.4,.6,.8,1} with
+# mean + population var (12 new corridors, 24 features), and
+# cwt_coefficients at ALL coeff positions 0..14 per width (48 new).
+# Shared grid tables drive both the numpy kernel and the SQL twin
+# generators in queries.py so the two sides cannot drift.
+SYM_GRID_T6 = (
+    ("000", 0.0), ("015", 0.15), ("025", 0.25), ("035", 0.35),
+    ("04", 0.4), ("045", 0.45), ("05", 0.5), ("055", 0.55),
+    ("06", 0.6), ("065", 0.65), ("07", 0.7), ("075", 0.75),
+    ("08", 0.8), ("085", 0.85), ("09", 0.9), ("095", 0.95))
+LSTD_GRID_T6 = (
+    ("01", 0.1), ("015", 0.15), ("02", 0.2), ("03", 0.3),
+    ("04", 0.4), ("045", 0.45), ("055", 0.55), ("06", 0.6),
+    ("065", 0.65), ("07", 0.7), ("075", 0.75), ("08", 0.8),
+    ("085", 0.85), ("09", 0.9), ("095", 0.95))
+IMQ_GRID_T6 = (("02", 0.2), ("03", 0.3), ("04", 0.4),
+               ("06", 0.6), ("07", 0.7), ("08", 0.8))
+CQ_GRID_T6 = (
+    ("00_02", 0.0, 0.2), ("00_04", 0.0, 0.4), ("00_06", 0.0, 0.6),
+    ("00_08", 0.0, 0.8), ("02_04", 0.2, 0.4), ("02_06", 0.2, 0.6),
+    ("02_10", 0.2, 1.0), ("04_08", 0.4, 0.8), ("04_10", 0.4, 1.0),
+    ("06_08", 0.6, 0.8), ("06_10", 0.6, 1.0), ("08_10", 0.8, 1.0))
+CWT_COEFFS_T6 = (1, 2, 3, 4, 6, 7, 8, 9, 11, 12, 13, 14)
+
+FEATURE_NAMES = FEATURE_NAMES + (
+    tuple(f"symmetry_r{t}" for t, _ in SYM_GRID_T6)
+    + tuple(f"large_std_r{t}" for t, _ in LSTD_GRID_T6)
+    + tuple(f"index_mass_quantile_{t}" for t, _ in IMQ_GRID_T6)
+    + tuple(f"change_q_{agg}_{t}" for t, _, _ in CQ_GRID_T6
+            for agg in ("mean", "var"))
+    + tuple(f"cwt_w{w}_c{c}" for w in (2, 5, 10, 20)
+            for c in CWT_COEFFS_T6))
+
 
 def _longest_run(flags: np.ndarray) -> float:
     """Length of the longest run of True in a boolean array."""
@@ -353,9 +391,10 @@ def _third_tranche(v: np.ndarray, n: int, mean: float, std: float,
             float(np.sum(absd > r * std)) if std > 0 else 0.0
     rng_v = float(v.max()) - float(v.min())
     med = float(np.median(v))
-    for tag, r in (("005", 0.05), ("02", 0.2), ("03", 0.3)):
+    for tag, r in (("005", 0.05), ("02", 0.2), ("03", 0.3)) + SYM_GRID_T6:
         out[f"symmetry_r{tag}"] = float(abs(mean - med) < r * rng_v)
-    for tag, r in (("005", 0.05), ("035", 0.35), ("05", 0.5)):
+    for tag, r in (("005", 0.05), ("035", 0.35),
+                   ("05", 0.5)) + LSTD_GRID_T6:
         out[f"large_std_r{tag}"] = float(std > r * rng_v)
     for nn in (3, 5, 10):
         out[f"num_peaks_{nn}"] = _num_peaks_n(v, n, nn)
@@ -367,6 +406,8 @@ def _third_tranche(v: np.ndarray, n: int, mean: float, std: float,
     out["index_mass_quantile_025"] = _imq(a, tot, 0.25)
     out["index_mass_quantile_075"] = _imq(a, tot, 0.75)
     out["index_mass_quantile_09"] = _imq(a, tot, 0.9)
+    for tag, q in IMQ_GRID_T6:
+        out[f"index_mass_quantile_{tag}"] = _imq(a, tot, q)
     if n > 1 and std > 0:
         z = (v - mean) / std
         out["cid_ce_normalized"] = float(np.sqrt(np.sum(np.diff(z) ** 2)))
@@ -440,7 +481,7 @@ def _fourth_tranche(ts: np.ndarray, v: np.ndarray, n: int, mean: float,
     d = np.diff(v) if n > 1 else np.empty(0)
     srt = np.sort(v)
     for tag, ql, qh in (("00_10", 0.0, 1.0), ("02_08", 0.2, 0.8),
-                        ("04_06", 0.4, 0.6)):
+                        ("04_06", 0.4, 0.6)) + CQ_GRID_T6:
         lo = float(srt[int(np.floor((n - 1) * ql))])
         hi = float(srt[int(np.floor((n - 1) * qh))])
         if n > 1:
@@ -676,7 +717,7 @@ def _fifth_tranche(v: np.ndarray, n: int, std: float,
                * (1.0 - vec * vec / (w * w))
                * np.exp(-vec * vec / (2.0 * w * w)))
         conv = np.convolve(v, wav, mode="same")
-        for c in (0, 5, 10):
+        for c in (0, 5, 10) + CWT_COEFFS_T6:
             out[f"cwt_w{w}_c{c}"] = float(conv[c]) if c < n else 0.0
     return out
 

@@ -3296,7 +3296,7 @@ REGISTRY.update({
 def q_feature_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — the ionosphere feature basket (features_profile.FEATURE_NAMES;
     tsfresh-flavored stand-in, SURVEY §2.9): the REAL applyInPandas
-    kernel's 172 features + features_sum, value-checked against a full
+    kernel's 286 features + features_sum, value-checked against a full
     SQL twin (population std, linear-interp quantiles, autocorrelation
     lags 1-9, OLS slope, the sigma/quantile/crossing/peak grids — all
     ANSI-expressible)."""
@@ -3342,6 +3342,10 @@ def q_feature_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             # deltas by the condition number
             "f_ar_k10_c0": 3, "f_ar_k10_c1": 3, "f_ar_k10_c2": 3,
             "f_ar_k10_c3": 3, "f_ar_k10_c4": 3}
+    # sixth tranche: same per-family precisions as the originals
+    prec.update({f"f_change_q_var_{t}": 2 for t, _, _ in _FP_CQ_T6})
+    prec.update({f"f_cwt_w{w}_c{c}": 4
+                 for w in (2, 5, 10, 20) for c in _FP_CWT_T6})
     cols = [_RP(c, prec.get(c, 6)).alias(c)
             for c in out.columns if c != "conv_id"]
     return out.select("conv_id", *cols)
@@ -3399,7 +3403,8 @@ imq AS (
            CAST(min(CASE WHEN cum >= 0.75 * tot THEN rn END) AS DOUBLE)
                AS imq_075,
            CAST(min(CASE WHEN cum >= 0.9 * tot THEN rn END) AS DOUBLE)
-               AS imq_09
+               AS imq_09,
+__IMQ_T6__
     FROM (
         SELECT conv_id, row_number() OVER w AS rn,
                sum(abs(value)) OVER w AS cum,
@@ -3480,7 +3485,8 @@ cqd AS (
                AND l[i + 1] >= cq_lo2 AND l[i + 1] <= cq_hi8] AS d28,
            [abs(l[i + 1] - l[i]) FOR i IN range(1, n)
             IF l[i] >= cq_lo4 AND l[i] <= cq_hi6
-               AND l[i + 1] >= cq_lo4 AND l[i + 1] <= cq_hi6] AS d46
+               AND l[i + 1] >= cq_lo4 AND l[i + 1] <= cq_hi6] AS d46,
+__CQD_T6__
     FROM cqb),
 agrows AS (
     SELECT conv_id, value AS y,
@@ -3710,6 +3716,39 @@ derived AS (
 """
 
 
+from skyline_spark.operators.features_profile import (  # noqa: E402
+    CQ_GRID_T6 as _FP_CQ_T6,
+    CWT_COEFFS_T6 as _FP_CWT_T6,
+    IMQ_GRID_T6 as _FP_IMQ_T6,
+    LSTD_GRID_T6 as _FP_LSTD_T6,
+    SYM_GRID_T6 as _FP_SYM_T6,
+)
+
+#: sixth-tranche corridor bound -> cqb column (order statistics shared
+#: with the original three corridors)
+_CQ_BOUND_COL = {0.0: "cq_lo0", 0.2: "cq_lo2", 0.4: "cq_lo4",
+                 0.6: "cq_hi6", 0.8: "cq_hi8", 1.0: "cq_hi0"}
+
+
+def _imq_t6_sql() -> str:
+    return ",\n".join(
+        f"           CAST(min(CASE WHEN cum >= {q!r} * tot THEN rn END)"
+        f" AS DOUBLE)\n               AS imq_{t}"
+        for t, q in _FP_IMQ_T6)
+
+
+def _cqd_t6_sql() -> str:
+    parts = []
+    for t, ql, qh in _FP_CQ_T6:
+        lo, hi = _CQ_BOUND_COL[ql], _CQ_BOUND_COL[qh]
+        parts.append(
+            f"           [abs(l[i + 1] - l[i]) FOR i IN range(1, n)\n"
+            f"            IF l[i] >= {lo} AND l[i] <= {hi}\n"
+            f"               AND l[i + 1] >= {lo} AND l[i + 1] <= {hi}]"
+            f" AS d{t}")
+    return ",\n".join(parts)
+
+
 def _tranche3_derived_sql() -> str:
     """derived-CTE expressions for the round-4 feature tranche —
     generated so the num_peaks neighbor comparisons and the lag/r/q
@@ -3737,11 +3776,13 @@ def _tranche3_derived_sql() -> str:
             "CASE WHEN f_std > 0 THEN CAST(len(list_filter(\n"
             f"         l, x -> abs(x - f_mean) > {r} * f_std)) AS DOUBLE)\n"
             f"     ELSE 0.0 END AS f_count_beyond_{tag}sigma")
-    for tag, r in (("005", "0.05"), ("02", "0.2"), ("03", "0.3")):
+    for tag, r in (("005", "0.05"), ("02", "0.2"), ("03", "0.3")) \
+            + tuple((t, repr(r)) for t, r in _FP_SYM_T6):
         p.append(
             f"CASE WHEN abs(f_mean - f_median) < {r} * (f_max - f_min)\n"
             f"     THEN 1.0 ELSE 0.0 END AS f_symmetry_r{tag}")
-    for tag, r in (("005", "0.05"), ("035", "0.35"), ("05", "0.5")):
+    for tag, r in (("005", "0.05"), ("035", "0.35"), ("05", "0.5")) \
+            + tuple((t, repr(r)) for t, r in _FP_LSTD_T6):
         p.append(
             f"CASE WHEN f_std > {r} * (f_max - f_min)\n"
             f"     THEN 1.0 ELSE 0.0 END AS f_large_std_r{tag}")
@@ -3762,7 +3803,8 @@ def _tranche3_derived_sql() -> str:
     p.append(
         "CAST(len(list_filter(l, x -> x >= -1.0 AND x < 1.0)) AS DOUBLE)\n"
         "     AS f_range_count_m1_1")
-    for tag in ("01", "025", "075", "09"):
+    for tag in ("01", "025", "075", "09") \
+            + tuple(t for t, _ in _FP_IMQ_T6):
         p.append(f"coalesce(q.imq_{tag}, 0.0)"
                  f" AS f_index_mass_quantile_{tag}")
     p.append(
@@ -3828,7 +3870,8 @@ def _tranche4_derived_sql() -> str:
             "          / f_abs_energy\n"
             f"     ELSE 0.0 END AS f_energy_ratio_chunk_{j}")
     for tag, col in (("00_10", "c.d00"), ("02_08", "c.d28"),
-                     ("04_06", "c.d46")):
+                     ("04_06", "c.d46")) \
+            + tuple((t, f"c.d{t}") for t, _, _ in _FP_CQ_T6):
         mean = f"(list_sum({col}) / len({col}))"
         p.append(f"CASE WHEN len({col}) > 0 THEN {mean}\n"
                  f"     ELSE 0.0 END AS f_change_q_mean_{tag}")
@@ -3935,7 +3978,7 @@ def _tranche6_derived_sql() -> str:
             f"     ELSE 0.0 END AS f_fourier_entropy_b{b}")
     for w in (2, 5, 10, 20):
         N = f"least({10 * w}, n)"
-        for c in (0, 5, 10):
+        for c in (0, 5, 10) + _FP_CWT_T6:
             K = f"((least({10 * w}, n) - 1) // 2 + {c})"
             p.append(
                 f"CASE WHEN n > {c} THEN list_sum(\n"
@@ -4093,6 +4136,8 @@ _FEATURES_CTES = _FEATURES_CTES.replace("__TRANCHE6__",
                                         _tranche6_derived_sql())
 _FEATURES_CTES = _FEATURES_CTES.replace("__PACF_CTES__",
                                         _pacf_ctes_sql() + _ar_ctes_sql())
+_FEATURES_CTES = _FEATURES_CTES.replace("__IMQ_T6__", _imq_t6_sql())
+_FEATURES_CTES = _FEATURES_CTES.replace("__CQD_T6__", _cqd_t6_sql())
 
 _FEATURES_FINAL = r"""SELECT conv_id,
        round((f_mean + f_std + f_median + f_min + f_max + f_sum
@@ -4163,7 +4208,7 @@ _FEATURES_FINAL = r"""SELECT conv_id,
              + f_cwt_w10_c0 + f_cwt_w10_c5 + f_cwt_w10_c10
              + f_cwt_w20_c0 + f_cwt_w20_c5 + f_cwt_w20_c10)
              + (f_ar_k10_c0 + f_ar_k10_c1 + f_ar_k10_c2
-             + f_ar_k10_c3 + f_ar_k10_c4), 2)
+             + f_ar_k10_c3 + f_ar_k10_c4)__T6_SUM__, 2)
            AS features_sum,
        round(f_mean, 6) AS f_mean, round(f_std, 6) AS f_std,
        round(f_median, 6) AS f_median, round(f_min, 6) AS f_min,
@@ -4333,9 +4378,49 @@ _FEATURES_FINAL = r"""SELECT conv_id,
        round(f_ar_k10_c1, 3) AS f_ar_k10_c1,
        round(f_ar_k10_c2, 3) AS f_ar_k10_c2,
        round(f_ar_k10_c3, 3) AS f_ar_k10_c3,
-       round(f_ar_k10_c4, 3) AS f_ar_k10_c4
+       round(f_ar_k10_c4, 3) AS f_ar_k10_c4,
+       __T6_COLS__
 FROM dfin
 """
+
+
+def _t6_feature_names() -> list:
+    """Sixth-tranche feature names in kernel order (the grids are the
+    single source of truth shared with features_profile.FEATURE_NAMES)."""
+    return ([f"symmetry_r{t}" for t, _ in _FP_SYM_T6]
+            + [f"large_std_r{t}" for t, _ in _FP_LSTD_T6]
+            + [f"index_mass_quantile_{t}" for t, _ in _FP_IMQ_T6]
+            + [f"change_q_{agg}_{t}" for t, _, _ in _FP_CQ_T6
+               for agg in ("mean", "var")]
+            + [f"cwt_w{w}_c{c}" for w in (2, 5, 10, 20)
+               for c in _FP_CWT_T6])
+
+
+def _t6_final_sum_sql() -> str:
+    # chunked parenthesized groups keep DuckDB's binder depth < 128
+    names = [f"f_{k}" for k in _t6_feature_names()]
+    chunks = [names[i:i + 25] for i in range(0, len(names), 25)]
+    return "".join(
+        "\n             + (" + "\n             + ".join(ch) + ")"
+        for ch in chunks)
+
+
+def _t6_final_cols_sql() -> str:
+    dec = {"change_q_var": 2, "cwt": 4}
+    parts = []
+    for k in _t6_feature_names():
+        d = 6
+        if k.startswith("change_q_var"):
+            d = dec["change_q_var"]
+        elif k.startswith("cwt"):
+            d = dec["cwt"]
+        parts.append(f"round(f_{k}, {d}) AS f_{k}")
+    return ",\n       ".join(parts)
+
+
+_FEATURES_FINAL = (_FEATURES_FINAL
+                   .replace("__T6_SUM__", _t6_final_sum_sql())
+                   .replace("__T6_COLS__", _t6_final_cols_sql()))
 
 
 def _features_sql_block(sfx: str, src: str) -> str:
