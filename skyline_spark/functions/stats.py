@@ -221,6 +221,19 @@ def _ols(y: np.ndarray, X: np.ndarray) -> tuple[np.ndarray, float]:
     return beta, ssr
 
 
+def adfuller_tstat(x: np.ndarray, maxlag: int | None = None) -> float:
+    """The ADF tau test statistic itself — the value tsfresh's
+    augmented_dickey_fuller feature returns (statsmodels adfuller(x)[0]
+    with the Schwert-rule default maxlag ceil(12·(n/100)^(1/4)), capped
+    at n//2 - 2; both reference baseline series pin it to ~1e-9)."""
+    n = int(np.asarray(x).size)
+    if maxlag is None:
+        maxlag = int(math.ceil(12.0 * (n / 100.0) ** 0.25))
+        maxlag = max(0, min(n // 2 - 2, maxlag))
+    tau = _adf_tau(x, maxlag)
+    return tau if tau is not None else 0.0
+
+
 def adfuller_pvalue(x: np.ndarray, maxlag: int = 10) -> float:
     """ADF unit-root test p-value, mirroring
     ``statsmodels.tsa.stattools.adfuller(x, maxlag)`` defaults
@@ -230,6 +243,13 @@ def adfuller_pvalue(x: np.ndarray, maxlag: int = 10) -> float:
     ``len(diff(x)) - maxlag`` observations), then the test regression is
     refit at the chosen lag on its full sample; p-value via MacKinnon.
     """
+    tau = _adf_tau(x, maxlag)
+    if tau is None:
+        return 1.0
+    return mackinnon_pvalue(tau)
+
+
+def _adf_tau(x: np.ndarray, maxlag: int = 10) -> float | None:
     x = np.asarray(x, dtype=np.float64)
     n = x.size
     if n < maxlag + 10:
@@ -270,10 +290,9 @@ def adfuller_pvalue(x: np.ndarray, maxlag: int = 10) -> float:
     m = y.size
     k = X.shape[1]
     if m <= k:
-        return 1.0
+        return None
     beta, ssr = _ols(y, X)
     sigma2 = ssr / (m - k)
     xtx_inv = np.linalg.pinv(X.T @ X)
     se0 = math.sqrt(max(sigma2 * xtx_inv[0, 0], 1e-300))
-    tau = float(beta[0] / se0)
-    return mackinnon_pvalue(tau)
+    return float(beta[0] / se0)

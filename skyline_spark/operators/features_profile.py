@@ -17,6 +17,8 @@ exactly and are what the routing depends on.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -193,6 +195,47 @@ FEATURE_NAMES = FEATURE_NAMES + (
     + tuple(f"cwt_w{w}_c{c}" for w in (2, 5, 10, 20)
             for c in CWT_COEFFS_T6))
 
+# round-4 seventh tranche: name-for-name completion of the reference's
+# pinned 216-feature tsfresh basket (skyline/tsfresh_feature_names.py,
+# golden values tests/baseline/tsfresh-0.20.3-skyline...csv). The exact
+# formulas were reverse-engineered against the golden CSVs and are
+# pinned by tests/test_tsfresh_golden.py on the reference's OWN two
+# baseline series. Degenerate change_quantiles corridors (ql >= qh)
+# are part of tsfresh's grid; they evaluate through the same corridor
+# code and are identically 0 by construction.
+CQ_DEGEN_T7 = (
+    ("02_02", 0.2, 0.2), ("04_02", 0.4, 0.2), ("04_04", 0.4, 0.4),
+    ("06_02", 0.6, 0.2), ("06_04", 0.6, 0.4), ("06_06", 0.6, 0.6),
+    ("08_02", 0.8, 0.2), ("08_04", 0.8, 0.4), ("08_06", 0.8, 0.6),
+    ("08_08", 0.8, 0.8))
+APEN_GRID_T7 = (("01", 0.1), ("03", 0.3), ("05", 0.5),
+                ("07", 0.7), ("09", 0.9))
+#: fixed rfft input length of the reference's fft_coefficient family —
+#: empirically 2 * max_coeff = 18 on BOTH baseline series (n=60 and
+#: n=1439), i.e. the transform reads only the first 18 samples
+#: (zero-padded when shorter)
+FFT_TF_N = 18
+
+FEATURE_NAMES = FEATURE_NAMES + (
+    ("autocorr_lag0", "mean_autocorrelation")
+    + tuple(f"fft_tf_c{k}" for k in range(10))
+    + ("value_count_nan", "value_count_inf", "value_count_minf",
+       "num_peaks_1", "large_num_peaks_1", "large_num_peaks_3",
+       "large_num_peaks_5", "ratio_unique_to_length",
+       "pct_reoccurring_dp", "pct_reoccurring_val", "large_std_r00")
+    + tuple(f"change_q_mean_{t}" for t, _, _ in CQ_DEGEN_T7)
+    + tuple(f"approximate_entropy_r{t}" for t, _ in APEN_GRID_T7)
+    + ("sample_entropy", "adf_tstat",
+       "number_cwt_peaks_1", "number_cwt_peaks_5"))
+
+#: features whose computation is genuinely not ANSI-SQL-expressible
+#: (AIC-autolag ADF regression; scipy find_peaks_cwt ridge-line
+#: filtering). They are excluded from features_sum and from the
+#: driver-oracled projection, and pinned instead by the golden parity
+#: test against the reference's own baseline CSVs.
+NON_SQL_FEATURES = frozenset({
+    "adf_tstat", "number_cwt_peaks_1", "number_cwt_peaks_5"})
+
 
 def _longest_run(flags: np.ndarray) -> float:
     """Length of the longest run of True in a boolean array."""
@@ -212,16 +255,22 @@ def compute_features(ts: np.ndarray, values: np.ndarray) -> dict[str, float]:
     std = float(v.std())
     diffs = np.abs(np.diff(v)) if n > 1 else np.array([0.0])
     centered = v - mean
-    ac1 = float(np.dot(centered[:-1], centered[1:]) / (std * std * (n - 1))) \
-        if n > 1 and std > 0 else 0.0
+    ac1 = _autocorr_k(centered, n, std, 1)
     x = ts - ts[0]
     if n > 1 and np.ptp(x) > 0:
         coef = np.polyfit(x, v, 1)
         slope, intercept = float(coef[0]), float(coef[1])
     else:
         slope, intercept = 0.0, 0.0
-    m3 = float(np.mean(centered ** 3) / (std ** 3)) if std > 0 else 0.0
-    m4 = float(np.mean(centered ** 4) / (std ** 4)) if std > 0 else 0.0
+    # sample-adjusted skewness/kurtosis (pandas .skew()/.kurt(), the
+    # form the reference's tsfresh basket pins; golden-CSV-verified)
+    g1 = float(np.mean(centered ** 3) / (std ** 3)) if std > 0 else 0.0
+    g2 = float(np.mean(centered ** 4) / (std ** 4)) if std > 0 else 0.0
+    m3 = g1 * math.sqrt(n * (n - 1.0)) / (n - 2.0) \
+        if n > 2 and std > 0 else 0.0
+    m4 = ((n - 1.0) / ((n - 2.0) * (n - 3.0))
+          * ((n + 1.0) * (g2 - 3.0) + 6.0)) \
+        if n > 3 and std > 0 else 0.0
     vmax, vmin = float(v.max()), float(v.min())
     above, below = v > mean, v < mean
     return {
@@ -255,10 +304,11 @@ def compute_features(ts: np.ndarray, values: np.ndarray) -> dict[str, float]:
             if n > 2 else 0.0,
         "longest_strike_above_mean": _longest_run(above),
         "longest_strike_below_mean": _longest_run(below),
-        "first_loc_max": float(np.argmax(v)),
-        "last_loc_max": float(n - 1 - np.argmax(v[::-1])),
-        "first_loc_min": float(np.argmin(v)),
-        "last_loc_min": float(n - 1 - np.argmin(v[::-1])),
+        # tsfresh relative locations: first = idx/n, last = (idx+1)/n
+        "first_loc_max": float(np.argmax(v)) / n,
+        "last_loc_max": float(n - np.argmax(v[::-1])) / n,
+        "first_loc_min": float(np.argmin(v)) / n,
+        "last_loc_min": float(n - np.argmin(v[::-1])) / n,
         "count_unique": float(np.unique(v).size),
         "has_duplicate": float(np.unique(v).size < n),
         "has_duplicate_max": float(np.sum(v == vmax) > 1),
@@ -267,6 +317,7 @@ def compute_features(ts: np.ndarray, values: np.ndarray) -> dict[str, float]:
         **_third_tranche(v, n, mean, std, centered),
         **_fourth_tranche(ts, v, n, mean, std, centered),
         **_fifth_tranche(v, n, std, centered),
+        **_seventh_tranche(v, n, mean, std, centered),
     }
 
 
@@ -278,15 +329,37 @@ def _c3(v: np.ndarray, n: int, lag: int) -> float:
 
 
 def _trev(v: np.ndarray, n: int, lag: int) -> float:
-    """tsfresh time_reversal_asymmetry_statistic:
-    mean of x[i+2lag]²·x[i+lag] − x[i+lag]·x[i]²."""
+    """tsfresh time_reversal_asymmetry_statistic in the ORIGINAL
+    (0.1.2) arrangement the reference's golden CSVs pin:
+    mean of x[i+2lag]²·x[i] − x[i+lag]·x[i]² over the first n−2lag
+    positions (verified value-exact on both baseline series)."""
     if n <= 2 * lag:
         return 0.0
     a, b, c = v[2 * lag:], v[lag:n - lag], v[:n - 2 * lag]
-    return float(np.mean(a * a * b - b * c * c))
+    return float(np.mean(a * a * c - b * c * c))
 
 
 def _autocorr_k(centered: np.ndarray, n: int, std: float, k: int) -> float:
+    """tsfresh autocorrelation__lag_k: Pearson r between the two
+    overlapping slices x[:-k] and x[k:] (pandas Series.autocorr /
+    np.corrcoef semantics — per-slice means and stds, NOT the global
+    mean/var estimator; golden-CSV-verified). 0.0 where undefined."""
+    if n <= k + 1 or std <= 0:
+        return 0.0
+    a, b = centered[:-k], centered[k:]
+    m = n - k
+    ma, mb = float(a.mean()), float(b.mean())
+    da, db = a - ma, b - mb
+    den = float(np.dot(da, da)) * float(np.dot(db, db))
+    if den <= 0:
+        return 0.0
+    return float(np.dot(da, db) / math.sqrt(den))
+
+
+def _acf_adj(centered: np.ndarray, n: int, std: float, k: int) -> float:
+    """Adjusted-denominator acf estimate R(k) = sum c_t c_{t+k} /
+    ((n−k)·var) — the tsfresh agg_autocorrelation estimator, kept for
+    the agg_acf_* aggregates."""
     if n <= k or std <= 0:
         return 0.0
     return float(np.dot(centered[:-k], centered[k:])
@@ -315,8 +388,7 @@ def _second_tranche(x: np.ndarray, v: np.ndarray, n: int, mean: float,
         rvalue = 0.0
     a = np.abs(v)
     tot = float(a.sum())
-    imq = float(np.searchsorted(np.cumsum(a), 0.5 * tot) + 1) \
-        if tot > 0 else 0.0
+    imq = _imq(a, tot, 0.5)
     return {
         "variance": std * std,
         "var_gt_std": float(std * std > std),
@@ -364,10 +436,12 @@ def _num_peaks_n(v: np.ndarray, n: int, nn: int) -> float:
 
 
 def _imq(a: np.ndarray, tot: float, q: float) -> float:
-    """index_mass_quantile as a RAW 1-based index (see FEATURE_NAMES)."""
+    """tsfresh index_mass_quantile: the RELATIVE 1-based index where
+    q of the |x| mass lies left of it (golden-CSV-verified fraction
+    form)."""
     if tot <= 0:
         return 0.0
-    return float(np.searchsorted(np.cumsum(a), q * tot) + 1)
+    return float(np.searchsorted(np.cumsum(a), q * tot) + 1) / a.size
 
 
 def _third_tranche(v: np.ndarray, n: int, mean: float, std: float,
@@ -477,13 +551,17 @@ def _fourth_tranche(ts: np.ndarray, v: np.ndarray, n: int, mean: float,
         out[f"energy_ratio_chunk_{j}"] = \
             float(np.dot(chunk, chunk)) / e_tot if e_tot > 0 else 0.0
     # change_quantiles (isabs=True, f_agg mean + population var) with
-    # order-statistic corridor bounds (see FEATURE_NAMES note)
+    # LINEAR-INTERPOLATION corridor bounds (np.quantile / pd.quantile —
+    # the tsfresh form the golden CSVs pin; all 25 mean_abs_change_
+    # quantiles corridors verified value-exact). Degenerate corridors
+    # (ql >= qh) flow through the same code and are identically 0.
     d = np.diff(v) if n > 1 else np.empty(0)
-    srt = np.sort(v)
-    for tag, ql, qh in (("00_10", 0.0, 1.0), ("02_08", 0.2, 0.8),
-                        ("04_06", 0.4, 0.6)) + CQ_GRID_T6:
-        lo = float(srt[int(np.floor((n - 1) * ql))])
-        hi = float(srt[int(np.floor((n - 1) * qh))])
+    for tag, ql, qh in ((("00_10", 0.0, 1.0), ("02_08", 0.2, 0.8),
+                         ("04_06", 0.4, 0.6)) + CQ_GRID_T6
+                        + CQ_DEGEN_T7):
+        degen = ql >= qh
+        lo = float(np.quantile(v, ql))
+        hi = float(np.quantile(v, qh))
         if n > 1:
             inside = (v >= lo) & (v <= hi)
             sel = np.abs(d[inside[:-1] & inside[1:]])
@@ -492,10 +570,13 @@ def _fourth_tranche(ts: np.ndarray, v: np.ndarray, n: int, mean: float,
         if sel.size:
             m = float(sel.mean())
             out[f"change_q_mean_{tag}"] = m
-            out[f"change_q_var_{tag}"] = float(np.mean((sel - m) ** 2))
+            if not degen:
+                out[f"change_q_var_{tag}"] = \
+                    float(np.mean((sel - m) ** 2))
         else:
             out[f"change_q_mean_{tag}"] = 0.0
-            out[f"change_q_var_{tag}"] = 0.0
+            if not degen:
+                out[f"change_q_var_{tag}"] = 0.0
     # permutation_entropy (dim 3, tau 1) — pattern id by argsort with
     # stable index tie-breaking; natural-log entropy
     if n > 2:
@@ -573,7 +654,7 @@ def _fourth_tranche(ts: np.ndarray, v: np.ndarray, n: int, mean: float,
     # agg_autocorrelation — adjusted acf at lags 1..min(40, n-1)
     maxlag = min(40, n - 1)
     if maxlag >= 1 and std > 0:
-        acfs = np.array([_autocorr_k(centered, n, std, k)
+        acfs = np.array([_acf_adj(centered, n, std, k)
                          for k in range(1, maxlag + 1)])
         out["agg_acf_mean"] = float(acfs.mean())
         out["agg_acf_median"] = float(np.median(acfs))
@@ -722,6 +803,189 @@ def _fifth_tranche(v: np.ndarray, n: int, std: float,
     return out
 
 
+def _apen_phi(v: np.ndarray, n: int, m: int, r: float) -> float:
+    """phi(m) of tsfresh approximate_entropy: mean log of the fraction
+    of m-vectors within Chebyshev distance r of each m-vector
+    (self-matches included, so the log argument is never 0). The
+    O(n^2) pairwise matrix is row-blocked to bound peak memory."""
+    cnt = n - m + 1
+    xr = np.lib.stride_tricks.sliding_window_view(v, m)
+    c = np.empty(cnt)
+    block = max(1, 2_000_000 // max(cnt, 1))
+    for s in range(0, cnt, block):
+        e = min(s + block, cnt)
+        dmax = np.max(np.abs(xr[s:e, None, :] - xr[None, :, :]), axis=2)
+        c[s:e] = np.sum(dmax <= r, axis=1)
+    return float(np.sum(np.log(c / cnt)) / cnt)
+
+
+def _sample_entropy(v: np.ndarray, n: int) -> float:
+    """tsfresh sample_entropy as pinned by the reference's golden CSVs
+    (the original running-match implementation reduces to a pair
+    count): -log(#{i<j: |x_i - x_j| < 0.2 std} / (n(n-1)/2)).
+    Row-blocked O(n^2); verified value-exact on both baseline series."""
+    if n < 2:
+        return 0.0
+    tol = 0.2 * float(v.std())
+    cols = np.arange(n)
+    a0 = 0
+    block = 2048
+    for s in range(0, n, block):
+        e = min(s + block, n)
+        hits = np.abs(v[s:e, None] - v[None, :]) < tol
+        a0 += int(np.sum(hits & (cols[None, :] > cols[s:e, None])))
+    if a0 == 0:
+        return 0.0
+    return float(-np.log(2.0 * a0 / (n * (n - 1.0))))
+
+
+def _cwt_matrix(v: np.ndarray, widths: np.ndarray) -> np.ndarray:
+    """scipy-style ricker cwt rows (same wavelet/conv conventions as
+    the fifth-tranche cwt_coefficients, which are golden-CSV-exact)."""
+    out = np.empty((widths.size, v.size))
+    for i, w in enumerate(widths):
+        nn = min(10 * int(w), v.size)
+        vec = np.arange(nn, dtype=np.float64) - (nn - 1) / 2.0
+        wav = (2.0 / (np.sqrt(3.0 * w) * np.pi ** 0.25)
+               * (1.0 - vec * vec / (w * w))
+               * np.exp(-vec * vec / (2.0 * w * w)))
+        out[i] = np.convolve(v, wav, mode="same")
+    return out
+
+
+def _number_cwt_peaks(v: np.ndarray, n: int, nw: int) -> float:
+    """tsfresh number_cwt_peaks: len(scipy.signal.find_peaks_cwt(x,
+    widths=1..nw, ricker)) — own port of scipy's ridge-line
+    identification (nearest-previous-column linking, gap_thresh =
+    ceil(widths[0]), max_distances = widths/4) and filtering
+    (min_length = ceil(rows/4), min_snr 1 vs the 10th percentile of
+    the width-1 row over a ceil(n/20) window). Verified against the
+    reference's golden counts on both baseline series."""
+    if n < 3:
+        return 0.0
+    widths = np.arange(1, nw + 1)
+    gap_thresh = math.ceil(widths[0])
+    max_d = widths / 4.0
+    mat = _cwt_matrix(v, widths)
+    locs = np.arange(n)
+    relmax = np.ones(mat.shape, dtype=bool)
+    relmax &= mat > mat[:, np.clip(locs + 1, 0, n - 1)]
+    relmax &= mat > mat[:, np.clip(locs - 1, 0, n - 1)]
+    has = np.nonzero(relmax.any(axis=1))[0]
+    if has.size == 0:
+        return 0.0
+    start = int(has[-1])
+    ridge = [[[start], [int(c)], 0] for c in np.nonzero(relmax[start])[0]]
+    final: list = []
+    for row in range(start - 1, -1, -1):
+        for line in ridge:
+            line[2] += 1
+        prev = np.array([ln[1][-1] for ln in ridge])
+        for col in np.nonzero(relmax[row])[0]:
+            line = None
+            if prev.size:
+                diffs = np.abs(int(col) - prev)
+                closest = int(np.argmin(diffs))
+                if diffs[closest] <= max_d[row]:
+                    line = ridge[closest]
+            if line is not None:
+                line[1].append(int(col))
+                line[0].append(row)
+                line[2] = 0
+            else:
+                ridge.append([[row], [int(col)], 0])
+        for i in range(len(ridge) - 1, -1, -1):
+            if ridge[i][2] > gap_thresh:
+                final.append(ridge[i])
+                del ridge[i]
+    min_length = math.ceil(mat.shape[0] / 4.0)
+    window = int(math.ceil(n / 20.0))
+    hf, odd = divmod(window, 2)
+    row0 = mat[0]
+    noises = np.array([
+        np.percentile(row0[max(i - hf, 0):min(i + hf + odd, n)], 10)
+        for i in range(n)])
+    cnt = 0
+    for line in final + ridge:
+        rows_ = np.asarray(line[0])
+        cols_ = np.asarray(line[1])
+        srt = np.argsort(rows_, kind="stable")
+        rows_, cols_ = rows_[srt], cols_[srt]
+        if rows_.size < min_length:
+            continue
+        denom = noises[cols_[0]]
+        snr = abs(mat[rows_[0], cols_[0]] / denom) if denom != 0 \
+            else math.inf
+        if snr < 1.0:
+            continue
+        cnt += 1
+    return float(cnt)
+
+
+def _seventh_tranche(v: np.ndarray, n: int, mean: float, std: float,
+                     centered: np.ndarray) -> dict[str, float]:
+    """Round-4 seventh tranche: the remaining names of the reference's
+    216-feature tsfresh basket (skyline/tsfresh_feature_names.py),
+    each formula verified value-exact against the reference's own
+    golden CSVs (tests/baseline/tsfresh-0.20.3-skyline...csv and the
+    0.1.2 statsd baseline) by tests/test_tsfresh_golden.py."""
+    out: dict[str, float] = {}
+    var = std * std
+    out["autocorr_lag0"] = 1.0 if std > 0 else 0.0
+    # mean_autocorrelation — the ORIGINAL tsfresh estimator divides the
+    # lag-l raw autocovariance sum by l (ascending), not (n-l): mean
+    # over l of sum_t c_t c_{t+l} / (l * var). FFT path above 4096
+    # points (identical to ~1e-10 rel; the oracle rounding absorbs it).
+    if n > 1 and var > 0:
+        if n <= 4096:
+            r = np.correlate(centered, centered, mode="full")[n:]
+        else:
+            f = np.fft.rfft(centered, 2 * n)
+            r = np.fft.irfft(f * np.conj(f))[1:n]
+        out["mean_autocorrelation"] = \
+            float(np.mean(r / (var * np.arange(1, n))))
+    else:
+        out["mean_autocorrelation"] = 0.0
+    # fft_coefficient coeff 0..9 — rfft over the FIRST 18 samples
+    # (zero-padded when shorter), real part; see FFT_TF_N note. Written
+    # as the direct DFT cosine sum in the SAME argument shape as the
+    # SQL twin (rfft-vs-direct deltas ~1e-12 rel, inside both the
+    # golden tolerance and the oracle rounding).
+    vv = v[:FFT_TF_N]
+    tt = np.arange(vv.size, dtype=np.float64)
+    for k in range(10):
+        out[f"fft_tf_c{k}"] = \
+            float(np.dot(vv, np.cos(2.0 * np.pi * k * tt / 18.0)))
+    out["value_count_nan"] = float(np.isnan(v).sum())
+    out["value_count_inf"] = float(np.sum(v == np.inf))
+    out["value_count_minf"] = float(np.sum(v == -np.inf))
+    out["num_peaks_1"] = _num_peaks_n(v, n, 1)
+    for k in (1, 3, 5):
+        out[f"large_num_peaks_{k}"] = float(_num_peaks_n(v, n, k) > 5)
+    uniq, counts = np.unique(v, return_counts=True)
+    dup = counts > 1
+    out["ratio_unique_to_length"] = uniq.size / n
+    # tsfresh's famously swapped pair: _dp = reoccurring unique values
+    # over all unique values, _val = reoccurring datapoints over n
+    out["pct_reoccurring_dp"] = \
+        float(dup.sum()) / uniq.size if uniq.size else 0.0
+    out["pct_reoccurring_val"] = float(counts[dup].sum()) / n
+    out["large_std_r00"] = float(std > 0.0)
+    for tag, rr in APEN_GRID_T7:
+        rabs = rr * std
+        if n <= 3 or std <= 0:
+            out[f"approximate_entropy_r{tag}"] = 0.0
+        else:
+            out[f"approximate_entropy_r{tag}"] = abs(
+                _apen_phi(v, n, 2, rabs) - _apen_phi(v, n, 3, rabs))
+    out["sample_entropy"] = _sample_entropy(v, n) if std > 0 else 0.0
+    from skyline_spark.functions.stats import adfuller_tstat
+    out["adf_tstat"] = adfuller_tstat(v) if n >= 12 and std > 0 else 0.0
+    out["number_cwt_peaks_1"] = _number_cwt_peaks(v, n, 1)
+    out["number_cwt_peaks_5"] = _number_cwt_peaks(v, n, 5)
+    return out
+
+
 def feature_profiles(parsed: DataFrame, key: str = "conv_id") -> DataFrame:
     """One feature-vector row per series (conv_id, features map)."""
     def fp(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -729,7 +993,9 @@ def feature_profiles(parsed: DataFrame, key: str = "conv_id") -> DataFrame:
         feats = compute_features(pdf["ts_epoch"].to_numpy(),
                                  pdf["value"].to_numpy())
         row = {"conv_id": pdf[key].iloc[0],
-               "features_sum": float(sum(feats.values()))}
+               "features_sum": float(sum(
+                   val for k, val in feats.items()
+                   if k not in NON_SQL_FEATURES))}
         row.update({f"f_{k}": val for k, val in feats.items()})
         return pd.DataFrame([row])
 

@@ -3296,7 +3296,9 @@ REGISTRY.update({
 def q_feature_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 — the ionosphere feature basket (features_profile.FEATURE_NAMES;
     tsfresh-flavored stand-in, SURVEY §2.9): the REAL applyInPandas
-    kernel's 286 features + features_sum, value-checked against a full
+    kernel's 328 features (325 oracled here + the 3 NON_SQL_FEATURES
+    pinned by the tsfresh golden test) + features_sum,
+    value-checked against a full
     SQL twin (population std, linear-interp quantiles, autocorrelation
     lags 1-9, OLS slope, the sigma/quantile/crossing/peak grids — all
     ANSI-expressible)."""
@@ -3346,8 +3348,17 @@ def q_feature_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     prec.update({f"f_change_q_var_{t}": 2 for t, _, _ in _FP_CQ_T6})
     prec.update({f"f_cwt_w{w}_c{c}": 4
                  for w in (2, 5, 10, 20) for c in _FP_CWT_T6})
+    # seventh tranche: the fft_coefficient DFT sums sit ON the 0.005
+    # half-grid at k in {0,3,6,9} (rational cosine grids over %.2f
+    # data), so 2 dp would round AT the boundary — 3 dp is exact for
+    # grid values and 5e-4 off the boundary otherwise
+    prec.update({f"f_fft_tf_c{k}": 3 for k in range(10)})
+    # adf_tstat / number_cwt_peaks are kernel-only (NON_SQL_FEATURES):
+    # pinned by tests/test_tsfresh_golden.py, excluded from the
+    # driver-oracled projection
     cols = [_RP(c, prec.get(c, 6)).alias(c)
-            for c in out.columns if c != "conv_id"]
+            for c in out.columns
+            if c != "conv_id" and c[2:] not in _FP_NON_SQL]
     return out.select("conv_id", *cols)
 
 
@@ -3470,10 +3481,7 @@ benf AS (
 cqb AS (
     SELECT conv_id, n, l,
            ls[1] AS cq_lo0, ls[n] AS cq_hi0,
-           ls[CAST(floor((n - 1) * 0.2) AS BIGINT) + 1] AS cq_lo2,
-           ls[CAST(floor((n - 1) * 0.8) AS BIGINT) + 1] AS cq_hi8,
-           ls[CAST(floor((n - 1) * 0.4) AS BIGINT) + 1] AS cq_lo4,
-           ls[CAST(floor((n - 1) * 0.6) AS BIGINT) + 1] AS cq_hi6
+__CQ_LERP__
     FROM (SELECT conv_id, n, l, list_sort(l) AS ls FROM base)),
 cqd AS (
     SELECT conv_id,
@@ -3486,7 +3494,8 @@ cqd AS (
            [abs(l[i + 1] - l[i]) FOR i IN range(1, n)
             IF l[i] >= cq_lo4 AND l[i] <= cq_hi6
                AND l[i + 1] >= cq_lo4 AND l[i + 1] <= cq_hi6] AS d46,
-__CQD_T6__
+__CQD_T6__,
+__CQD_T7__
     FROM cqb),
 agrows AS (
     SELECT conv_id, value AS y,
@@ -3557,22 +3566,21 @@ derived0 AS (
                AS f_count_above_mean,
            CAST(len(list_filter(l, x -> x < f_mean)) AS DOUBLE)
                AS f_count_below_mean,
-           CASE WHEN f_std > 0
+           CASE WHEN n > 2 AND f_std > 0
                 THEN (list_sum([pow(x - f_mean, 3) FOR x IN l]) / n)
                      / pow(f_std, 3)
+                     * sqrt(n * (n - 1.0)) / (n - 2.0)
                 ELSE 0.0 END AS f_skewness_like,
-           CASE WHEN n > 1 AND f_std > 0
-                THEN list_sum([(l[i] - f_mean) * (l[i + 1] - f_mean)
-                               FOR i IN range(1, n)])
-                     / (f_std * f_std * (n - 1))
-                ELSE 0.0 END AS f_autocorr_lag1,
+__ACF_CC_1__,
            CASE WHEN n > 1 THEN coalesce(raw_slope, 0.0)
                 ELSE 0.0 END AS f_slope,
            CAST(n AS DOUBLE) AS f_length,
            sqrt(f_abs_energy / n) AS f_rms,
-           CASE WHEN f_std > 0
-                THEN (list_sum([pow(x - f_mean, 4) FOR x IN l]) / n)
-                     / pow(f_std, 4)
+           CASE WHEN n > 3 AND f_std > 0
+                THEN ((n - 1.0) / ((n - 2.0) * (n - 3.0)))
+                     * ((n + 1.0)
+                        * ((list_sum([pow(x - f_mean, 4) FOR x IN l]) / n)
+                           / pow(f_std, 4) - 3.0) + 6.0)
                 ELSE 0.0 END AS f_kurtosis_like,
            CASE WHEN f_mean <> 0 THEN f_std / f_mean
                 ELSE 0.0 END AS f_variation_coeff,
@@ -3615,12 +3623,14 @@ derived0 AS (
                                         ELSE '0' END FOR x IN l],
                                    'string_agg', ''), '0')]), 0) AS DOUBLE)
                AS f_longest_strike_below_mean,
-           CAST(list_position(l, f_max) - 1 AS DOUBLE) AS f_first_loc_max,
-           CAST(n - list_position(list_reverse(l), f_max) AS DOUBLE)
-               AS f_last_loc_max,
-           CAST(list_position(l, f_min) - 1 AS DOUBLE) AS f_first_loc_min,
-           CAST(n - list_position(list_reverse(l), f_min) AS DOUBLE)
-               AS f_last_loc_min,
+           CAST(list_position(l, f_max) - 1 AS DOUBLE) / n
+               AS f_first_loc_max,
+           CAST(n - list_position(list_reverse(l), f_max) + 1 AS DOUBLE)
+               / n AS f_last_loc_max,
+           CAST(list_position(l, f_min) - 1 AS DOUBLE) / n
+               AS f_first_loc_min,
+           CAST(n - list_position(list_reverse(l), f_min) + 1 AS DOUBLE)
+               / n AS f_last_loc_min,
            CAST(n_uniq AS DOUBLE) AS f_count_unique,
            CASE WHEN n_uniq < n THEN 1.0 ELSE 0.0 END AS f_has_duplicate,
            CASE WHEN len(list_filter(l, x -> x = f_max)) > 1
@@ -3640,15 +3650,15 @@ derived0 AS (
                     [l[i] * l[i + 3] * l[i + 6] FOR i IN range(1, n - 5)])
                     / (n - 6) ELSE 0.0 END AS f_c3_lag3,
            CASE WHEN n > 2 THEN list_sum(
-                    [l[i + 2] * l[i + 2] * l[i + 1] - l[i + 1] * l[i] * l[i]
+                    [l[i + 2] * l[i + 2] * l[i] - l[i + 1] * l[i] * l[i]
                      FOR i IN range(1, n - 1)]) / (n - 2)
                 ELSE 0.0 END AS f_trev_lag1,
            CASE WHEN n > 4 THEN list_sum(
-                    [l[i + 4] * l[i + 4] * l[i + 2] - l[i + 2] * l[i] * l[i]
+                    [l[i + 4] * l[i + 4] * l[i] - l[i + 2] * l[i] * l[i]
                      FOR i IN range(1, n - 3)]) / (n - 4)
                 ELSE 0.0 END AS f_trev_lag2,
            CASE WHEN n > 6 THEN list_sum(
-                    [l[i + 6] * l[i + 6] * l[i + 3] - l[i + 3] * l[i] * l[i]
+                    [l[i + 6] * l[i + 6] * l[i] - l[i + 3] * l[i] * l[i]
                      FOR i IN range(1, n - 5)]) / (n - 6)
                 ELSE 0.0 END AS f_trev_lag3,
            CASE WHEN f_std > 0 THEN CAST(len(list_filter(
@@ -3677,26 +3687,19 @@ derived0 AS (
                                 9) = k)) AS DOUBLE)
                       FOR k IN range(0, 10)]])
                 ELSE 0.0 END AS f_binned_entropy_10,
-           CASE WHEN n > 2 AND f_std > 0 THEN list_sum(
-                    [(l[i] - f_mean) * (l[i + 2] - f_mean)
-                     FOR i IN range(1, n - 1)])
-                    / (f_std * f_std * (n - 2))
-                ELSE 0.0 END AS f_autocorr_lag2,
-           CASE WHEN n > 3 AND f_std > 0 THEN list_sum(
-                    [(l[i] - f_mean) * (l[i + 3] - f_mean)
-                     FOR i IN range(1, n - 2)])
-                    / (f_std * f_std * (n - 3))
-                ELSE 0.0 END AS f_autocorr_lag3,
+__ACF_CC_2__,
+__ACF_CC_3__,
            CASE WHEN n >= 7 THEN list_sum(list_slice(
                     list_reverse_sort([abs(x) FOR x IN l]), 1, 7)) / 7.0
                 ELSE 0.0 END AS f_mean_n_abs_max_7,
            CASE WHEN n > 1 THEN coalesce(raw_corr, 0.0)
                 ELSE 0.0 END AS f_corr_rvalue,
-           coalesce(q.imq_05, 0.0) AS f_index_mass_quantile_05,
+           coalesce(q.imq_05, 0.0) / n AS f_index_mass_quantile_05,
 __TRANCHE3__,
 __TRANCHE4__,
 __TRANCHE5__,
-__TRANCHE6__
+__TRANCHE6__,
+__TRANCHE7__
     FROM base LEFT JOIN reocc r USING (conv_id)
     LEFT JOIN imq q USING (conv_id)
     LEFT JOIN specm s USING (conv_id)
@@ -3717,12 +3720,58 @@ derived AS (
 
 
 from skyline_spark.operators.features_profile import (  # noqa: E402
+    APEN_GRID_T7 as _FP_APEN_T7,
+    CQ_DEGEN_T7 as _FP_CQ_DEGEN_T7,
     CQ_GRID_T6 as _FP_CQ_T6,
     CWT_COEFFS_T6 as _FP_CWT_T6,
     IMQ_GRID_T6 as _FP_IMQ_T6,
     LSTD_GRID_T6 as _FP_LSTD_T6,
+    NON_SQL_FEATURES as _FP_NON_SQL,
     SYM_GRID_T6 as _FP_SYM_T6,
 )
+
+
+def _acf_cc_sql(k: int) -> str:
+    """tsfresh autocorrelation__lag_k — Pearson r between the two
+    overlapping slices (per-slice means/stds, the pandas autocorr
+    semantics the golden CSVs pin) as a closed 5-sum form over
+    mean-shifted values (shift-invariance kills the cancellation the
+    raw second-moment form would have at 1e4-magnitude data)."""
+    a = f"[l[i] - f_mean FOR i IN range(1, n - {k} + 1)]"
+    b = f"[l[i + {k}] - f_mean FOR i IN range(1, n - {k} + 1)]"
+    m = f"(n - {k})"
+    da = (f"({m} * list_sum([x * x FOR x IN {a}])\n"
+          f"      - list_sum({a}) * list_sum({a}))")
+    db = (f"({m} * list_sum([x * x FOR x IN {b}])\n"
+          f"      - list_sum({b}) * list_sum({b}))")
+    num = (f"({m} * list_sum([(l[i] - f_mean) * (l[i + {k}] - f_mean)\n"
+           f"           FOR i IN range(1, n - {k} + 1)])\n"
+           f"      - list_sum({a}) * list_sum({b}))")
+    return (f"CASE WHEN n > {k} + 1 AND f_std > 0\n"
+            f"          AND {da} > 0 AND {db} > 0\n"
+            f"     THEN {num} / sqrt({da} * {db})\n"
+            f"     ELSE 0.0 END AS f_autocorr_lag{k}")
+
+
+def _cq_lerp_sql() -> str:
+    """Interior change_quantiles corridor bounds as numpy's np.quantile
+    'linear' lerp, branch-exact (t < 0.5 -> a + (b-a)t else
+    b - (b-a)(1-t)) so decimal-grid data cannot straddle the corridor
+    edge differently across engines."""
+    parts = []
+    for name, q in (("cq_lo2", 0.2), ("cq_lo4", 0.4),
+                    ("cq_hi6", 0.6), ("cq_hi8", 0.8)):
+        pos = f"({q!r} * (n - 1))"
+        j = f"CAST(floor({pos}) AS BIGINT)"
+        t = f"({pos} - floor({pos}))"
+        a = f"ls[{j} + 1]"
+        b = f"ls[least({j} + 2, n)]"
+        parts.append(
+            f"           CASE WHEN {t} < 0.5\n"
+            f"                THEN {a} + ({b} - {a}) * {t}\n"
+            f"                ELSE {b} - ({b} - {a}) * (1 - {t})\n"
+            f"           END AS {name}")
+    return ",\n".join(parts)
 
 #: sixth-tranche corridor bound -> cqb column (order statistics shared
 #: with the original three corridors)
@@ -3749,6 +3798,113 @@ def _cqd_t6_sql() -> str:
     return ",\n".join(parts)
 
 
+def _cqd_t7_sql() -> str:
+    """Degenerate (ql >= qh) tsfresh corridor diff-lists — the same
+    corridor expression with lo/hi from the ql/qh bounds; empty or
+    all-zero by construction, kept so the grid is name-complete."""
+    parts = []
+    for t, ql, qh in _FP_CQ_DEGEN_T7:
+        lo, hi = _CQ_BOUND_COL[ql], _CQ_BOUND_COL[qh]
+        parts.append(
+            f"           [abs(l[i + 1] - l[i]) FOR i IN range(1, n)\n"
+            f"            IF l[i] >= {lo} AND l[i] <= {hi}\n"
+            f"               AND l[i + 1] >= {lo} AND l[i + 1] <= {hi}]"
+            f" AS d{t}")
+    return ",\n".join(parts)
+
+
+def _num_peaks_cond_sql(nn: int) -> str:
+    """The strict 2nn-neighbour peak condition shared by number_peaks
+    and large_number_of_peaks."""
+    conds = "\n                   AND ".join(
+        f"l[i] > l[i - {j}] AND l[i] > l[i + {j}]"
+        for j in range(1, nn + 1))
+    return (f"CAST(list_sum(\n"
+            f"         [CASE WHEN {conds}\n"
+            f"              THEN 1 ELSE 0 END\n"
+            f"          FOR i IN range({nn + 1}, n - {nn - 1})])"
+            f" AS DOUBLE)")
+
+
+def _tranche7_derived_sql() -> str:
+    """Round-4 seventh tranche twins — the remaining names of the
+    reference's 216-feature tsfresh basket (see
+    features_profile._seventh_tranche; every formula golden-CSV-pinned
+    by tests/test_tsfresh_golden.py). adf_tstat and number_cwt_peaks
+    are the documented non-ANSI exclusions (NON_SQL_FEATURES)."""
+    p = []
+    p.append("CASE WHEN f_std > 0 THEN 1.0 ELSE 0.0 END"
+             " AS f_autocorr_lag0")
+    # original-tsfresh mean_autocorrelation: lag-l raw autocovariance
+    # sum divided by l ASCENDING (the 0.1.2 estimator the golden pins),
+    # averaged over l = 1..n-1
+    p.append(
+        "CASE WHEN n > 1 AND f_std > 0\n"
+        "     THEN list_sum(\n"
+        "              [list_sum([(l[i] - f_mean) * (l[i + k] - f_mean)\n"
+        "                         FOR i IN range(1, n - k + 1)])\n"
+        "               / (k * f_std * f_std) FOR k IN range(1, n)])\n"
+        "          / (n - 1)\n"
+        "     ELSE 0.0 END AS f_mean_autocorrelation")
+    # fft_coefficient coeff 0..9: direct DFT cosine sum over the first
+    # min(n, 18) samples, same argument shape as the kernel
+    for k in range(10):
+        p.append(
+            f"list_sum([l[i] * cos(2 * pi() * {k} * (i - 1) / 18.0)\n"
+            f"          FOR i IN range(1, least(n, 18) + 1)])"
+            f" AS f_fft_tf_c{k}")
+    p.append("CAST(len(list_filter(l, x -> isnan(x))) AS DOUBLE)"
+             " AS f_value_count_nan")
+    p.append("CAST(len(list_filter(l, x -> x = 'infinity'::DOUBLE))"
+             " AS DOUBLE) AS f_value_count_inf")
+    p.append("CAST(len(list_filter(l, x -> x = '-infinity'::DOUBLE))"
+             " AS DOUBLE) AS f_value_count_minf")
+    p.append("CASE WHEN n > 2 THEN " + _num_peaks_cond_sql(1)
+             + "\n     ELSE 0.0 END AS f_num_peaks_1")
+    for nn in (1, 3, 5):
+        p.append(
+            f"CASE WHEN n > {2 * nn} AND " + _num_peaks_cond_sql(nn)
+            + " > 5\n     THEN 1.0 ELSE 0.0 END"
+            + f" AS f_large_num_peaks_{nn}")
+    p.append("CAST(n_uniq AS DOUBLE) / n AS f_ratio_unique_to_length")
+    p.append("CASE WHEN n_uniq > 0 THEN CAST(r.crv AS DOUBLE) / n_uniq\n"
+             "     ELSE 0.0 END AS f_pct_reoccurring_dp")
+    p.append("CAST(r.crp AS DOUBLE) / n AS f_pct_reoccurring_val")
+    p.append("CASE WHEN f_std > 0 THEN 1.0 ELSE 0.0 END"
+             " AS f_large_std_r00")
+    for t, _, _ in _FP_CQ_DEGEN_T7:
+        col = f"c.d{t}"
+        p.append(f"CASE WHEN len({col}) > 0\n"
+                 f"     THEN (list_sum({col}) / len({col}))\n"
+                 f"     ELSE 0.0 END AS f_change_q_mean_{t}")
+    # approximate_entropy m=2: |phi(2) - phi(3)|, self-matches included
+    # so the log argument is never 0; O(n^2) nested comprehension is
+    # oracle-only (the production path is the Arrow kernel)
+    def phi(m: int, r_: str) -> str:
+        cnt = f"(n - {m} + 1)"
+        conds = "\n                  AND ".join(
+            f"abs(l[i + {d}] - l[j + {d}]) <= {r_}" for d in range(m))
+        return (f"(list_sum([ln(CAST(len(\n"
+                f"         [j FOR j IN range(1, {cnt} + 1)\n"
+                f"          IF {conds}]) AS DOUBLE) / {cnt})\n"
+                f"      FOR i IN range(1, {cnt} + 1)]) / {cnt})")
+    for tag, rr in _FP_APEN_T7:
+        r_ = f"({rr!r} * f_std)"
+        p.append(
+            f"CASE WHEN n > 3 AND f_std > 0\n"
+            f"     THEN abs({phi(2, r_)}\n"
+            f"          - {phi(3, r_)})\n"
+            f"     ELSE 0.0 END AS f_approximate_entropy_r{tag}")
+    a0 = ("list_sum([CAST(len([j FOR j IN range(i + 1, n + 1)\n"
+          "          IF abs(l[i] - l[j]) < 0.2 * f_std]) AS DOUBLE)\n"
+          "      FOR i IN range(1, n + 1)])")
+    p.append(
+        f"CASE WHEN n > 1 AND f_std > 0 AND {a0} > 0\n"
+        f"     THEN -ln(2.0 * {a0} / (n * (n - 1.0)))\n"
+        f"     ELSE 0.0 END AS f_sample_entropy")
+    return ",\n".join("           " + x for x in p)
+
+
 def _tranche3_derived_sql() -> str:
     """derived-CTE expressions for the round-4 feature tranche —
     generated so the num_peaks neighbor comparisons and the lag/r/q
@@ -3757,12 +3913,7 @@ def _tranche3_derived_sql() -> str:
     so decimal-grid values cannot ulp-flip across engines."""
     p = []
     for k in range(4, 10):
-        p.append(
-            f"CASE WHEN n > {k} AND f_std > 0 THEN list_sum(\n"
-            f"         [(l[i] - f_mean) * (l[i + {k}] - f_mean)\n"
-            f"          FOR i IN range(1, n - {k - 1})])\n"
-            f"         / (f_std * f_std * (n - {k}))\n"
-            f"     ELSE 0.0 END AS f_autocorr_lag{k}")
+        p.append(_acf_cc_sql(k))
     for tag, m in (("0", "0.0"), ("1", "1.0"), ("m1", "-1.0")):
         p.append(
             "CASE WHEN n > 1 THEN CAST(list_sum(\n"
@@ -3805,7 +3956,7 @@ def _tranche3_derived_sql() -> str:
         "     AS f_range_count_m1_1")
     for tag in ("01", "025", "075", "09") \
             + tuple(t for t, _ in _FP_IMQ_T6):
-        p.append(f"coalesce(q.imq_{tag}, 0.0)"
+        p.append(f"coalesce(q.imq_{tag}, 0.0) / n"
                  f" AS f_index_mass_quantile_{tag}")
     p.append(
         "CASE WHEN n > 1 AND f_std > 0 THEN sqrt(list_sum(\n"
@@ -4138,6 +4289,13 @@ _FEATURES_CTES = _FEATURES_CTES.replace("__PACF_CTES__",
                                         _pacf_ctes_sql() + _ar_ctes_sql())
 _FEATURES_CTES = _FEATURES_CTES.replace("__IMQ_T6__", _imq_t6_sql())
 _FEATURES_CTES = _FEATURES_CTES.replace("__CQD_T6__", _cqd_t6_sql())
+_FEATURES_CTES = _FEATURES_CTES.replace("__CQD_T7__", _cqd_t7_sql())
+_FEATURES_CTES = _FEATURES_CTES.replace("__CQ_LERP__", _cq_lerp_sql())
+_FEATURES_CTES = _FEATURES_CTES.replace("__TRANCHE7__",
+                                        _tranche7_derived_sql())
+for _k in (1, 2, 3):
+    _FEATURES_CTES = _FEATURES_CTES.replace(
+        f"__ACF_CC_{_k}__", "           " + _acf_cc_sql(_k))
 
 _FEATURES_FINAL = r"""SELECT conv_id,
        round((f_mean + f_std + f_median + f_min + f_max + f_sum
@@ -4385,15 +4543,27 @@ FROM dfin
 
 
 def _t6_feature_names() -> list:
-    """Sixth-tranche feature names in kernel order (the grids are the
-    single source of truth shared with features_profile.FEATURE_NAMES)."""
+    """Sixth- and seventh-tranche feature names in kernel order (the
+    grids are the single source of truth shared with
+    features_profile.FEATURE_NAMES); NON_SQL_FEATURES excluded."""
+    t7 = (["autocorr_lag0", "mean_autocorrelation"]
+          + [f"fft_tf_c{k}" for k in range(10)]
+          + ["value_count_nan", "value_count_inf", "value_count_minf",
+             "num_peaks_1", "large_num_peaks_1", "large_num_peaks_3",
+             "large_num_peaks_5", "ratio_unique_to_length",
+             "pct_reoccurring_dp", "pct_reoccurring_val",
+             "large_std_r00"]
+          + [f"change_q_mean_{t}" for t, _, _ in _FP_CQ_DEGEN_T7]
+          + [f"approximate_entropy_r{t}" for t, _ in _FP_APEN_T7]
+          + ["sample_entropy"])
     return ([f"symmetry_r{t}" for t, _ in _FP_SYM_T6]
             + [f"large_std_r{t}" for t, _ in _FP_LSTD_T6]
             + [f"index_mass_quantile_{t}" for t, _ in _FP_IMQ_T6]
             + [f"change_q_{agg}_{t}" for t, _, _ in _FP_CQ_T6
                for agg in ("mean", "var")]
             + [f"cwt_w{w}_c{c}" for w in (2, 5, 10, 20)
-               for c in _FP_CWT_T6])
+               for c in _FP_CWT_T6]
+            + [k for k in t7 if k not in _FP_NON_SQL])
 
 
 def _t6_final_sum_sql() -> str:
@@ -4406,14 +4576,17 @@ def _t6_final_sum_sql() -> str:
 
 
 def _t6_final_cols_sql() -> str:
-    dec = {"change_q_var": 2, "cwt": 4}
     parts = []
     for k in _t6_feature_names():
         d = 6
         if k.startswith("change_q_var"):
-            d = dec["change_q_var"]
+            d = 2
         elif k.startswith("cwt"):
-            d = dec["cwt"]
+            d = 4
+        elif k.startswith("fft_tf"):
+            # on the 0.005 half-grid at k in {0,3,6,9} — 3 dp is the
+            # boundary-safe precision (see q_feature_profiles)
+            d = 3
         parts.append(f"round(f_{k}, {d}) AS f_{k}")
     return ",\n       ".join(parts)
 
