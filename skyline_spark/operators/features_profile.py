@@ -347,6 +347,11 @@ def _autocorr_k(centered: np.ndarray, n: int, std: float, k: int) -> float:
     if n <= k + 1 or std <= 0:
         return 0.0
     a, b = centered[:-k], centered[k:]
+    # exact-constancy guard: a constant slice must yield 0, not the
+    # 1-ulp mean-residue garbage the den>0 test alone lets through
+    # (same min<max guard in the SQL twin, queries._acf_cc_sql)
+    if float(a.max()) == float(a.min()) or float(b.max()) == float(b.min()):
+        return 0.0
     m = n - k
     ma, mb = float(a.mean()), float(b.mean())
     da, db = a - ma, b - mb

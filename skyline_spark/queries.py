@@ -3748,6 +3748,8 @@ def _acf_cc_sql(k: int) -> str:
            f"           FOR i IN range(1, n - {k} + 1)])\n"
            f"      - list_sum({a}) * list_sum({b}))")
     return (f"CASE WHEN n > {k} + 1 AND f_std > 0\n"
+            f"          AND list_min({a}) < list_max({a})\n"
+            f"          AND list_min({b}) < list_max({b})\n"
             f"          AND {da} > 0 AND {db} > 0\n"
             f"     THEN {num} / sqrt({da} * {db})\n"
             f"     ELSE 0.0 END AS f_autocorr_lag{k}")
@@ -4791,6 +4793,159 @@ REGISTRY.update({
 
 
 # ---------------------------------------------------------------------------
+# query — ABSOLUTE tsfresh parity as a driver oracle (X2 golden flow)
+# ---------------------------------------------------------------------------
+
+_TSFRESH_GOLDEN_CSV = ("/root/reference/tests/baseline/"
+                       "tsfresh-0.20.3-skyline.py3.data.json"
+                       ".features.transposed.csv")
+_TSFRESH_GOLDEN_JSON = "/root/reference/utils/data.json"
+
+
+def _tsfresh_golden_map() -> list:
+    """(tsfresh 0.20.3-skyline golden name, kernel feature) pairs for
+    the full 216-name basket the reference pins
+    (skyline/tsfresh_feature_names.py). Mirrors
+    tests/test_tsfresh_golden._name_map restricted to the py3
+    spellings of the current baseline."""
+    m = [
+        ("variance_larger_than_standard_deviation", "var_gt_std"),
+        ("has_duplicate_max", "has_duplicate_max"),
+        ("has_duplicate_min", "has_duplicate_min"),
+        ("has_duplicate", "has_duplicate"),
+        ("sum_values", "sum"), ("abs_energy", "abs_energy"),
+        ("mean_abs_change", "mean_abs_change"),
+        ("mean_change", "mean_change"), ("median", "median"),
+        ("mean", "mean"), ("length", "length"),
+        ("standard_deviation", "std"), ("variance", "variance"),
+        ("skewness", "skewness_like"), ("kurtosis", "kurtosis_like"),
+        ("absolute_sum_of_changes", "abs_sum_of_changes"),
+        ("longest_strike_below_mean", "longest_strike_below_mean"),
+        ("longest_strike_above_mean", "longest_strike_above_mean"),
+        ("count_above_mean", "count_above_mean"),
+        ("count_below_mean", "count_below_mean"),
+        ("last_location_of_maximum", "last_loc_max"),
+        ("first_location_of_maximum", "first_loc_max"),
+        ("last_location_of_minimum", "last_loc_min"),
+        ("first_location_of_minimum", "first_loc_min"),
+        ("sum_of_reoccurring_values", "sum_reoccurring_points"),
+        ("maximum", "max"), ("minimum", "min"),
+        ("mean_second_derivate_central", "mean_second_derivative"),
+        ("binned_entropy__max_bins_10", "binned_entropy_10"),
+        ("mean_autocorrelation", "mean_autocorrelation"),
+        ("augmented_dickey_fuller", "adf_tstat"),
+        ("sample_entropy", "sample_entropy"),
+        ("percentage_of_reoccurring_datapoints_to_all_datapoints",
+         "pct_reoccurring_dp"),
+        ("percentage_of_reoccurring_values_to_all_values",
+         "pct_reoccurring_val"),
+        ("ratio_value_number_to_time_series_length",
+         "ratio_unique_to_length"),
+        ("range_count__max_1__min_-1", "range_count_m1_1"),
+        ("value_count__value_0", "value_count_0"),
+        ("value_count__value_1", "value_count_1"),
+        ("value_count__value_nan", "value_count_nan"),
+        ("value_count__value_inf", "value_count_inf"),
+        ("value_count__value_-inf", "value_count_minf"),
+        ("number_cwt_peaks__n_1", "number_cwt_peaks_1"),
+        ("number_cwt_peaks__n_5", "number_cwt_peaks_5"),
+        ("autocorrelation__lag_0", "autocorr_lag0"),
+        ("number_peaks__n_1", "num_peaks_1"),
+    ]
+    for lag in (1, 2, 3):
+        m.append((f"time_reversal_asymmetry_statistic__lag_{lag}",
+                  f"trev_lag{lag}"))
+    for lag in range(1, 10):
+        m.append((f"autocorrelation__lag_{lag}", f"autocorr_lag{lag}"))
+    rgrid = [
+        ("0.0", "000"), ("0.05", "005"), ("0.1", "01"),
+        ("0.15000000000000002", "015"), ("0.2", "02"),
+        ("0.25", "025"), ("0.30000000000000004", "03"),
+        ("0.35000000000000003", "035"), ("0.4", "04"),
+        ("0.45", "045"), ("0.5", "05"), ("0.55", "055"),
+        ("0.6000000000000001", "06"), ("0.65", "065"),
+        ("0.7000000000000001", "07"), ("0.75", "075"), ("0.8", "08"),
+        ("0.8500000000000001", "085"), ("0.9", "09"),
+        ("0.9500000000000001", "095")]
+    for rs, r in rgrid:
+        m.append((f"symmetry_looking__r_{rs}", f"symmetry_r{r}"))
+    for rs, r in rgrid[:10]:
+        m.append((f"large_standard_deviation__r_{rs}",
+                  f"large_std_r{'00' if r == '000' else r}"))
+    for q in ("0.1", "0.2", "0.3", "0.4", "0.6", "0.7", "0.8", "0.9"):
+        m.append((f"quantile__q_{q}",
+                  "q" + q.replace("0.", "").ljust(2, "0")))
+        m.append((f"index_mass_quantile__q_{q}",
+                  "index_mass_quantile_0" + q.replace("0.", "")))
+    for nn in (3, 5):
+        m.append((f"number_peaks__n_{nn}", f"num_peaks_{nn}"))
+    for nn in (1, 3, 5):
+        m.append((f"large_number_of_peaks__n_{nn}",
+                  f"large_num_peaks_{nn}"))
+    for c in range(15):
+        for w in (2, 5, 10, 20):
+            m.append((f"cwt_coefficients__widths_(2, 5, 10, 20)"
+                      f"__coeff_{c}__w_{w}", f"cwt_w{w}_c{c}"))
+    for c in (2, 5, 8):
+        m.append((f"spkt_welch_density__coeff_{c}", f"welch_c{c}"))
+    for c in range(5):
+        m.append((f"ar_coefficient__k_10__coeff_{c}", f"ar_k10_c{c}"))
+    tg = {"0.0": "00", "0.2": "02", "0.4": "04",
+          "0.6": "06", "0.8": "08", "1.0": "10"}
+    for ql in ("0.0", "0.2", "0.4", "0.6", "0.8"):
+        for qh in ("0.2", "0.4", "0.6", "0.8", "1.0"):
+            m.append((f"mean_abs_change_quantiles__qh_{qh}__ql_{ql}",
+                      f"change_q_mean_{tg[ql]}_{tg[qh]}"))
+    for c in range(10):
+        m.append((f"fft_coefficient__coeff_{c}", f"fft_tf_c{c}"))
+    for rr in ("0.1", "0.3", "0.5", "0.7", "0.9"):
+        m.append((f"approximate_entropy__m_2__r_{rr}",
+                  f"approximate_entropy_r0{rr[-1]}"))
+    assert len(m) == 216, len(m)
+    return m
+
+
+def q_tsfresh_golden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 golden flow — ABSOLUTE tsfresh parity as a DRIVER oracle:
+    run the REAL applyInPandas feature kernel over the reference's own
+    60-point baseline series (utils/data.json[:60], the exact input of
+    the reference's tests/baseline/tsfresh_features_test.py) and emit
+    one (feature, value) row per golden basket name, rounded at 4 dp
+    (measured kernel-vs-golden deltas are <= 1.3e-7 absolute and the
+    nearest golden value sits 1.5e-7 from a 4 dp boundary). The oracle
+    is the reference's golden CSV itself — hash equality IS absolute
+    feature parity, recorded in the driver artifact. Input is the
+    pinned reference series, so sf_dir is unused by design."""
+    import json as _json
+    with open(_TSFRESH_GOLDEN_JSON) as fh:
+        pts = _json.load(fh)["results"][:60]
+    rows = [("golden", float(t), float(v)) for t, v in pts]
+    src = spark.createDataFrame(
+        rows, "conv_id string, ts_epoch double, value double")
+    src = src.select("conv_id",
+                     F.col("ts_epoch").cast("timestamp").alias("ts"),
+                     "value")
+    from skyline_spark.operators.features_profile import feature_profiles
+    prof = feature_profiles(src)
+    pairs = ",\n".join(f"'{g}', round(f_{o}, 4) + 0.0"
+                       for g, o in _tsfresh_golden_map())
+    return prof.selectExpr(
+        f"stack(216, {pairs}) AS (feature, value)")
+
+
+SQL_TSFRESH_GOLDEN = f"""
+SELECT replace(tname, 'value__', '') AS feature,
+       round(val, 4) AS value
+FROM read_csv('{_TSFRESH_GOLDEN_CSV}', header = false, skip = 1,
+              columns = {{'tname': 'VARCHAR', 'val': 'DOUBLE'}})
+"""
+
+REGISTRY.update({
+    "tsfresh_golden": (q_tsfresh_golden, SQL_TSFRESH_GOLDEN),
+})
+
+
+# ---------------------------------------------------------------------------
 # queries — ported custom algorithms (§2.10) with ANSI twins
 # ---------------------------------------------------------------------------
 
@@ -4938,10 +5093,14 @@ _DRIVER_WINDOW = [
     # least_squares + first_hour_average demoted past the window in
     # their favor — both stay value-checked inside consensus_vote_sql8)
     "panorama_search_sql8", "panorama_count_sql8",
+    # absolute tsfresh parity vs the reference's own golden CSV
+    # (custom_abs_stddev_from_median demoted in its favor — the custom
+    # family stays window-covered by custom_significant_change and
+    # both sigma oracles)
+    "tsfresh_golden",
     # boundary / cross-series / custom algorithms
     "boundary_static", "drop_off_cliff", "anomaly_episodes",
-    "second_order_anomalous", "custom_abs_stddev_from_median",
-    "custom_significant_change",
+    "second_order_anomalous", "custom_significant_change",
     # LLM-data-pipeline operators
     "dedup_exact", "token_stats", "lang_id", "doc_fingerprint",
     "ngram_jaccard", "embedding_cosine_topk", "minhash_near_dups",
