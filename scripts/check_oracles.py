@@ -83,8 +83,18 @@ def main() -> int:
             failures += 1
             continue
         try:
-            pd.testing.assert_frame_equal(a, b, check_dtype=False,
-                                          check_exact=False, atol=2e-6, rtol=1e-6)
+            # non-float columns byte-exact (the driver hashes exact value
+            # reprs — rtol on an int64 epoch would hide a real mismatch),
+            # floats with the usual summation-order tolerance
+            floats = [c for c in a.columns
+                      if pd.api.types.is_float_dtype(a[c])]
+            exact = [c for c in a.columns if c not in floats]
+            pd.testing.assert_frame_equal(a[exact], b[exact],
+                                          check_dtype=False, check_exact=True)
+            pd.testing.assert_frame_equal(a[floats], b[floats],
+                                          check_dtype=False,
+                                          check_exact=False, atol=2e-6,
+                                          rtol=1e-6)
         except AssertionError as e:
             print(f"FAIL  {name}: value mismatch\n{str(e)[:600]}")
             failures += 1

@@ -4793,6 +4793,156 @@ REGISTRY.update({
 
 
 # ---------------------------------------------------------------------------
+# query — ionosphere LAYERS (the rule-based sibling of the fp match)
+# ---------------------------------------------------------------------------
+
+#: deterministic layers config per metric family (the stand-in for the
+#: ionosphere_layers/layers_algorithms MySQL tables,
+#: skyline/ionosphere/layers.py:140-208): exercises both tolerance
+#: percentages (10% for 11<=b<30, 5% for b>=30), the no-tolerance small
+#: boundary, the '==' condition, an active AND an inactive D1, and both
+#: growing/shrinking E conditions. 'view' has no trained layer.
+LAYERS_CONFIG_ROWS = [
+    #  family     id  d_cond d_bound d1_cond d1_bound d1_n e_cond e_bound e_n
+    ("click",     1, ">",   400.0, "none",    0.0, 0, "<=", 150.0,  3),
+    ("error",     2, ">",     9.0, "none",    0.0, 0, "<", 2000.0,  2),
+    ("signup",    3, "==",    0.0, "<",       0.5, 2, ">=",   20.0, 4),
+    ("purchase",  4, ">",    15.0, "none",    0.0, 0, "<=",    9.0, 3),
+    # E-only tolerance (d '==' never grows): matches with last value in
+    # (13, 15] are approximately_close ones — the relabel is exercised
+    ("view",      5, "==",   -1.0, "none",    0.0, 0, "<=",   13.0, 1),
+]
+
+_LAYERS_CONFIG_SCHEMA = ("family string, layer_id int, d_condition string, "
+                         "d_boundary_limit double, d1_condition string, "
+                         "d1_boundary_limit double, d1_boundary_times int, "
+                         "e_condition string, e_boundary_limit double, "
+                         "e_boundary_times int")
+
+
+def q_ionosphere_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — ionosphere LAYERS (skyline/ionosphere/layers.py:65-713
+    run_layer_algorithms): the user-defined D/D1/E boundary rules with
+    the reference's quirk operator map ('<' binds to <=, '>' to >=),
+    the approximately_close tolerance math, the short-series D1
+    discard, and the approx_close original-boundary relabel — every
+    branch ANSI-expressible, so the full (layer_matched, approx_close)
+    disposition is value-checked per (series, layer)."""
+    from skyline_spark.operators.layers import run_layer_algorithms
+    v = _valid(spark, sf_dir)
+    wd = Window.partitionBy("conv_id", "metric", "ts").orderBy("turn_idx")
+    s = (v.withColumn("__dd", F.row_number().over(wd))
+         .where(F.col("__dd") == 1).drop("__dd")
+         .withColumn("family", F.split("metric", "\\.").getItem(0)))
+    layers = spark.createDataFrame(LAYERS_CONFIG_ROWS,
+                                   schema=_LAYERS_CONFIG_SCHEMA)
+    out = run_layer_algorithms(s, layers, use_approximately_close=True,
+                               key_cols=("conv_id", "metric"),
+                               join_on="family")
+    return out.select(
+        "conv_id", "metric", "layer_id", "layer_matched", "approx_close",
+        "anomaly_timestamp",
+        _R6(F.col("anomalous_datapoint")).alias("anomalous_datapoint"))
+
+
+_LAYERS_VALUES_SQL = ",\n        ".join(
+    "('%s', %d, '%s', %s, '%s', %s, %d, '%s', %s, %d)" % r
+    for r in LAYERS_CONFIG_ROWS)
+
+
+def _layer_op_sql(cond: str, val: str, bound: str) -> str:
+    """The quirk operator map as a SQL CASE (layers.py:361-366)."""
+    return (f"(CASE WHEN {cond} IN ('<', '<=') THEN {val} <= {bound} "
+            f"WHEN {cond} IN ('>', '>=') THEN {val} >= {bound} "
+            f"WHEN {cond} = '==' THEN {val} = {bound} "
+            f"WHEN {cond} = '!=' THEN {val} <> {bound} "
+            f"ELSE FALSE END)")
+
+
+SQL_IONOSPHERE_LAYERS = _sql(f"""
+, lcfg AS (
+    SELECT * FROM (VALUES
+        {_LAYERS_VALUES_SQL}
+    ) AS t(family, layer_id, d_condition, d_boundary, d1_condition,
+           d1_boundary, d1_times, e_condition, e_boundary, e_times)),
+lcfg2 AS (
+    SELECT *,
+        CASE WHEN d_condition IN ('>', '>=') AND d_boundary >= 11
+             THEN d_boundary + ceil(d_boundary / 100.0 *
+                  (CASE WHEN d_boundary < 30 THEN 10 ELSE 5 END))
+             ELSE d_boundary END AS d_adj,
+        (d_condition IN ('>', '>=') AND d_boundary >= 11) AS d_applied,
+        CASE WHEN e_condition IN ('<', '<=') AND e_boundary >= 11
+             THEN e_boundary + ceil(e_boundary / 100.0 *
+                  (CASE WHEN e_boundary < 30 THEN 10 ELSE 5 END))
+             ELSE e_boundary END AS e_adj,
+        (e_condition IN ('<', '<=') AND e_boundary >= 11) AS e_applied
+    FROM lcfg),
+ldedup AS (
+    SELECT conv_id, metric, ts, value FROM (
+        SELECT conv_id, metric, ts, value,
+               row_number() OVER (PARTITION BY conv_id, metric, ts
+                                  ORDER BY turn_idx) AS dd
+        FROM valid) WHERE dd = 1),
+lser AS (
+    SELECT conv_id, metric, epoch(ts) AS es, value,
+           row_number() OVER (PARTITION BY conv_id, metric
+                              ORDER BY ts DESC) AS rn,
+           count(*) OVER (PARTITION BY conv_id, metric) AS n
+    FROM ldedup),
+lj AS (
+    SELECT s.*, c.* FROM lser s
+    JOIN lcfg2 c ON string_split(s.metric, '.')[1] = c.family
+    WHERE s.rn <= greatest(1,
+        CASE WHEN c.d1_condition <> 'none' THEN c.d1_times ELSE 1 END,
+        c.e_times)),
+lagg AS (
+    SELECT conv_id, metric, layer_id,
+        max(CASE WHEN rn = 1 THEN value END) AS last_value,
+        max(CASE WHEN rn = 1 THEN es END) AS last_ts,
+        max(n) AS n,
+        max(d_condition) AS d_condition,
+        max(d_boundary) AS d_boundary,
+        max(d_adj) AS d_adj,
+        bool_or(d_applied) AS d_applied,
+        bool_or(e_applied) AS e_applied,
+        max(d1_times) AS d1_times,
+        bool_or(d1_condition <> 'none') AS d1_active,
+        max(CASE WHEN d1_condition <> 'none' AND rn <= d1_times
+                 AND {_layer_op_sql('d1_condition', 'value', 'd1_boundary')}
+                 THEN 1 ELSE 0 END) AS d1_breach,
+        max(CASE WHEN rn <= e_times
+                 AND {_layer_op_sql('e_condition', 'value', 'e_adj')}
+                 THEN 1 ELSE 0 END) AS e_match,
+        max(CASE WHEN rn <= e_times
+                 AND {_layer_op_sql('e_condition', 'value', 'e_boundary')}
+                 THEN 1 ELSE 0 END) AS e_match_orig
+    FROM lj GROUP BY 1, 2, 3),
+lfin AS (
+    SELECT *,
+        {_layer_op_sql('d_condition', 'last_value', 'd_adj')} AS d_breach,
+        {_layer_op_sql('d_condition', 'last_value', 'd_boundary')}
+            AS d_breach_orig,
+        (d1_active AND (d1_breach = 1 OR d1_times > n)) AS d1_discard
+    FROM lagg)
+SELECT conv_id, metric, layer_id,
+    (NOT d_breach AND NOT d1_discard AND e_match = 1) AS layer_matched,
+    CASE WHEN (NOT d_breach AND NOT d1_discard AND e_match = 1)
+              AND (d_applied OR e_applied)
+              AND NOT ((d_applied AND NOT d_breach_orig)
+                       OR (e_applied AND e_match_orig = 1))
+         THEN 1 ELSE 0 END AS approx_close,
+    CAST(floor(last_ts) AS BIGINT) AS anomaly_timestamp,
+    round(last_value, 6) AS anomalous_datapoint
+FROM lfin
+""")
+
+REGISTRY.update({
+    "ionosphere_layers": (q_ionosphere_layers, SQL_IONOSPHERE_LAYERS),
+})
+
+
+# ---------------------------------------------------------------------------
 # query — ABSOLUTE tsfresh parity as a driver oracle (X2 golden flow)
 # ---------------------------------------------------------------------------
 
@@ -5075,11 +5225,11 @@ _DRIVER_WINDOW = [
     "retention_trim", "non_negative_derivative", "downsample_1h",
     "fill_forward_1h", "flux_fill_lkv", "exception_filters",
     # per-algorithm oracles (each also inside consensus_vote_sql8;
-    # stddev_from_average, histogram_bins and mean_subtraction_cumulation
-    # are demoted past the window in favor of the sigma-suite and
-    # alert-throttle oracles — all stay green via check_oracles and are
-    # value-checked inside the vote twins)
-    "median_absolute_deviation",
+    # stddev_from_average, histogram_bins, mean_subtraction_cumulation
+    # and median_absolute_deviation are demoted past the window in
+    # favor of the sigma-suite, alert-throttle and ionosphere-layers
+    # oracles — all stay green via check_oracles and are value-checked
+    # inside the vote twins)
     "stddev_from_moving_average", "mad_prefilter",
     "ks_d_sql", "sigma_vote_sql8", "sigma_oneshot_sql",
     "alert_throttle_sql",
@@ -5089,6 +5239,7 @@ _DRIVER_WINDOW = [
     "consensus_vote_sql8", "sink_counts_sql5", "routed_turns_sql8",
     "run_summary_sql8", "illuminance_sql8", "anomaly_breakdown_sql8",
     "mirage_vote_sql8", "feature_profiles", "ionosphere_match_sql8",
+    "ionosphere_layers",
     # webapp read path (panorama over the sql8 kernel store;
     # least_squares + first_hour_average demoted past the window in
     # their favor — both stay value-checked inside consensus_vote_sql8)
