@@ -296,3 +296,96 @@ def embedding_near_duplicates(embeddings: DataFrame,
     return (cands.withColumn("sim", sim)
             .where(F.col("sim") >= min_cosine)
             .select("id_a", "id_b", "sim"))
+
+
+# ---------------------------------------------------------------------------
+# near-dup clustering: connected components + cluster-and-keep-one
+# ---------------------------------------------------------------------------
+
+def connected_components(edges: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iterations: int = 50) -> DataFrame:
+    """Connected components over a pair list via alternating
+    large-star / small-star rounds (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", ACM SoCC'14) — the
+    shuffle-friendly formulation that converges in O(log^2 n) rounds
+    and never materializes a neighbor list:
+
+    - large-star: every node u computes m = min(N(u) + {u}) with one
+      partial-aggregable groupBy-min, then each LARGER neighbor v > u
+      is re-pointed at m (a join, no collect_list — this is what keeps
+      a 10^8-degree hub from becoming a single-task neighbor array);
+    - small-star: each edge oriented larger->smaller, every node
+      re-points its smaller neighbors (and itself) at its minimum.
+
+    The driver loop is deliberately iterative (like the IVF Lloyd
+    trainer); each round is one shuffle on the node id, persisted and
+    lineage-cut so round k doesn't recompute rounds 1..k-1. Convergence
+    = the oriented edge set is a fixed point (count + order-insensitive
+    xxhash64 checksum, one action per round).
+
+    Returns (node, component) for every node that appears in ``edges``,
+    component = the minimum node id of its component.
+    """
+    u, v = F.col("u"), F.col("v")
+    cur = (edges.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+           .where(u != v).distinct().persist())
+    prev_sig = None
+    prev_df = None
+    for _ in range(max_iterations):
+        # large-star
+        und = cur.union(cur.select(v.alias("u"), u.alias("v")))
+        mins = (und.groupBy("u").agg(F.min("v").alias("mv"))
+                .select("u", F.least("mv", u).alias("m")))
+        cur2 = (und.where(v > u).join(mins, "u")
+                .select(v.alias("u"), F.col("m").alias("v"))
+                .where(F.col("u") != F.col("v")).distinct())
+        # small-star (orient larger -> smaller; und regenerated so the
+        # large-star output is consumed, not the stale input)
+        und2 = cur2.union(cur2.select(v.alias("u"), u.alias("v")))
+        ori = und2.where(v <= u)
+        mins2 = ori.groupBy("u").agg(F.min("v").alias("m"))
+        nxt = (ori.join(mins2, "u")
+               .select(v.alias("u"), F.col("m").alias("v"))
+               .union(mins2.select(F.col("u"), F.col("m").alias("v")))
+               .where(F.col("u") != F.col("v")).distinct()
+               .localCheckpoint())
+        sig = nxt.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("h")
+        ).collect()[0]
+        if prev_df is not None:
+            prev_df.unpersist()
+        cur.unpersist()
+        cur, prev_df = nxt, cur
+        if prev_sig == (sig["n"], sig["h"]):
+            break
+        prev_sig = (sig["n"], sig["h"])
+    # fixed point of small-star is a star graph: u -> component min.
+    # Component minima only ever appear on the right side (m -> m edges
+    # are filtered), so union every input node back in and map the
+    # minima to themselves.
+    star = cur.groupBy("u").agg(F.min("v").alias("component")) \
+        .select(F.col("u").alias("node"), "component")
+    nodes = (edges.select(F.col(id_a).alias("node"))
+             .union(edges.select(F.col(id_b).alias("node"))).distinct())
+    return nodes.join(star, "node", "left").select(
+        "node", F.coalesce("component", "node").alias("component"))
+
+
+def near_duplicate_clusters(docs: DataFrame, pairs: DataFrame,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Cluster-and-keep-one over near-dup pairs: connected components
+    assign every document a cluster_id (the minimum doc id reachable
+    through the near-dup graph; singletons cluster with themselves),
+    and ``keep`` marks the cluster canonical — the standard dedup step
+    between pair generation and corpus filtering in a training-data
+    pipeline."""
+    cc = connected_components(pairs)
+    out = docs.select(F.col(id_col)).join(
+        cc.withColumnRenamed("node", id_col), id_col, "left")
+    cluster = F.coalesce(F.col("component"), F.col(id_col))
+    return out.select(
+        F.col(id_col),
+        cluster.alias("cluster_id"),
+        (F.col(id_col) == cluster).alias("keep"))

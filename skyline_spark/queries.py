@@ -2316,6 +2316,42 @@ SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.4
 """
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering — the cluster-and-keep-one step between pair
+    generation and corpus filtering: MinHash+LSH pairs (md5 mode, the
+    bit-identical oracle path) -> connected components via alternating
+    large-star/small-star rounds (shuffle-only, no neighbor lists) ->
+    per-document (cluster_id, keep). The DuckDB twin walks the same
+    pair graph with a RECURSIVE CTE, so every cluster assignment is
+    value-checked."""
+    from skyline_spark.operators.dedup import (
+        minhash_near_duplicates,
+        near_duplicate_clusters,
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_near_duplicates(docs, threshold=0.4, hash_mode="md5")
+    return near_duplicate_clusters(docs, pairs)
+
+
+SQL_DEDUP_CLUSTERS = (
+    SQL_MINHASH_NEAR_DUPS
+    .replace("WITH ", "WITH RECURSIVE ", 1)
+    .replace(
+        "SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.4",
+        """, pairs AS (
+    SELECT id_a, id_b FROM verified WHERE jaccard >= 0.4),
+und AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION SELECT id_b, id_a FROM pairs),
+walk(node, comp) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT e.v, w.comp FROM walk w JOIN und e ON e.u = w.node)
+SELECT node AS doc_id, min(comp) AS cluster_id,
+       min(comp) = node AS keep
+FROM walk GROUP BY node"""))
+
+
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures per document, oracle-checked bit-for-bit: the
     'md5' hash mode votes over 60-bit md5-prefix token hashes, which
@@ -2518,6 +2554,7 @@ REGISTRY.update({
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "embedding_cosine_topk": (q_cosine_topk, SQL_COSINE_TOPK),
     "minhash_near_dups": (q_minhash_near_dups, SQL_MINHASH_NEAR_DUPS),
+    "dedup_clusters": (q_dedup_clusters, SQL_DEDUP_CLUSTERS),
     "embedding_near_dups": (q_embedding_near_dups, SQL_EMBEDDING_NEAR_DUPS),
     "embedding_near_dups_lsh": (q_embedding_near_dups_lsh,
                                 SQL_EMBEDDING_NEAR_DUPS_LSH),
@@ -5227,10 +5264,10 @@ _DRIVER_WINDOW = [
     # per-algorithm oracles (each also inside consensus_vote_sql8;
     # stddev_from_average, histogram_bins, mean_subtraction_cumulation
     # and median_absolute_deviation are demoted past the window in
-    # favor of the sigma-suite, alert-throttle and ionosphere-layers
-    # oracles — all stay green via check_oracles and are value-checked
-    # inside the vote twins)
-    "stddev_from_moving_average", "mad_prefilter",
+    # favor of the sigma-suite, alert-throttle, ionosphere-layers and
+    # dedup-clusters oracles — all stay green via check_oracles and are
+    # value-checked inside the vote twins)
+    "mad_prefilter",
     "ks_d_sql", "sigma_vote_sql8", "sigma_oneshot_sql",
     "alert_throttle_sql",
     # aggregation / correlation
@@ -5255,6 +5292,7 @@ _DRIVER_WINDOW = [
     # LLM-data-pipeline operators
     "dedup_exact", "token_stats", "lang_id", "doc_fingerprint",
     "ngram_jaccard", "embedding_cosine_topk", "minhash_near_dups",
+    "dedup_clusters",
     "embedding_near_dups", "embedding_near_dups_lsh", "simhash",
     "ann_lsh_topk", "ann_ivf_topk", "media_metadata",
 ]

@@ -351,3 +351,65 @@ def test_real_wav_codec_roundtrip(spark):
                       "payload": [b"not-a-wav"]}))
     out = decode_audio(bad).toPandas()
     assert len(out) == 1 and out.sample_rate.isna().all()
+
+
+def _union_find_components(n_nodes, edges):
+    parent = list(range(n_nodes))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonicalize to component minimum
+    comp = {}
+    for x in range(n_nodes):
+        r = find(x)
+        comp.setdefault(r, []).append(x)
+    return {x: min(m) for r, m in comp.items() for x in m}
+
+
+def test_connected_components_vs_union_find(spark):
+    # deterministic pseudo-random graph: chains, a big hub, triangles,
+    # and singletons — exercises multiple large/small-star rounds
+    import random
+    rng = random.Random(7)
+    n = 120
+    edges = set()
+    for _ in range(90):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.add((a, b))
+    # a long chain (worst case for naive min-propagation)
+    for i in range(100, 119):
+        edges.add((i, i + 1))
+    edges = sorted(edges)
+    from skyline_spark.operators.dedup import connected_components
+    df = spark.createDataFrame(edges, schema="id_a long, id_b long")
+    got = {r.node: r.component
+           for r in connected_components(df).collect()}
+    want = _union_find_components(n, edges)
+    touched = {x for e in edges for x in e}
+    assert got == {x: want[x] for x in touched}
+
+
+def test_near_duplicate_clusters_planted(spark, docs):
+    # two planted near-dup groups + untouched singletons
+    from skyline_spark.operators.dedup import near_duplicate_clusters
+    pairs = spark.createDataFrame(
+        [(1, 5), (5, 9), (2, 4)], schema="id_a long, id_b long")
+    d = spark.createDataFrame([(i,) for i in range(10)],
+                              schema="doc_id long")
+    out = {r.doc_id: (r.cluster_id, r.keep)
+           for r in near_duplicate_clusters(d, pairs).collect()}
+    assert out[1] == (1, True) and out[5] == (1, False) \
+        and out[9] == (1, False)
+    assert out[2] == (2, True) and out[4] == (2, False)
+    for s in (0, 3, 6, 7, 8):
+        assert out[s] == (s, True)
+    assert len(out) == 10
