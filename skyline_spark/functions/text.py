@@ -6,7 +6,9 @@ whole-stage codegen; no Python UDFs).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+import re as _re
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: tiny high-frequency marker vocabularies per language — the classic
@@ -133,3 +135,151 @@ def fingerprint_columns(df: DataFrame, shingle_k: int = 5,
     return (df
             .withColumn("fingerprint", F.array_min(shingles))
             .withColumn("content_hash", F.md5(F.col(text_col))))
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition / quality filters (Rae et al. 2021, App. A)
+# ---------------------------------------------------------------------------
+
+#: published Gopher filter thresholds (Rae et al. 2021, "Scaling
+#: Language Models: Methods, Analysis & Insights from Training Gopher",
+#: Table A1): documents FAIL when a metric exceeds its bound.
+GOPHER_THRESHOLDS = {
+    "min_words": 50,
+    "max_words": 100_000,
+    "min_mean_word_len": 3.0,
+    "max_mean_word_len": 10.0,
+    "max_symbol_word_ratio": 0.1,
+    "min_alpha_word_frac": 0.8,
+    "max_dup_line_frac": 0.30,
+    "max_dup_line_char_frac": 0.20,
+    "max_top_2gram_char_frac": 0.20,
+    "max_top_3gram_char_frac": 0.18,
+    "max_top_4gram_char_frac": 0.16,
+    "max_dup_5gram_char_frac": 0.15,
+}
+
+
+def _word_ngrams(words_col, n: int):
+    size = F.size(words_col)
+    idx = F.sequence(F.lit(1), size - (n - 1))
+    grams = F.transform(
+        idx, lambda i: F.array_join(F.slice(words_col, i, n), " "))
+    return F.when(size >= n, grams).otherwise(
+        F.array().cast("array<string>"))
+
+
+def gopher_repetition_columns(docs: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              line_sep: str = "\n") -> DataFrame:
+    """Per-document repetition + quality signals from the Gopher data
+    pipeline, each defined exactly so the DuckDB twin can reproduce it:
+
+    - ``dup_line_frac`` = (lines - distinct lines) / lines and
+      ``dup_line_char_frac`` = chars in occurrences beyond the first /
+      total line chars (``line_sep`` is a literal separator; pass
+      ``". "`` for sentence-level on single-line corpora);
+    - ``top_{2,3,4}gram_char_frac`` = count*len of the most frequent
+      word n-gram (ties: the longest) / document chars;
+    - ``dup_5gram_char_frac`` = sum of count*len over word 5-grams
+      occurring more than once / total 5-gram chars;
+    - ``symbol_word_ratio`` = ('#' count + '...' count) / words;
+    - ``alpha_word_frac`` = words containing an ASCII letter / words;
+    - ``mean_word_len``, ``n_words``;
+    - ``gopher_pass`` = every GOPHER_THRESHOLDS bound satisfied.
+
+    All native expressions: explode -> partial-aggregable groupBy per
+    signal, re-joined on the doc id (each sub-aggregate is one row per
+    document, so the final joins are doc-keyed equi-joins). No Python.
+    """
+    r6 = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+    words = F.split(F.col(text_col), " ")
+    n_chars = F.length(F.col(text_col))
+    base = docs.select(
+        F.col(id_col),
+        n_chars.alias("n_chars"),
+        words.alias("__words"),
+        F.size(words).alias("n_words"),
+        F.split(F.col(text_col), _re.escape(line_sep)).alias("__lines"),
+        (n_chars - F.length(F.regexp_replace(F.col(text_col), "#", "")))
+        .alias("__hashes"),
+        ((n_chars - F.length(F.regexp_replace(F.col(text_col),
+                                              r"\.\.\.", ""))) / 3)
+        .alias("__ellipses"),
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]")))
+        .alias("__alpha_words"))
+
+    lx = base.select(id_col, F.explode("__lines").alias("line"))
+    lg = lx.groupBy(id_col, "line").agg(F.count(F.lit(1)).alias("c"))
+    la = lg.groupBy(id_col).agg(
+        F.sum("c").alias("__n_lines"),
+        F.count(F.lit(1)).alias("__n_distinct"),
+        F.sum((F.col("c") - 1) * F.length("line")).alias("__dup_chars"),
+        F.sum(F.col("c") * F.length("line")).alias("__line_chars"))
+
+    out = base.join(la, id_col, "left")
+
+    w_doc = Window.partitionBy(id_col)
+    for n in (2, 3, 4):
+        gx = base.select(id_col,
+                         F.explode(_word_ngrams(F.col("__words"), n))
+                         .alias("g"))
+        gg = gx.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+        ga = (gg.withColumn("__maxc", F.max("c").over(w_doc))
+              .groupBy(id_col)
+              .agg(F.max(F.when(F.col("c") == F.col("__maxc"),
+                                F.col("c") * F.length("g")))
+                   .alias(f"__top{n}chars")))
+        out = out.join(ga, id_col, "left")
+
+    g5 = base.select(id_col,
+                     F.explode(_word_ngrams(F.col("__words"), 5)).alias("g"))
+    gg5 = g5.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    ga5 = gg5.groupBy(id_col).agg(
+        F.sum(F.when(F.col("c") > 1, F.col("c") * F.length("g")))
+        .alias("__dup5chars"),
+        F.sum(F.col("c") * F.length("g")).alias("__tot5chars"))
+    out = out.join(ga5, id_col, "left")
+
+    nc = F.greatest(F.col("n_chars"), F.lit(1))
+    nw = F.greatest(F.col("n_words"), F.lit(1))
+    mean_word_len = (F.col("n_chars") - (F.col("n_words") - 1)) / nw
+    metrics = {
+        "mean_word_len": r6(mean_word_len),
+        "dup_line_frac": r6((F.col("__n_lines") - F.col("__n_distinct"))
+                            / F.greatest(F.col("__n_lines"), F.lit(1))),
+        "dup_line_char_frac": r6(
+            F.coalesce(F.col("__dup_chars"), F.lit(0))
+            / F.greatest(F.col("__line_chars"), F.lit(1))),
+        "top_2gram_char_frac": r6(
+            F.coalesce(F.col("__top2chars"), F.lit(0)) / nc),
+        "top_3gram_char_frac": r6(
+            F.coalesce(F.col("__top3chars"), F.lit(0)) / nc),
+        "top_4gram_char_frac": r6(
+            F.coalesce(F.col("__top4chars"), F.lit(0)) / nc),
+        "dup_5gram_char_frac": r6(
+            F.coalesce(F.col("__dup5chars"), F.lit(0))
+            / F.greatest(F.col("__tot5chars"), F.lit(1))),
+        "symbol_word_ratio": r6(
+            (F.col("__hashes") + F.col("__ellipses")) / nw),
+        "alpha_word_frac": r6(F.col("__alpha_words") / nw),
+    }
+    for name, expr in metrics.items():
+        out = out.withColumn(name, expr)
+    t = GOPHER_THRESHOLDS
+    gopher_pass = (
+        (F.col("n_words") >= t["min_words"])
+        & (F.col("n_words") <= t["max_words"])
+        & (F.col("mean_word_len") >= t["min_mean_word_len"])
+        & (F.col("mean_word_len") <= t["max_mean_word_len"])
+        & (F.col("symbol_word_ratio") <= t["max_symbol_word_ratio"])
+        & (F.col("alpha_word_frac") >= t["min_alpha_word_frac"])
+        & (F.col("dup_line_frac") <= t["max_dup_line_frac"])
+        & (F.col("dup_line_char_frac") <= t["max_dup_line_char_frac"])
+        & (F.col("top_2gram_char_frac") <= t["max_top_2gram_char_frac"])
+        & (F.col("top_3gram_char_frac") <= t["max_top_3gram_char_frac"])
+        & (F.col("top_4gram_char_frac") <= t["max_top_4gram_char_frac"])
+        & (F.col("dup_5gram_char_frac") <= t["max_dup_5gram_char_frac"]))
+    return out.select(
+        id_col, "n_words", *metrics.keys(),
+        gopher_pass.alias("gopher_pass"))

@@ -2060,6 +2060,108 @@ FROM t
 """
 
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition/quality filters (Rae et al. 2021, Table A1)
+    per document — duplicate-line fractions (sentence-segmented: the
+    corpus is single-line), top-2/3/4-gram character fractions,
+    duplicate-5-gram character fraction, symbol-to-word ratio,
+    alpha-word fraction, word-count and mean-word-length bounds, and
+    the combined pass flag. Every metric and the flag are
+    value-checked."""
+    from skyline_spark.functions.text import gopher_repetition_columns
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_repetition_columns(docs, line_sep=". ")
+
+
+def _gopher_sql() -> str:
+    from skyline_spark.functions.text import GOPHER_THRESHOLDS as T
+
+    def ngram_cte(n: int) -> str:
+        return f"""
+g{n}x AS (
+    SELECT doc_id, unnest([array_to_string(w[i:i+{n - 1}], ' ')
+                           FOR i IN range(1, greatest(len(w) - {n - 1}, 0)
+                                          + 1)]) AS g
+    FROM t),
+gg{n} AS (SELECT doc_id, g, count(*) AS c FROM g{n}x GROUP BY 1, 2)"""
+
+    tops = ",".join(f"""
+ga{n} AS (
+    SELECT doc_id, max(CASE WHEN c = maxc THEN c * length(g) END)
+               AS top{n}chars
+    FROM (SELECT *, max(c) OVER (PARTITION BY doc_id) AS maxc FROM gg{n})
+    GROUP BY 1)""" for n in (2, 3, 4))
+
+    return f"""
+WITH t AS (
+    SELECT doc_id, text, length(text) AS n_chars,
+           string_split(text, ' ') AS w,
+           string_split(text, '. ') AS lines
+    FROM documents),
+base AS (
+    SELECT doc_id, n_chars, len(w) AS n_words,
+           length(text) - length(replace(text, '#', '')) AS hashes,
+           (length(text) - length(replace(text, '...', ''))) / 3
+               AS ellipses,
+           len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+               AS alpha_words
+    FROM t),
+lx AS (SELECT doc_id, unnest(lines) AS line FROM t),
+lg AS (SELECT doc_id, line, count(*) AS c FROM lx GROUP BY 1, 2),
+la AS (SELECT doc_id, sum(c) AS n_lines, count(*) AS n_distinct,
+              sum((c - 1) * length(line)) AS dup_chars,
+              sum(c * length(line)) AS line_chars
+       FROM lg GROUP BY 1),
+{ngram_cte(2)},{ngram_cte(3)},{ngram_cte(4)},{ngram_cte(5)},{tops},
+ga5 AS (
+    SELECT doc_id,
+           sum(CASE WHEN c > 1 THEN c * length(g) END) AS dup5chars,
+           sum(c * length(g)) AS tot5chars
+    FROM gg5 GROUP BY 1),
+m AS (
+    SELECT b.doc_id, b.n_words,
+        round((b.n_chars - (b.n_words - 1)) * 1.0
+              / greatest(b.n_words, 1), 6) AS mean_word_len,
+        round((la.n_lines - la.n_distinct) * 1.0
+              / greatest(la.n_lines, 1), 6) AS dup_line_frac,
+        round(coalesce(la.dup_chars, 0) * 1.0
+              / greatest(la.line_chars, 1), 6) AS dup_line_char_frac,
+        round(coalesce(ga2.top2chars, 0) * 1.0
+              / greatest(b.n_chars, 1), 6) AS top_2gram_char_frac,
+        round(coalesce(ga3.top3chars, 0) * 1.0
+              / greatest(b.n_chars, 1), 6) AS top_3gram_char_frac,
+        round(coalesce(ga4.top4chars, 0) * 1.0
+              / greatest(b.n_chars, 1), 6) AS top_4gram_char_frac,
+        round(coalesce(ga5.dup5chars, 0) * 1.0
+              / greatest(ga5.tot5chars, 1), 6) AS dup_5gram_char_frac,
+        round((b.hashes + b.ellipses) * 1.0
+              / greatest(b.n_words, 1), 6) AS symbol_word_ratio,
+        round(b.alpha_words * 1.0
+              / greatest(b.n_words, 1), 6) AS alpha_word_frac
+    FROM base b
+    LEFT JOIN la USING (doc_id) LEFT JOIN ga2 USING (doc_id)
+    LEFT JOIN ga3 USING (doc_id) LEFT JOIN ga4 USING (doc_id)
+    LEFT JOIN ga5 USING (doc_id))
+SELECT *,
+    (n_words >= {T["min_words"]} AND n_words <= {T["max_words"]}
+     AND mean_word_len >= {T["min_mean_word_len"]}
+     AND mean_word_len <= {T["max_mean_word_len"]}
+     AND symbol_word_ratio <= {T["max_symbol_word_ratio"]}
+     AND alpha_word_frac >= {T["min_alpha_word_frac"]}
+     AND dup_line_frac <= {T["max_dup_line_frac"]}
+     AND dup_line_char_frac <= {T["max_dup_line_char_frac"]}
+     AND top_2gram_char_frac <= {T["max_top_2gram_char_frac"]}
+     AND top_3gram_char_frac <= {T["max_top_3gram_char_frac"]}
+     AND top_4gram_char_frac <= {T["max_top_4gram_char_frac"]}
+     AND dup_5gram_char_frac <= {T["max_dup_5gram_char_frac"]})
+    AS gopher_pass
+FROM m
+"""
+
+
+SQL_GOPHER_QUALITY = _gopher_sql()
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language voting with deterministic tie-break."""
     from skyline_spark.functions.text import lang_id_columns
@@ -2549,6 +2651,7 @@ FROM documents
 REGISTRY.update({
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
+    "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
@@ -5289,11 +5392,14 @@ _DRIVER_WINDOW = [
     # boundary / cross-series / custom algorithms
     "boundary_static", "drop_off_cliff", "anomaly_episodes",
     "second_order_anomalous", "custom_significant_change",
-    # LLM-data-pipeline operators
-    "dedup_exact", "token_stats", "lang_id", "doc_fingerprint",
-    "ngram_jaccard", "embedding_cosine_topk", "minhash_near_dups",
-    "dedup_clusters",
-    "embedding_near_dups", "embedding_near_dups_lsh", "simhash",
+    # LLM-data-pipeline operators (embedding_near_dups demoted past the
+    # window: the embedding_near_dups_lsh oracle recomputes the same
+    # exact pair set as its recall denominator, and the exact twin
+    # stays green via check_oracles)
+    "dedup_exact", "token_stats", "gopher_quality", "lang_id",
+    "doc_fingerprint", "ngram_jaccard", "embedding_cosine_topk",
+    "minhash_near_dups", "dedup_clusters",
+    "embedding_near_dups_lsh", "simhash",
     "ann_lsh_topk", "ann_ivf_topk", "media_metadata",
 ]
 

@@ -413,3 +413,37 @@ def test_near_duplicate_clusters_planted(spark, docs):
     for s in (0, 3, 6, 7, 8):
         assert out[s] == (s, True)
     assert len(out) == 10
+
+
+def test_gopher_repetition_columns_planted(spark):
+    from skyline_spark.functions.text import gopher_repetition_columns
+    clean = " ".join(f"word{i} token{i} item{i}" for i in range(20))
+    spam = "the same phrase again and " * 12  # one dominating 5-gram
+    dup_lines = "alpha beta gamma\nalpha beta gamma\ndelta epsilon zeta"
+    hashes = " ".join(["ok"] * 10) + " #### ... #"
+    d = spark.createDataFrame(
+        [(0, clean), (1, spam.strip()), (2, dup_lines), (3, hashes)],
+        schema="doc_id long, text string")
+    out = {r.doc_id: r for r in gopher_repetition_columns(d).collect()}
+
+    # clean doc: 60 distinct words, no repetition -> passes
+    r = out[0]
+    assert r.gopher_pass
+    assert r.dup_5gram_char_frac == 0.0 and r.dup_line_frac == 0.0
+
+    # spam doc: every 5-gram duplicated, top 2-gram dominates -> fails
+    r = out[1]
+    assert r.dup_5gram_char_frac == 1.0
+    assert r.top_2gram_char_frac > 0.2
+    assert not r.gopher_pass
+
+    # duplicate lines: 3 lines, 2 identical -> frac 1/3; char frac =
+    # 16 dup chars / (16*2 + 18)
+    r = out[2]
+    assert abs(r.dup_line_frac - 1 / 3) < 1e-6
+    assert abs(r.dup_line_char_frac - 16 / 50) < 1e-6
+
+    # symbol spam: 5 '#' + 1 '...' over 13 words -> ratio 6/13, fails
+    r = out[3]
+    assert abs(r.symbol_word_ratio - 6 / 13) < 1e-6
+    assert not r.gopher_pass
