@@ -144,3 +144,57 @@ def test_whole_stage_codegen_in_parse(spark):
     plan = parse_events(tdf)._jdf.queryExecution().executedPlan().toString()
     # '*(n)' prefixes mark whole-stage-codegen spans in toString()
     assert "WholeStageCodegen" in plan or "*(1)" in plan
+
+
+def test_layers_plan_broadcasts_config_and_no_cartesian(spark):
+    """Layers config is dimension-sized and must ride a broadcast join;
+    the series side needs exactly one exchange (the per-series window
+    partitioning). Never a cartesian product."""
+    from skyline_spark.operators.layers import run_layer_algorithms
+    series = (synthetic_transcripts(spark)
+              .select("conv_id",
+                      F.concat(F.lit("fam."), F.col("conv_id"))
+                      .alias("metric"),
+                      "ts", F.col("turn_idx").cast("double").alias("value"))
+              .withColumn("family", F.split("metric", "\\.").getItem(0)))
+    layers = spark.createDataFrame(
+        [("fam", 1, ">", 10.0, "none", 0.0, 0, "<", 5.0, 3)],
+        schema="family string, layer_id int, d_condition string, "
+               "d_boundary_limit double, d1_condition string, "
+               "d1_boundary_limit double, d1_boundary_times int, "
+               "e_condition string, e_boundary_limit double, "
+               "e_boundary_times int")
+    out = run_layer_algorithms(series, layers, join_on="family")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    # BNLJ would mean the equi-key was lost — must be a hash join
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_gopher_plan_no_cartesian_and_doc_keyed_joins(spark):
+    """Every repetition sub-aggregate re-joins on the doc id — the plan
+    must contain only equi-joins (SortMerge/Hash), never a cartesian."""
+    from skyline_spark.functions.text import gopher_repetition_columns
+    docs = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i}") for i in range(10)],
+        schema="doc_id long, text string")
+    plan = (gopher_repetition_columns(docs)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_connected_components_rounds_are_shuffle_only(spark):
+    """Each large/small-star round must be joins + groupBy-min — no
+    cartesian, no Python stage in the executed plan."""
+    from skyline_spark.operators.dedup import connected_components
+    edges = spark.createDataFrame([(i, i + 1) for i in range(20)],
+                                  schema="id_a long, id_b long")
+    out = connected_components(edges)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    for marker in ("FlatMapGroupsInPandas", "ArrowEvalPython",
+                   "BatchEvalPython"):
+        assert marker not in plan
