@@ -5083,6 +5083,269 @@ REGISTRY.update({
 
 
 # ---------------------------------------------------------------------------
+# query — ionosphere MOTIF INFERENCE (the MASS similar-motif match)
+# ---------------------------------------------------------------------------
+
+def q_motif_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — ionosphere motif inference
+    (skyline/ionosphere/inference.py:123-1228): MASS distances at the
+    mass2_batch aligned offsets (or mass3 over all offsets with the
+    reference's end-index pairing quirk), the short-fp top_matches
+    adjustment, the DIY exact sweep, distance_valid -> stable
+    distance sort -> all_in_range (padded bounds) -> trapezoid-area
+    percent-diff gate -> SINGLE_MATCH. Every checked candidate's
+    disposition is emitted and value-checked against a DuckDB twin
+    that reproduces the full decision surface."""
+    from skyline_spark.operators.motifs import ionosphere_motif_inference
+    v = _valid(spark, sf_dir)
+    wd = Window.partitionBy("conv_id", "metric", "ts").orderBy("turn_idx")
+    s = (v.withColumn("__dd", F.row_number().over(wd))
+         .where(F.col("__dd") == 1).drop("__dd"))
+    out = ionosphere_motif_inference(s)
+    return out.select(
+        "conv_id", "metric", "batch_size", "fp_index",
+        _R6(F.col("distance")).alias("distance"), "match_type", "matched",
+        _R6(F.col("motif_area")).alias("motif_area"),
+        _R6(F.col("fp_motif_area")).alias("fp_motif_area"),
+        _R6(F.col("area_percent_diff")).alias("area_percent_diff"),
+        "mass_method")
+
+
+def _motif_sql() -> str:
+    from skyline_spark.operators.motifs import DEFAULT_MOTIF_SETTINGS as S
+    cfg_rows = ",\n        ".join(
+        "(%d, %d, %d, %s, %s, %s, %s)" % (
+            bs, i, c["top_matches"], float(c["max_distance"]),
+            float(c["max_area_percent_diff"]),
+            float(c["range_padding_percent"]),
+            "TRUE" if c["find_exact_matches"] else "FALSE")
+        for i, (bs, c) in enumerate(S.items()))
+    # trapezoid rule, dx=1: sum - (first + last)/2
+    trapz = (lambda col: f"(list_sum({col}) - ({col}[1] "
+             f"+ {col}[len({col})]) / 2.0)")
+    # Python banker's rounding of a positive ratio (round() in the
+    # kernel's top_matches adjustment)
+    bank = ("CASE WHEN (n_fp * 1.0 / bs) - floor(n_fp * 1.0 / bs) > 0.5 "
+            "THEN floor(n_fp * 1.0 / bs) + 1 "
+            "WHEN (n_fp * 1.0 / bs) - floor(n_fp * 1.0 / bs) < 0.5 "
+            "THEN floor(n_fp * 1.0 / bs) "
+            "WHEN CAST(floor(n_fp * 1.0 / bs) AS BIGINT) % 2 = 0 "
+            "THEN floor(n_fp * 1.0 / bs) "
+            "ELSE floor(n_fp * 1.0 / bs) + 1 END")
+    return f"""
+, mcfg AS (
+    SELECT * FROM (VALUES
+        {cfg_rows}
+    ) AS t(bs, bseq, topm, maxd, maxapd, rppct, fexact)),
+mdd AS (
+    SELECT conv_id, metric, epoch(ts) AS es, value FROM (
+        SELECT conv_id, metric, ts, value, epoch(ts) AS es,
+               row_number() OVER (PARTITION BY conv_id, metric, ts
+                                  ORDER BY turn_idx) AS dd
+        FROM valid) WHERE dd = 1),
+magg AS (
+    SELECT conv_id, metric,
+           list(value ORDER BY es) AS vals,
+           list(es ORDER BY es) AS ess,
+           min(es) AS t0, max(es) AS t1
+    FROM mdd GROUP BY 1, 2),
+mser AS (
+    SELECT conv_id, metric, vals, len(vals) AS n_full,
+           [vals[i] FOR i IN range(1, len(vals) + 1)
+            IF ess[i] <= t0 + 0.6 * (t1 - t0)] AS fpv
+    FROM magg),
+mbat AS (
+    SELECT s.conv_id, s.metric, s.fpv, len(s.fpv) AS n_fp,
+           c.bs, c.bseq, c.topm, c.maxd, c.maxapd, c.rppct, c.fexact,
+           s.vals[greatest(s.n_full - c.bs + 1, 1):s.n_full] AS snip
+    FROM mser s CROSS JOIN mcfg c),
+mb2 AS (
+    SELECT *, len(snip) AS qlen,
+           list_avg(snip) AS muq,
+           sqrt(greatest(list_avg([x * x FOR x IN snip])
+                         - list_avg(snip) ^ 2, 0)) AS sigq,
+           list_max(snip) AS maxy, list_min(snip) AS miny,
+           len(range(0, n_fp - bs + 1, bs)) AS n_aligned
+    FROM mbat WHERE len(snip) >= 2 AND len(fpv) >= 2),
+mb4 AS (
+    SELECT *,
+        ((maxy - miny) / 100.0) * rppct AS rp,
+        CASE WHEN minpad0 = maxpad0
+             THEN minpad0 - (minpad0 / 100.0) * rppct
+             ELSE minpad0 END AS minpad,
+        CASE WHEN minpad0 = maxpad0
+             THEN maxpad0 + (maxpad0 / 100.0) * rppct
+             ELSE maxpad0 END AS maxpad
+    FROM (
+        SELECT *,
+            CASE WHEN miny > 0
+                 AND (miny - ((maxy - miny) / 100.0) * rppct) > 0
+                 THEN miny - ((maxy - miny) / 100.0) * rppct
+                 ELSE miny END AS minpad0,
+            maxy + ((maxy - miny) / 100.0) * rppct AS maxpad0
+        FROM mb2)),
+m2o AS (
+    SELECT *,
+        CASE WHEN (n_fp * 1.0 / bs) <= topm THEN
+            CASE WHEN CAST({bank} AS INT) - 2 = 2 THEN 1
+                 WHEN CAST({bank} AS INT) - 2 < 1 THEN 1
+                 ELSE CAST({bank} AS INT) - 2 END
+        ELSE topm END AS use_top,
+        unnest(range(0, n_fp - bs + 1, bs)) AS o
+    FROM mb4 WHERE n_aligned >= 3),
+m2d AS (
+    SELECT *, fpv[o + 1:o + bs] AS w FROM m2o),
+m2e AS (
+    SELECT *,
+        list_avg(w) AS muw,
+        sqrt(greatest(list_avg([x * x FOR x IN w])
+                      - list_avg(w) ^ 2, 0)) AS sigw,
+        list_dot_product(w, snip) AS dot
+    FROM m2d),
+m2g AS (
+    SELECT *,
+        CASE WHEN arg IS NULL THEN NULL
+             WHEN arg >= 0 THEN sqrt(arg) ELSE 0.0 END AS dre,
+        CASE WHEN arg IS NULL THEN NULL
+             WHEN arg >= 0 THEN 0.0 ELSE sqrt(-arg) END AS dim
+    FROM (
+        SELECT *,
+            CASE WHEN sigw * sigq > 0
+                 THEN 2.0 * (bs - (dot - bs * muw * muq) / (sigw * sigq))
+            END AS arg
+        FROM m2e)),
+m2cand AS (
+    SELECT conv_id, metric, bs, bseq, maxd, maxapd, rp, miny, maxy,
+           minpad, maxpad, fpv, n_fp, snip, o AS idx, dre, dim,
+           selrank AS wseq, 'mass2_batch' AS method
+    FROM (
+        SELECT *, row_number() OVER (
+                  PARTITION BY conv_id, metric, bs
+                  ORDER BY dre NULLS LAST, dim NULLS LAST, o) AS selrank
+        FROM m2g)
+    WHERE selrank <= use_top),
+m3o AS (
+    SELECT *, unnest(range(0, n_fp - qlen + 1)) AS o
+    FROM mb4
+    WHERE n_aligned < 3
+      AND NOT (n_fp <= (CASE WHEN n_fp - qlen < qlen
+                             THEN qlen + 2 ELSE n_fp - qlen END))
+      AND NOT ((n_fp - CAST(floor(bs / 10.0) AS INT)) < bs)),
+m3g AS (
+    SELECT *,
+        CASE WHEN arg IS NULL THEN NULL
+             WHEN arg >= 0 THEN sqrt(arg) ELSE 0.0 END AS dre,
+        CASE WHEN arg IS NULL THEN NULL
+             WHEN arg >= 0 THEN 0.0 ELSE sqrt(-arg) END AS dim
+    FROM (
+        SELECT *,
+            CASE WHEN sigw * sigq > 0
+                 THEN 2.0 * (qlen - (dot - qlen * muw * muq)
+                             / (sigw * sigq))
+            END AS arg
+        FROM (
+            SELECT *,
+                list_avg(w) AS muw,
+                sqrt(greatest(list_avg([x * x FOR x IN w])
+                              - list_avg(w) ^ 2, 0)) AS sigw,
+                list_dot_product(w, snip) AS dot
+            FROM (SELECT *, fpv[o + 1:o + qlen] AS w FROM m3o)))),
+m3cand AS (
+    SELECT conv_id, metric, bs, bseq, maxd, maxapd, rp, miny, maxy,
+           minpad, maxpad, fpv, n_fp, snip,
+           (CASE WHEN bs = qlen THEN bs - 1 + o
+                 ELSE qlen - 1 + o END) AS idx,
+           dre, dim, o AS wseq, 'mass3' AS method
+    FROM m3g),
+mxcand AS (
+    SELECT conv_id, metric, bs, bseq, maxd, maxapd, rp, miny, maxy,
+           minpad, maxpad, fpv, n_fp, snip, ci AS idx,
+           0.0 AS dre, 0.0 AS dim, 1000000 + ci AS wseq,
+           'exact_sweep' AS method
+    FROM (SELECT *, unnest(range(0, n_fp - 1)) AS ci
+          FROM mb4 WHERE n_aligned >= 3 AND fexact)
+    WHERE fpv[ci + 1:ci + bs] = snip),
+mcand AS (
+    SELECT *, bseq * 10000000 + wseq AS seq
+    FROM (SELECT * FROM m2cand UNION ALL
+          SELECT * FROM m3cand UNION ALL
+          SELECT * FROM mxcand)),
+mvalid AS (
+    SELECT * FROM mcand WHERE dre IS NOT NULL AND dre <= maxd),
+mrel AS (
+    SELECT *,
+        list_min(relate) AS minrel, list_max(relate) AS maxrel,
+        {trapz('snip')} AS ma_all,
+        {trapz('relate')} AS fpa_all
+    FROM (SELECT *, fpv[idx + 1:idx + bs] AS relate FROM mvalid)
+    WHERE len(relate) > 0),
+mflag AS (
+    SELECT *,
+        (method = 'exact_sweep'
+         OR (dre = 0.0 AND ex.cnt IS NOT NULL)) AS isexact
+    FROM mrel
+    LEFT JOIN (SELECT conv_id AS xc, metric AS xm, bs AS xb,
+                      idx AS xi, count(*) AS cnt
+               FROM mxcand GROUP BY 1, 2, 3, 4) ex
+      ON ex.xc = conv_id AND ex.xm = metric AND ex.xb = bs
+         AND ex.xi = idx),
+mdisp AS (
+    SELECT *,
+        CASE WHEN add0 THEN ma_all END AS ma,
+        CASE WHEN add0 THEN fpa_all END AS fpa,
+        CASE WHEN add0 THEN
+            coalesce(CASE WHEN fpa_all = 0 AND ma_all = 0 THEN 0.0
+                          WHEN fpa_all = 0 THEN NULL
+                          ELSE abs((ma_all - fpa_all)
+                                   / fpa_all * 100.0) END,
+                     100.0)
+        ELSE 100.0 END AS comparepd
+    FROM (
+        SELECT *,
+            (isexact OR (minrel >= minpad AND maxrel <= maxpad
+                         AND maxrel >= (maxy - rp)
+                         AND minrel <= (miny + rp))) AS add0,
+            (minrel >= minpad AND maxrel <= maxpad
+             AND maxrel >= (maxy - rp)
+             AND minrel <= (miny + rp)) AS in_range
+        FROM mflag)),
+mfin AS (
+    SELECT conv_id, metric, bs, idx, dre, seq, method,
+        ((add0 AND comparepd <= maxapd)
+         OR (comparepd = 0 AND dre = 0)) AS matched,
+        CASE WHEN comparepd = 0 AND dre = 0 THEN 'exact'
+             WHEN NOT add0 THEN 'not_in_range'
+             WHEN comparepd > maxapd THEN 'not_similar_enough'
+             WHEN isexact THEN 'exact'
+             ELSE 'all_in_range' END AS match_type,
+        ma, fpa, CASE WHEN add0 THEN comparepd END AS pd_out
+    FROM mdisp),
+mord AS (
+    SELECT *,
+        min(CASE WHEN matched THEN rn0 END)
+            OVER (PARTITION BY conv_id, metric) AS first_match
+    FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, metric
+                                       ORDER BY dre, seq) AS rn0
+          FROM mfin))
+SELECT conv_id, metric, CAST(bs AS INT) AS batch_size,
+       CAST(idx AS INT) AS fp_index,
+       round(dre, 6) AS distance, match_type, matched,
+       round(ma, 6) AS motif_area, round(fpa, 6) AS fp_motif_area,
+       round(pd_out, 6) AS area_percent_diff,
+       method AS mass_method
+FROM mord
+WHERE rn0 <= coalesce(first_match, 1000000000)
+"""
+
+
+SQL_MOTIF_INFERENCE = _sql(_motif_sql())
+
+REGISTRY.update({
+    "motif_inference": (q_motif_inference, SQL_MOTIF_INFERENCE),
+})
+
+
+# ---------------------------------------------------------------------------
 # query — ABSOLUTE tsfresh parity as a driver oracle (X2 golden flow)
 # ---------------------------------------------------------------------------
 
@@ -5360,8 +5623,10 @@ REGISTRY.update({
 #: value-checked inside every consensus_vote_sql8 row). The demoted
 #: oracles still run green via scripts/check_oracles.py.
 _DRIVER_WINDOW = [
-    # parse / preprocess
-    "parse_events", "skip_list", "validate_events", "sort_dedup",
+    # parse / preprocess (sort_dedup demoted past the window: every
+    # consensus/vote twin embeds the same sort+dedup-first-per-ts
+    # preprocessing, and it stays green via check_oracles)
+    "parse_events", "skip_list", "validate_events",
     "retention_trim", "non_negative_derivative", "downsample_1h",
     "fill_forward_1h", "flux_fill_lkv", "exception_filters",
     # per-algorithm oracles (each also inside consensus_vote_sql8;
@@ -5379,7 +5644,7 @@ _DRIVER_WINDOW = [
     "consensus_vote_sql8", "sink_counts_sql5", "routed_turns_sql8",
     "run_summary_sql8", "illuminance_sql8", "anomaly_breakdown_sql8",
     "mirage_vote_sql8", "feature_profiles", "ionosphere_match_sql8",
-    "ionosphere_layers",
+    "ionosphere_layers", "motif_inference",
     # webapp read path (panorama over the sql8 kernel store;
     # least_squares + first_hour_average demoted past the window in
     # their favor — both stay value-checked inside consensus_vote_sql8)
