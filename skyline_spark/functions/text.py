@@ -283,3 +283,32 @@ def gopher_repetition_columns(docs: DataFrame, id_col: str = "doc_id",
     return out.select(
         id_col, "n_words", *metrics.keys(),
         gopher_pass.alias("gopher_pass"))
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (training-data redaction pass)
+# ---------------------------------------------------------------------------
+
+#: shared Java-regex/RE2 subset so the Spark expressions and the DuckDB
+#: twin compile the same automata
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\+\d[\d()\- ]{7,}\d",
+}
+
+
+def pii_scrub_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails, IPv4 addresses and international-format phone
+    numbers from the text (each replaced by a typed placeholder token,
+    applied in PII_PATTERNS order) and attach per-category match
+    counts — the standard scrub pass before a corpus leaves the
+    pipeline. Native regexp expressions only."""
+    out = df
+    redacted = F.col(text_col)
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}", F.size(F.regexp_extract_all(text_col,
+                                                     F.lit(pat), 0)))
+        redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
+    return out.withColumn("scrubbed", redacted)

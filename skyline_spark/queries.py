@@ -2162,6 +2162,75 @@ FROM m
 SQL_GOPHER_QUALITY = _gopher_sql()
 
 
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass per document: emails / IPv4s / phone numbers
+    replaced by typed placeholders, per-category counts on the raw
+    text (counts deliberately precede redaction, so an address inside
+    an email still counts). Value-checked including the md5 of the
+    scrubbed text."""
+    from skyline_spark.functions.text import pii_scrub_columns
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = pii_scrub_columns(docs)
+    return out.select(
+        "doc_id", "n_email", "n_ipv4", "n_phone",
+        F.md5(F.col("scrubbed").cast("binary")).alias("scrubbed_md5"))
+
+
+def _pii_sql() -> str:
+    from skyline_spark.functions.text import PII_PATTERNS as P
+    counts = ",\n       ".join(
+        f"len(regexp_extract_all(text, '{pat}')) AS n_{name}"
+        for name, pat in P.items())
+    red = "text"
+    for name, pat in P.items():
+        red = (f"regexp_replace({red}, '{pat}', "
+               f"'<{name.upper()}>', 'g')")
+    return f"""
+SELECT doc_id,
+       {counts},
+       md5({red}) AS scrubbed_md5
+FROM documents
+"""
+
+
+SQL_PII_SCRUB = _pii_sql()
+
+
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing: documents sharded by doc_id % 8,
+    first-fit packed in id order under a 512-whitespace-token budget —
+    the corpus -> training-context chunking step. Every (doc, shard,
+    pack, token-count) assignment value-checked against a RECURSIVE-CTE
+    walk of the same greedy rule."""
+    from skyline_spark.operators.packing import pack_documents
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_documents(docs, budget=512, n_shards=8)
+
+
+SQL_SEQUENCE_PACKING = """
+WITH RECURSIVE pt AS (
+    SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+           len(string_split(text, ' ')) AS n_tok
+    FROM documents),
+po AS (
+    SELECT *, row_number() OVER (PARTITION BY shard
+                                 ORDER BY doc_id) AS rn
+    FROM pt),
+walk(shard, rn, doc_id, n_tok, run, pack) AS (
+    SELECT shard, rn, doc_id, n_tok, n_tok, 0 FROM po WHERE rn = 1
+    UNION ALL
+    SELECT d.shard, d.rn, d.doc_id, d.n_tok,
+           CASE WHEN w.run + d.n_tok > 512
+                THEN d.n_tok ELSE w.run + d.n_tok END,
+           CASE WHEN w.run + d.n_tok > 512
+                THEN w.pack + 1 ELSE w.pack END
+    FROM walk w JOIN po d ON d.shard = w.shard AND d.rn = w.rn + 1)
+SELECT doc_id, shard, CAST(pack AS INT) AS pack_id,
+       CAST(n_tok AS INT) AS n_tok
+FROM walk
+"""
+
+
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-marker language voting with deterministic tie-break."""
     from skyline_spark.functions.text import lang_id_columns
@@ -2652,6 +2721,8 @@ REGISTRY.update({
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "token_stats": (q_token_stats, SQL_TOKEN_STATS),
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
+    "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
+    "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
@@ -5661,8 +5732,11 @@ _DRIVER_WINDOW = [
     # window: the embedding_near_dups_lsh oracle recomputes the same
     # exact pair set as its recall denominator, and the exact twin
     # stays green via check_oracles)
+    # (ngram_jaccard also demoted: the documented oracle-twin-only op —
+    # blocked all-pairs, never a production path — in favor of the
+    # production packing op; green via check_oracles)
     "dedup_exact", "token_stats", "gopher_quality", "lang_id",
-    "doc_fingerprint", "ngram_jaccard", "embedding_cosine_topk",
+    "doc_fingerprint", "sequence_packing", "embedding_cosine_topk",
     "minhash_near_dups", "dedup_clusters",
     "embedding_near_dups_lsh", "simhash",
     "ann_lsh_topk", "ann_ivf_topk", "media_metadata",

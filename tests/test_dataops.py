@@ -447,3 +447,48 @@ def test_gopher_repetition_columns_planted(spark):
     r = out[3]
     assert abs(r.symbol_word_ratio - 6 / 13) < 1e-6
     assert not r.gopher_pass
+
+
+def test_pii_scrub_planted(spark):
+    from skyline_spark.functions.text import pii_scrub_columns
+    d = spark.createDataFrame(
+        [(0, "mail me at jo.doe+x@sub.example.org or call +1 (555) 123-4567"),
+         (1, "server 10.0.0.1 talked to 192.168.10.254 twice: 10.0.0.1"),
+         (2, "user@host.example.net logged in from 1.2.3.4"),
+         (3, "nothing to see here")],
+        schema="doc_id long, text string")
+    out = {r.doc_id: r for r in pii_scrub_columns(d).collect()}
+    r = out[0]
+    assert (r.n_email, r.n_ipv4, r.n_phone) == (1, 0, 1)
+    assert "<EMAIL>" in r.scrubbed and "<PHONE>" in r.scrubbed
+    assert "jo.doe" not in r.scrubbed and "555" not in r.scrubbed
+    r = out[1]
+    assert r.n_ipv4 == 3 and r.scrubbed.count("<IPV4>") == 3
+    r = out[2]
+    assert (r.n_email, r.n_ipv4) == (1, 1)
+    assert "<EMAIL>" in r.scrubbed and "<IPV4>" in r.scrubbed
+    assert out[3].scrubbed == "nothing to see here"
+
+
+def test_sequence_packing_greedy(spark):
+    from skyline_spark.operators.packing import pack_documents
+    mk = lambda n: " ".join(["w"] * n)  # noqa: E731
+    # one shard (n_shards=1): token counts 300, 300, 700, 200, 200, 200
+    d = spark.createDataFrame(
+        [(0, mk(300)), (1, mk(300)), (2, mk(700)),
+         (3, mk(200)), (4, mk(200)), (5, mk(200))],
+        schema="doc_id long, text string")
+    out = {r.doc_id: (r.pack_id, r.n_tok)
+           for r in pack_documents(d, budget=512, n_shards=1).collect()}
+    # 300 -> pack0; +300 overflows -> pack1; 700 oversized -> pack2
+    # alone; 200+200 -> pack3; +200 overflows -> pack4
+    assert [out[i][0] for i in range(6)] == [0, 1, 2, 3, 3, 4]
+    assert out[2][1] == 700
+    # invariant on real docs: no pack exceeds the budget unless it is
+    # a single oversized document
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    packs = pack_documents(docs, budget=512, n_shards=8).toPandas()
+    g = packs.groupby(["shard", "pack_id"]).agg(
+        tot=("n_tok", "sum"), n=("n_tok", "size"))
+    bad = g[(g.tot > 512) & (g.n > 1)]
+    assert bad.empty, bad
