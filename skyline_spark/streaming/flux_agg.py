@@ -51,11 +51,14 @@ def streaming_flux_aggregate(events: DataFrame, interval_seconds: int,
 
 
 def run_to_memory(agg: DataFrame, query_name: str,
-                  checkpoint_dir: str) -> StreamingQuery:
+                  checkpoint_dir: str,
+                  output_mode: str = "complete") -> StreamingQuery:
     """Drain all available input once (availableNow) into an in-memory
     sink — the test/verification harness shape; production swaps the
-    sink for an Iceberg/parquet writeStream with the same plan."""
+    sink for an Iceberg/parquet writeStream with the same plan.
+    ``output_mode``: "complete" for full re-emitted aggregates,
+    "append" for row-emitting operators (dedup, stateful flatMap)."""
     return (agg.writeStream.format("memory").queryName(query_name)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .option("checkpointLocation", checkpoint_dir)
             .trigger(availableNow=True).start())

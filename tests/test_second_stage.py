@@ -563,3 +563,49 @@ def test_streaming_stateful_analyze(spark, tmp_path):
     assert np.allclose(merged.datapoint_s.astype(float),
                        merged.datapoint_b.astype(float),
                        rtol=0, atol=0, equal_nan=True)
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """Multi-micro-batch streaming dedup == batch first-wins dedup:
+    duplicates planted across micro-batch boundaries must still dedup
+    (state carries across batches), and the kept row is the first
+    arrival by event time."""
+    import os
+
+    from skyline_spark.streaming.dedup import streaming_dedup_exact
+    from skyline_spark.streaming.flux_agg import run_to_memory
+
+    srcdir = str(tmp_path / "docs_in")
+    os.makedirs(srcdir, exist_ok=True)
+    mk = spark.createDataFrame
+    schema = "doc_id long, text string, ts timestamp"
+    # batch 1: two distinct docs + an in-batch dup of A
+    mk([(0, "alpha text", "2024-01-01 00:00:00"),
+        (1, "beta text", "2024-01-01 00:01:00"),
+        (2, "alpha text", "2024-01-01 00:02:00")],
+       schema="doc_id long, text string, ts string") \
+        .withColumn("ts", F.to_timestamp("ts")) \
+        .write.parquet(f"{srcdir}/b1")
+    # batch 2: a cross-batch dup of B + one new doc
+    mk([(3, "beta text", "2024-01-01 00:03:00"),
+        (4, "gamma text", "2024-01-01 00:04:00")],
+       schema="doc_id long, text string, ts string") \
+        .withColumn("ts", F.to_timestamp("ts")) \
+        .write.parquet(f"{srcdir}/b2")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .parquet(f"{srcdir}/*"))
+    out = streaming_dedup_exact(stream, watermark="10 minutes")
+    q = run_to_memory(out, "dedup_test", str(tmp_path / "ckpt_dd"),
+                      output_mode="append")
+    q.awaitTermination(120)
+    got = spark.sql("select doc_id, text from dedup_test").toPandas()
+    kept = set(got.doc_id)
+    assert set(got.text) == {"alpha text", "beta text", "gamma text"}
+    assert len(got) == 3
+    # exactly one alpha survives (which of 0/2 wins within a
+    # micro-batch is processing-order-arbitrary across partitions);
+    # the cross-batch duplicate (doc 3) is dropped by carried state
+    assert len(kept & {0, 2}) == 1
+    assert 3 not in kept and 4 in kept
