@@ -232,6 +232,27 @@ FROM valid GROUP BY 1, 2
 """)
 
 
+def q_autoaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T8 — BOUNDARY_AUTOAGGRERATION fixed-step re-bucketing by
+    summation (skyline/boundary/boundary_algorithms.py:63-122), at a
+    non-hour 7200 s step so the epoch-aligned tumbling window itself is
+    value-checked (not just date_trunc)."""
+    from skyline_spark.operators.boundary import autoaggregate
+    v = _valid(spark, sf_dir)
+    out = autoaggregate(v, 7200)
+    return out.select("conv_id", "bucket_start",
+                      _R6(F.col("value")).alias("value"))
+
+
+SQL_AUTOAGGREGATE = _sql("""
+SELECT conv_id,
+       to_timestamp(CAST(floor(epoch(ts) / 7200) * 7200 AS BIGINT))
+           AS bucket_start,
+       round(sum(value), 6) AS value
+FROM valid GROUP BY 1, 2
+""")
+
+
 def q_exceptions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1-E4 — the exception-filter routing predicates
     (algorithms.py:1289-1347), computed natively per series."""
@@ -1960,6 +1981,7 @@ REGISTRY: dict[str, tuple] = {
     "retention_trim": (q_retention_trim, SQL_RETENTION_TRIM),
     "non_negative_derivative": (q_derivative, SQL_DERIVATIVE),
     "downsample_1h": (q_downsample_1h, SQL_DOWNSAMPLE_1H),
+    "autoaggregate": (q_autoaggregate, SQL_AUTOAGGREGATE),
     "fill_forward_1h": (q_fill_forward_1h, SQL_FILL_FORWARD_1H),
     "flux_fill_lkv": (q_flux_fill_lkv, SQL_FLUX_FILL_LKV),
     "exception_filters": (q_exceptions, SQL_EXCEPTIONS),
