@@ -126,3 +126,93 @@ def test_equality_and_inequality_conditions(spark):
     r = _run(spark, [5, 7.0], (1, "!=", 7.0) + NO_D1 + ("<", 500.0, 1))
     assert r.layer_matched  # '!=' does not
     assert r.anomaly_timestamp > 0
+
+
+def _reference_layers(vals, cfg, use_approx=True):
+    """Independent Python twin of run_layer_algorithms
+    (skyline/ionosphere/layers.py:361-562), written from the reference
+    loop rather than the Spark expressions."""
+    import math
+    import operator as op
+    ops = {"<": op.le, ">": op.ge, "==": op.eq, "!=": op.ne,
+           "<=": op.le, ">=": op.ge}
+    (d_cond, d_lim, d1_cond, d1_lim, d1_n, e_cond, e_lim, e_n) = cfg
+    d_adj, e_adj = d_lim, e_lim
+    d_app = e_app = False
+    if use_approx:
+        if d_cond in (">", ">=") and d_lim >= 11:
+            pct = 10 if d_lim < 30 else 5
+            d_adj = d_lim + int(math.ceil(d_lim / 100.0 * pct))
+            d_app = True
+        if e_cond in ("<", "<=") and e_lim >= 11:
+            pct = 10 if e_lim < 30 else 5
+            e_adj = e_lim + int(math.ceil(e_lim / 100.0 * pct))
+            e_app = True
+    last = vals[-1]
+    if ops[d_cond](last, d_adj):
+        return False, 0
+    if d1_cond != "none":
+        for c in range(1, d1_n + 1):
+            try:
+                v = vals[-c]
+            except IndexError:
+                return False, 0  # the reference's bare-except discard
+            if c > len(vals):
+                return False, 0
+            if ops[d1_cond](v, d1_lim):
+                return False, 0
+        if d1_n > len(vals):
+            return False, 0
+    e_matched = False
+    for c in range(1, e_n + 1):
+        if c > len(vals):
+            break  # IndexError -> except -> return False below
+        if ops[e_cond](vals[-c], e_adj):
+            e_matched = True
+            break
+    if not e_matched:
+        return False, 0
+    approx = 0
+    if d_app or e_app:
+        orig_ok = False
+        if d_app and not ops[d_cond](last, d_lim):
+            orig_ok = True
+        if e_app and any(ops[e_cond](vals[-c], e_lim)
+                         for c in range(1, min(e_n, len(vals)) + 1)):
+            orig_ok = True
+        approx = 0 if orig_ok else 1
+    return True, approx
+
+
+def test_layers_randomized_vs_python_twin(spark):
+    """40 random (series, config) cases in ONE Spark call vs the
+    independent Python twin of the reference loop."""
+    import random
+
+    from skyline_spark.operators.layers import run_layer_algorithms
+    rng = random.Random(99)
+    conds = ["<", ">", "==", "!=", "<=", ">="]
+    rows, cfg_rows, want = [], [], {}
+    for i in range(40):
+        fam = f"f{i}"
+        n = rng.randint(1, 12)
+        vals = [round(rng.uniform(-5, 60), 2) for _ in range(n)]
+        cfg = (rng.choice(conds), round(rng.uniform(-5, 60), 1),
+               rng.choice(["none", "<", ">"]),
+               round(rng.uniform(-5, 60), 1), rng.randint(1, 6),
+               rng.choice(conds), round(rng.uniform(-5, 60), 1),
+               rng.randint(1, 6))
+        cfg_rows.append((fam, i) + cfg)
+        for j, v in enumerate(vals):
+            rows.append((f"c{i}", f"{fam}.m", fam,
+                         f"2024-01-01 00:{j:02d}:00", float(v)))
+        want[f"c{i}"] = _reference_layers(vals, cfg)
+    series = (spark.createDataFrame(
+        rows, schema="conv_id string, metric string, family string, "
+                     "ts string, value double")
+        .withColumn("ts", F.to_timestamp("ts")))
+    layers = spark.createDataFrame(cfg_rows, schema=CFG_SCHEMA)
+    out = run_layer_algorithms(series, layers, join_on="family")
+    got = {r.conv_id: (r.layer_matched, r.approx_close)
+           for r in out.collect()}
+    assert got == want
