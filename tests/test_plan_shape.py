@@ -198,3 +198,19 @@ def test_connected_components_rounds_are_shuffle_only(spark):
     for marker in ("FlatMapGroupsInPandas", "ArrowEvalPython",
                    "BatchEvalPython"):
         assert marker not in plan
+
+
+def test_motif_inference_single_shuffle_arrow_kernel(spark):
+    """Motif inference must be ONE exchange on the series key feeding
+    one Arrow-batched FlatMapGroupsInPandas — no cartesian, no extra
+    wide shuffles."""
+    from skyline_spark.operators.motifs import ionosphere_motif_inference
+    series = (synthetic_transcripts(spark)
+              .select("conv_id", F.lit("m").alias("metric"), "ts",
+                      F.col("turn_idx").cast("double").alias("value")))
+    plan = (ionosphere_motif_inference(series)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "CartesianProduct" not in plan
+    import re as _re
+    assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1
