@@ -157,3 +157,57 @@ def test_spark_operator_matches_kernel(spark):
                    r.matched, r.mass_method) for r in out])
     want_s = sorted([(r[0], r[1], r[2], r[3], r[4], r[8]) for r in want])
     assert got == want_s
+
+
+def test_degenerate_inputs_do_not_crash(spark):
+    """Empty / single-point / constant series through the new operators
+    (layers, motifs, packing, gopher) must yield sane output, not
+    task failures."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from skyline_spark.functions.text import gopher_repetition_columns
+    from skyline_spark.operators.layers import run_layer_algorithms
+    from skyline_spark.operators.motifs import ionosphere_motif_inference
+    from skyline_spark.operators.packing import pack_documents
+
+    empty = spark.createDataFrame(
+        [], schema="conv_id string, metric string, family string, "
+                   "ts timestamp, value double")
+    layers = spark.createDataFrame(
+        [("f", 1, ">", 10.0, "none", 0.0, 0, "<", 5.0, 3)],
+        schema="family string, layer_id int, d_condition string, "
+               "d_boundary_limit double, d1_condition string, "
+               "d1_boundary_limit double, d1_boundary_times int, "
+               "e_condition string, e_boundary_limit double, "
+               "e_boundary_times int")
+    assert run_layer_algorithms(empty, layers, join_on="family") \
+        .count() == 0
+    assert ionosphere_motif_inference(
+        empty.drop("family")).count() == 0
+
+    one = spark.createDataFrame(
+        pd.DataFrame({"conv_id": ["c"], "metric": ["f.m"],
+                      "family": ["f"],
+                      "ts": [pd.Timestamp("2024-01-01")],
+                      "value": [5.0]}))
+    r = run_layer_algorithms(one, layers, join_on="family").collect()
+    assert len(r) == 1 and r[0].layer_matched  # 5 <= 5 via the <= quirk
+    # single point: motifs skip (qlen < 2) -> no rows, no crash
+    assert ionosphere_motif_inference(one.drop("family")).count() == 0
+
+    # constant series: every MASS sigma is 0 -> all candidates nan ->
+    # no checked candidates, no division crash
+    const = spark.createDataFrame(pd.DataFrame({
+        "conv_id": "c", "metric": "m",
+        "ts": pd.date_range("2024-01-01", periods=200, freq="min"),
+        "value": 7.0}))
+    assert ionosphere_motif_inference(const).count() == 0
+
+    # empty docs through gopher + packing
+    edocs = spark.createDataFrame([], schema="doc_id long, text string")
+    assert gopher_repetition_columns(edocs).count() == 0
+    assert pack_documents(edocs).count() == 0
+    # empty-string text: no tokens beyond the one empty split token
+    d = spark.createDataFrame([(0, "")], schema="doc_id long, text string")
+    g = gopher_repetition_columns(d).collect()[0]
+    assert g.n_words == 1 and not g.gopher_pass
