@@ -5092,7 +5092,7 @@ def _layer_op_sql(cond: str, val: str, bound: str) -> str:
             f"ELSE FALSE END)")
 
 
-SQL_IONOSPHERE_LAYERS = _sql(f"""
+_LAYERS_CTES = f"""
 , lcfg AS (
     SELECT * FROM (VALUES
         {_LAYERS_VALUES_SQL}
@@ -5157,17 +5157,22 @@ lfin AS (
         {_layer_op_sql('d_condition', 'last_value', 'd_boundary')}
             AS d_breach_orig,
         (d1_active AND (d1_breach = 1 OR d1_times > n)) AS d1_discard
-    FROM lagg)
-SELECT conv_id, metric, layer_id,
-    (NOT d_breach AND NOT d1_discard AND e_match = 1) AS layer_matched,
-    CASE WHEN (NOT d_breach AND NOT d1_discard AND e_match = 1)
-              AND (d_applied OR e_applied)
-              AND NOT ((d_applied AND NOT d_breach_orig)
-                       OR (e_applied AND e_match_orig = 1))
-         THEN 1 ELSE 0 END AS approx_close,
-    CAST(floor(last_ts) AS BIGINT) AS anomaly_timestamp,
-    round(last_value, 6) AS anomalous_datapoint
-FROM lfin
+    FROM lagg),
+lres AS (
+    SELECT conv_id, metric, layer_id,
+        (NOT d_breach AND NOT d1_discard AND e_match = 1)
+            AS layer_matched,
+        CASE WHEN (NOT d_breach AND NOT d1_discard AND e_match = 1)
+                  AND (d_applied OR e_applied)
+                  AND NOT ((d_applied AND NOT d_breach_orig)
+                           OR (e_applied AND e_match_orig = 1))
+             THEN 1 ELSE 0 END AS approx_close,
+        CAST(floor(last_ts) AS BIGINT) AS anomaly_timestamp,
+        round(last_value, 6) AS anomalous_datapoint
+    FROM lfin)"""
+
+SQL_IONOSPHERE_LAYERS = _sql(_LAYERS_CTES + """
+SELECT * FROM lres
 """)
 
 REGISTRY.update({
@@ -5419,7 +5424,10 @@ mord AS (
             OVER (PARTITION BY conv_id, metric) AS first_match
     FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, metric
                                        ORDER BY dre, seq) AS rn0
-          FROM mfin))
+          FROM mfin))"""
+
+
+_MOTIF_FINAL = """
 SELECT conv_id, metric, CAST(bs AS INT) AS batch_size,
        CAST(idx AS INT) AS fp_index,
        round(dre, 6) AS distance, match_type, matched,
@@ -5430,11 +5438,86 @@ FROM mord
 WHERE rn0 <= coalesce(first_match, 1000000000)
 """
 
+_MOTIF_CTES = _motif_sql()
 
-SQL_MOTIF_INFERENCE = _sql(_motif_sql())
+SQL_MOTIF_INFERENCE = _sql(_MOTIF_CTES + _MOTIF_FINAL)
 
 REGISTRY.update({
     "motif_inference": (q_motif_inference, SQL_MOTIF_INFERENCE),
+})
+
+
+# ---------------------------------------------------------------------------
+# query — the COMBINED ionosphere stage (motifs -> fp -> layers)
+# ---------------------------------------------------------------------------
+
+def q_ionosphere_disposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — the full ionosphere stage disposition per series: motif
+    inference, the 328-feature percent-similar profile comparison, and
+    the D/D1/E layers rules, combined in the reference's check order
+    (motifs short-circuit first, then features, then layers) — the
+    three component oracles' SQL blocks composed verbatim into ONE
+    value-checked disposition."""
+    from skyline_spark.operators.ionosphere import ionosphere_stage
+    v = _valid(spark, sf_dir)
+    layers = spark.createDataFrame(LAYERS_CONFIG_ROWS,
+                                   schema=_LAYERS_CONFIG_SCHEMA)
+    return ionosphere_stage(v, layers)
+
+
+SQL_IONOSPHERE_DISPOSITION = (
+    _PROLOGUE
+    .replace("__TRANSCRIPTS__", DUCKDB_TRANSCRIPTS_SQL)
+    .replace("__EVENT_RE__", EVENT_RE)
+    + """
+, span_d AS (
+    SELECT conv_id, min(epoch(ts)) AS t0, max(epoch(ts)) AS t1
+    FROM valid GROUP BY conv_id),
+valid_head AS (
+    SELECT v.* FROM valid v JOIN span_d s USING (conv_id)
+    WHERE epoch(v.ts) <= s.t0 + 0.6 * (s.t1 - s.t0))"""
+    + _features_sql_block("_c", "valid")
+    + _features_sql_block("_h", "valid_head")
+    + _LAYERS_CTES
+    + _MOTIF_CTES
+    + f"""
+, cur_sum_d AS (
+    SELECT conv_id, ({_FSUM_EXPR}) AS cur FROM dfin_c),
+tr_sum_d AS (
+    SELECT conv_id, ({_FSUM_EXPR}) AS trained FROM dfin_h),
+conv_metric_d AS (
+    SELECT conv_id, max(metric) AS metric FROM valid GROUP BY conv_id),
+fp_d AS (
+    SELECT a.conv_id,
+           CASE WHEN t.trained IS NOT NULL AND t.trained <> 0
+                THEN abs(c.cur - t.trained) / abs(t.trained) * 100.0
+                     < 10.0
+                ELSE FALSE END AS fp_matched
+    FROM conv_metric_d a LEFT JOIN cur_sum_d c USING (conv_id)
+    LEFT JOIN tr_sum_d t USING (conv_id)),
+lay_d AS (
+    SELECT conv_id, metric, bool_or(layer_matched) AS layer_matched
+    FROM lres GROUP BY 1, 2),
+mot_d AS (
+    SELECT conv_id, metric, bool_or(matched) AS motif_matched
+    FROM mfin GROUP BY 1, 2)
+SELECT a.conv_id, a.metric,
+       coalesce(m.motif_matched, FALSE) AS motif_matched,
+       coalesce(f.fp_matched, FALSE) AS fp_matched,
+       coalesce(l.layer_matched, FALSE) AS layer_matched,
+       CASE WHEN coalesce(m.motif_matched, FALSE) THEN 'motif'
+            WHEN coalesce(f.fp_matched, FALSE) THEN 'fp'
+            WHEN coalesce(l.layer_matched, FALSE) THEN 'layers'
+            ELSE 'anomalous' END AS disposition
+FROM conv_metric_d a
+LEFT JOIN fp_d f USING (conv_id)
+LEFT JOIN lay_d l ON l.conv_id = a.conv_id AND l.metric = a.metric
+LEFT JOIN mot_d m ON m.conv_id = a.conv_id AND m.metric = a.metric
+""")
+
+REGISTRY.update({
+    "ionosphere_disposition": (q_ionosphere_disposition,
+                               SQL_IONOSPHERE_DISPOSITION),
 })
 
 
@@ -5733,11 +5816,14 @@ _DRIVER_WINDOW = [
     "alert_throttle_sql",
     # aggregation / correlation
     "flux_aggregate_1h", "correlate_pearson", "correlate_luminol_sql",
-    # the analyze kernel + routing + run aggregates (8-algorithm forms)
+    # the analyze kernel + routing + run aggregates (8-algorithm forms;
+    # anomaly_breakdown_sql8 demoted: a thin groupBy over the verdict
+    # set consensus_vote_sql8 already value-checks row-by-row, displaced
+    # by the combined ionosphere_disposition oracle)
     "consensus_vote_sql8", "sink_counts_sql5", "routed_turns_sql8",
-    "run_summary_sql8", "illuminance_sql8", "anomaly_breakdown_sql8",
+    "run_summary_sql8", "illuminance_sql8",
     "mirage_vote_sql8", "feature_profiles", "ionosphere_match_sql8",
-    "ionosphere_layers", "motif_inference",
+    "ionosphere_layers", "motif_inference", "ionosphere_disposition",
     # webapp read path (panorama over the sql8 kernel store;
     # least_squares + first_hour_average demoted past the window in
     # their favor — both stay value-checked inside consensus_vote_sql8)

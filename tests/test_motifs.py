@@ -211,3 +211,59 @@ def test_degenerate_inputs_do_not_crash(spark):
     d = spark.createDataFrame([(0, "")], schema="doc_id long, text string")
     g = gopher_repetition_columns(d).collect()[0]
     assert g.n_words == 1 and not g.gopher_pass
+
+
+def test_ionosphere_stage_precedence(spark):
+    """Planted series through the combined stage: a motif match wins
+    over any other matcher; a layers-only match labels 'layers'; no
+    match stays 'anomalous'."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from skyline_spark.operators.ionosphere import ionosphere_stage
+
+    rng = np.random.RandomState(5)
+    rows = []
+
+    def add(conv, fam, vals):
+        for j, v in enumerate(vals):
+            rows.append((conv, f"{fam}.m", j,
+                         pd.Timestamp("2024-01-01") + pd.Timedelta(minutes=j),
+                         float(v)))
+
+    # A: an exact 45-point motif repeated inside the 60% head AND at
+    # the tail -> the exact sweep matches (motif precedence)
+    motif = rng.rand(45) * 4 + 6
+    add("A", "fa", list(rng.rand(30) * 4 + 6) + list(motif)
+        + list(rng.rand(150) * 4 + 6) + list(motif))
+    # B: no motif (pure noise + a level shift killing fp), layer E
+    # matches (all values <= 1e9)
+    add("B", "fb", list(rng.rand(60) * 4 + 6)
+        + list(rng.rand(40) * 4 + 500))
+    # C: same shape as B but no layers config for family fc
+    add("C", "fc", list(rng.rand(60) * 4 + 6)
+        + list(rng.rand(40) * 4 + 500))
+
+    valid = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "metric", "turn_idx",
+                                    "ts", "value"]))
+    layers = spark.createDataFrame(
+        [("fa", 1, "==", -1.0, "none", 0.0, 0, "<", 1e9, 1),
+         ("fb", 2, "==", -1.0, "none", 0.0, 0, "<", 1e9, 1)],
+        schema="family string, layer_id int, d_condition string, "
+               "d_boundary_limit double, d1_condition string, "
+               "d1_boundary_limit double, d1_boundary_times int, "
+               "e_condition string, e_boundary_limit double, "
+               "e_boundary_times int")
+    got = {r.conv_id: r for r in ionosphere_stage(
+        valid, layers,
+        motif_settings={45: {"top_matches": 5, "max_distance": 10,
+                             "max_area_percent_diff": 20.0,
+                             "range_padding_percent": 10.0,
+                             "find_exact_matches": True}}).collect()}
+    a, b, c = got["A"], got["B"], got["C"]
+    assert a.motif_matched and a.layer_matched
+    assert a.disposition == "motif"  # precedence over the layer match
+    assert not b.motif_matched and b.layer_matched and not b.fp_matched
+    assert b.disposition == "layers"
+    assert not c.layer_matched and c.disposition in ("anomalous", "fp")
+    assert not c.motif_matched
