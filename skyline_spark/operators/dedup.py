@@ -389,3 +389,41 @@ def near_duplicate_clusters(docs: DataFrame, pairs: DataFrame,
         F.col(id_col),
         cluster.alias("cluster_id"),
         (F.col(id_col) == cluster).alias("keep"))
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (n-gram overlap vs an eval set)
+# ---------------------------------------------------------------------------
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Flag training documents sharing any word ``n``-gram with a
+    benchmark/eval set — the standard decontamination pass (the
+    GPT-3/PaLM 13-gram rule, shortened for short documents). Returns
+    (doc_id, n_overlapping_ngrams, contaminated).
+
+    Scale: n-grams explode on both sides; the benchmark side is
+    eval-set-sized, so the gram join broadcasts it. One shuffle on the
+    doc id for the per-doc distinct-gram count."""
+    def grams(df, out):
+        toks = F.split(F.col(text_col), " ")
+        idx = F.sequence(F.lit(1), F.size(toks) - (n - 1))
+        g = F.when(F.size(toks) >= n,
+                   F.array_distinct(F.transform(
+                       idx, lambda i: F.array_join(F.slice(toks, i, n),
+                                                   " ")))) \
+            .otherwise(F.array().cast("array<string>"))
+        return df.select(F.col(id_col), F.explode(g).alias(out))
+
+    dg = grams(docs, "g")
+    bg = grams(benchmark, "g").select("g").distinct()
+    hits = (dg.join(F.broadcast(bg), "g")
+            .groupBy(id_col)
+            .agg(F.countDistinct("g").alias("n_overlapping_ngrams")))
+    return (docs.select(id_col).join(hits, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_overlapping_ngrams", F.lit(0))
+                    .alias("n_overlapping_ngrams"))
+            .withColumn("contaminated",
+                        F.col("n_overlapping_ngrams") > 0))

@@ -2218,6 +2218,64 @@ FROM documents
 SQL_PII_SCRUB = _pii_sql()
 
 
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word
+    8-gram with the eval set (the deterministic doc_id % 83 == 0
+    subset stands in for a held-out benchmark) are flagged, with the
+    distinct overlapping-gram count value-checked per document."""
+    from skyline_spark.operators.dedup import decontaminate
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 83 == 0)
+    return decontaminate(docs, bench, n=8)
+
+
+SQL_DECONTAMINATE = """
+WITH dg AS (
+    SELECT doc_id,
+           unnest(list_distinct([array_to_string(w[i:i+7], ' ')
+                  FOR i IN range(1, greatest(len(w) - 7, 0) + 1)])) AS g
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)),
+bg AS (SELECT DISTINCT g FROM dg WHERE doc_id % 83 = 0),
+hits AS (
+    SELECT d.doc_id, count(DISTINCT d.g) AS n_overlapping_ngrams
+    FROM dg d JOIN bg USING (g) GROUP BY 1)
+SELECT doc_id,
+       coalesce(h.n_overlapping_ngrams, 0) AS n_overlapping_ngrams,
+       coalesce(h.n_overlapping_ngrams, 0) > 0 AS contaminated
+FROM documents LEFT JOIN hits h USING (doc_id)
+"""
+
+
+#: corpus-mixing quotas per language (deterministic literals)
+SAMPLE_FRACTIONS = {"en": 0.5, "de": 0.25, "fr": 0.25, "es": 0.25}
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: deterministic per-language hash-threshold
+    sampling (en 50%, de/fr/es 25%, zh and others dropped) — no
+    shuffle, reproducible, the kept set value-checked row-for-row."""
+    from skyline_spark.operators.sampling import stratified_hash_sample
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_hash_sample(docs, SAMPLE_FRACTIONS)
+    return out.select("doc_id", "lang", "sample_u")
+
+
+def _stratified_sql() -> str:
+    quota = "CASE " + " ".join(
+        f"WHEN lang = '{k}' THEN {v}"
+        for k, v in SAMPLE_FRACTIONS.items()) + " ELSE 0.0 END"
+    u = ("CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) "
+         "AS BIGINT) AS DOUBLE) / 1152921504606846976.0")
+    return f"""
+SELECT doc_id, lang, round({u}, 6) AS sample_u
+FROM documents
+WHERE {u} < {quota}
+"""
+
+
+SQL_STRATIFIED_SAMPLE = _stratified_sql()
+
+
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy sequence packing: documents sharded by doc_id % 8,
     first-fit packed in id order under a 512-whitespace-token budget —
@@ -2745,6 +2803,8 @@ REGISTRY.update({
     "gopher_quality": (q_gopher_quality, SQL_GOPHER_QUALITY),
     "pii_scrub": (q_pii_scrub, SQL_PII_SCRUB),
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
+    "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),

@@ -492,3 +492,44 @@ def test_sequence_packing_greedy(spark):
         tot=("n_tok", "sum"), n=("n_tok", "size"))
     bad = g[(g.tot > 512) & (g.n > 1)]
     assert bad.empty, bad
+
+
+def test_decontaminate_planted(spark):
+    from skyline_spark.operators.dedup import decontaminate
+    phrase = "one two three four five six seven eight"  # exactly 8 words
+    train = spark.createDataFrame(
+        [(0, f"start {phrase} end of the training document body here"),
+         (1, "completely unrelated text with enough words to form "
+             "several eight grams of its own material"),
+         (2, phrase)],  # the benchmark text verbatim
+        schema="doc_id long, text string")
+    bench = spark.createDataFrame(
+        [(100, f"question: {phrase} answer: something")],
+        schema="doc_id long, text string")
+    out = {r.doc_id: (r.n_overlapping_ngrams, r.contaminated)
+           for r in decontaminate(train, bench, n=8).collect()}
+    assert out[0][1] and out[0][0] >= 1    # shares the 8-gram
+    assert out[2] == (1, True)             # verbatim benchmark text
+    assert out[1] == (0, False)
+    # short docs (< n words) can never contaminate
+    tiny = spark.createDataFrame([(5, "too short")],
+                                 schema="doc_id long, text string")
+    assert decontaminate(tiny, bench, n=8).collect()[0].contaminated is False
+
+
+def test_stratified_hash_sample_deterministic(spark):
+    from skyline_spark.operators.sampling import stratified_hash_sample
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    frac = {"en": 0.5, "de": 0.25}
+    a = stratified_hash_sample(docs, frac).toPandas()
+    b = stratified_hash_sample(docs, frac).toPandas()
+    assert sorted(a.doc_id) == sorted(b.doc_id)  # fully deterministic
+    assert set(a.lang) <= {"en", "de"}           # others dropped
+    # quotas hold approximately (hash-uniform)
+    n = docs.groupBy("lang").count().toPandas().set_index("lang")["count"]
+    kept = a.groupby("lang").size()
+    for lang, f in frac.items():
+        if n.get(lang, 0) >= 20:
+            assert abs(kept.get(lang, 0) / n[lang] - f) < 0.25
+    # every kept row respects its own threshold
+    assert (a.sample_u < a.lang.map(frac).astype(float) + 1e-6).all()
