@@ -312,3 +312,52 @@ def pii_scrub_columns(df: DataFrame, text_col: str = "text") -> DataFrame:
                                                      F.lit(pat), 0)))
         redacted = F.regexp_replace(redacted, pat, f"<{name.upper()}>")
     return out.withColumn("scrubbed", redacted)
+
+
+# ---------------------------------------------------------------------------
+# corpus bigram LM perplexity (statistical quality signal)
+# ---------------------------------------------------------------------------
+
+def bigram_perplexity_columns(docs: DataFrame, id_col: str = "doc_id",
+                              text_col: str = "text",
+                              k: float = 0.5) -> DataFrame:
+    """Per-document perplexity under an add-k-smoothed bigram model
+    trained on the corpus itself — the classic KenLM-style quality
+    signal (gibberish and boilerplate score high, typical text low)
+    without an external model: p(w2|w1) = (c(w1 w2) + k) /
+    (c(w1) + k*V), cross_entropy = -mean ln p over the document's
+    bigrams, perplexity = exp(cross_entropy). Documents with fewer
+    than 2 tokens get NULLs.
+
+    Scale: two corpus-wide gram-count aggregates (partial-aggregable
+    groupBys) joined back on the gram key — standard key-partitioned
+    shuffles, no broadcast of the (large) model tables, no Python."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    toks = docs.select(F.col(id_col), F.explode(words).alias("w"))
+    uni = toks.groupBy("w").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    pair_t = "array<struct<w1:string,w2:string>>"
+    pairs = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.struct(F.element_at(words, i).alias("w1"),
+                           F.element_at(words, i + 1).alias("w2")))) \
+        .otherwise(F.array().cast(pair_t))
+    big = (docs.select(F.col(id_col), F.explode(pairs).alias("p"))
+           .select(id_col, F.col("p.w1").alias("w1"),
+                   F.col("p.w2").alias("w2")))
+    bc = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    scored = (big.join(bc, ["w1", "w2"])
+              .join(uni.withColumnRenamed("w", "w1"), "w1")
+              .crossJoin(F.broadcast(vocab)))
+    lp = F.log((F.col("c2") + F.lit(k))
+               / (F.col("c1") + F.lit(k) * F.col("v")))
+    agg = scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        (-F.avg(lp)).alias("__ce"))
+    r6 = lambda c: F.round(c, 6) + F.lit(0.0)  # noqa: E731
+    return (docs.select(id_col).join(agg, id_col, "left")
+            .select(id_col,
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    r6(F.col("__ce")).alias("cross_entropy"),
+                    r6(F.exp("__ce")).alias("perplexity")))

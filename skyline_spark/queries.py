@@ -2218,6 +2218,41 @@ FROM documents
 SQL_PII_SCRUB = _pii_sql()
 
 
+def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document perplexity under an add-0.5-smoothed bigram model
+    trained on the corpus itself (the KenLM-style statistical quality
+    signal) — cross-entropy and perplexity value-checked per doc."""
+    from skyline_spark.functions.text import bigram_perplexity_columns
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bigram_perplexity_columns(docs)
+
+
+SQL_BIGRAM_PERPLEXITY = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+toks AS (SELECT doc_id, unnest(w) AS w1 FROM t),
+uni AS (SELECT w1, count(*) AS c1 FROM toks GROUP BY 1),
+vocab AS (SELECT count(*) AS v FROM uni),
+big AS (
+    SELECT doc_id,
+           unnest([{'w1': w[i], 'w2': w[i + 1]}
+                   FOR i IN range(1, len(w))],
+                  recursive := true)
+    FROM t),
+bc AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2),
+sc AS (
+    SELECT b.doc_id, ln((bc.c2 + 0.5) / (u.c1 + 0.5 * v.v)) AS lp
+    FROM big b JOIN bc USING (w1, w2) JOIN uni u USING (w1)
+    CROSS JOIN vocab v),
+agg AS (
+    SELECT doc_id, count(*) AS n_bigrams, -avg(lp) AS ce
+    FROM sc GROUP BY 1)
+SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams,
+       round(a.ce, 6) AS cross_entropy,
+       round(exp(a.ce), 6) AS perplexity
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Benchmark decontamination: training docs sharing any word
     8-gram with the eval set (the deterministic doc_id % 83 == 0
@@ -2805,6 +2840,7 @@ REGISTRY.update({
     "sequence_packing": (q_sequence_packing, SQL_SEQUENCE_PACKING),
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "bigram_perplexity": (q_bigram_perplexity, SQL_BIGRAM_PERPLEXITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),

@@ -533,3 +533,23 @@ def test_stratified_hash_sample_deterministic(spark):
             assert abs(kept.get(lang, 0) / n[lang] - f) < 0.25
     # every kept row respects its own threshold
     assert (a.sample_u < a.lang.map(frac).astype(float) + 1e-6).all()
+
+
+def test_bigram_perplexity_signal(spark):
+    from skyline_spark.functions.text import bigram_perplexity_columns
+    # doc 0: highly repetitive -> all its bigrams are frequent -> LOW
+    # perplexity; doc 1: every bigram unique in the corpus -> HIGH
+    rep = ("the cat sat on the mat " * 20).strip()
+    uniq = " ".join(f"tok{i}a tok{i}b" for i in range(40))
+    d = spark.createDataFrame(
+        [(0, rep), (1, uniq), (2, "x")],
+        schema="doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_perplexity_columns(d).collect()}
+    assert out[0].perplexity < out[1].perplexity
+    assert out[0].n_bigrams == 119 and out[1].n_bigrams == 79
+    # single-token doc: no bigrams, NULL scores
+    assert out[2].n_bigrams == 0 and out[2].cross_entropy is None
+    # cross-entropy/perplexity consistency
+    import math
+    assert out[0].perplexity == pytest.approx(
+        math.exp(out[0].cross_entropy), rel=1e-4)
