@@ -427,3 +427,59 @@ def decontaminate(docs: DataFrame, benchmark: DataFrame, n: int = 8,
                     .alias("n_overlapping_ngrams"))
             .withColumn("contaminated",
                         F.col("n_overlapping_ngrams") > 0))
+
+
+# ---------------------------------------------------------------------------
+# exact repeated-substring statistics (Lee et al. 2022 signal)
+# ---------------------------------------------------------------------------
+
+def repeated_span_stats(docs: DataFrame, span_len: int = 10,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """Per-document statistics of exact ``span_len``-token substrings
+    that occur MORE THAN ONCE anywhere in the corpus — the signal
+    behind Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better" (their ExactSubstr dedup removes such
+    spans; this operator reports the per-doc span occurrences and the
+    fraction of token positions covered, the decision inputs).
+
+    Scale: one gram-keyed shuffle for the global occurrence counts (a
+    partial-aggregable groupBy), one doc-keyed shuffle for the distinct
+    covered positions. Position coverage explodes span_len rows per
+    repeated occurrence — bounded amplification on the (rare at clean
+    corpora) repeated grams only, never on the whole corpus."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    grams = F.when(n >= span_len, F.transform(
+        F.sequence(F.lit(1), n - (span_len - 1)),
+        lambda i: F.struct(i.alias("pos"),
+                           F.array_join(F.slice(words, i, span_len), " ")
+                           .alias("g")))) \
+        .otherwise(F.array().cast("array<struct<pos:int,g:string>>"))
+    occ = (docs.select(F.col(id_col), n.alias("n_tok"),
+                       F.explode(grams).alias("o"))
+           .select(id_col, "n_tok", F.col("o.pos").alias("pos"),
+                   F.col("o.g").alias("g")))
+    counts = occ.groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+    rep = occ.join(counts.where(F.col("c") > 1), "g")
+    covered = (rep.select(id_col, "n_tok", F.explode(
+        F.sequence(F.col("pos"), F.col("pos") + (span_len - 1)))
+        .alias("p"))
+        .groupBy(id_col).agg(
+            F.first("n_tok").alias("n_tok"),
+            F.countDistinct("p").alias("covered_tokens")))
+    n_rep = rep.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_repeated_spans"))
+    out = (docs.select(F.col(id_col), n.alias("n_tok"))
+           .join(n_rep, id_col, "left")
+           .join(covered.drop("n_tok"), id_col, "left"))
+    frac = (F.coalesce("covered_tokens", F.lit(0))
+            / F.greatest(F.col("n_tok"), F.lit(1)))
+    return out.select(
+        id_col,
+        F.coalesce("n_repeated_spans", F.lit(0))
+        .alias("n_repeated_spans"),
+        F.coalesce("covered_tokens", F.lit(0)).alias("covered_tokens"),
+        (F.round(frac, 6) + F.lit(0.0)).alias("repeated_frac"),
+        (F.coalesce("n_repeated_spans", F.lit(0)) > 0)
+        .alias("has_repeated_span"))

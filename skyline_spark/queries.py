@@ -2218,6 +2218,41 @@ FROM documents
 SQL_PII_SCRUB = _pii_sql()
 
 
+def q_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring stats (Lee et al. 2022 ExactSubstr
+    signal): per-doc occurrences of 10-token spans repeated anywhere in
+    the corpus, plus the fraction of token positions covered —
+    value-checked per document."""
+    from skyline_spark.operators.dedup import repeated_span_stats
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repeated_span_stats(docs, span_len=10)
+
+
+SQL_REPEATED_SPANS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+occ AS (
+    SELECT doc_id, len(w) AS n_tok,
+           unnest([{'pos': i, 'g': array_to_string(w[i:i+9], ' ')}
+                   FOR i IN range(1, greatest(len(w) - 9, 0) + 1)],
+                  recursive := true)
+    FROM t),
+counts AS (SELECT g, count(*) AS c FROM occ GROUP BY 1),
+rep AS (SELECT o.* FROM occ o JOIN counts USING (g) WHERE counts.c > 1),
+cov AS (
+    SELECT doc_id, count(DISTINCT p) AS covered_tokens
+    FROM (SELECT doc_id, unnest(range(pos, pos + 10)) AS p FROM rep)
+    GROUP BY 1),
+nrep AS (SELECT doc_id, count(*) AS n_repeated_spans FROM rep GROUP BY 1)
+SELECT t.doc_id,
+       coalesce(nrep.n_repeated_spans, 0) AS n_repeated_spans,
+       coalesce(cov.covered_tokens, 0) AS covered_tokens,
+       round(coalesce(cov.covered_tokens, 0) * 1.0
+             / greatest(len(t.w), 1), 6) AS repeated_frac,
+       coalesce(nrep.n_repeated_spans, 0) > 0 AS has_repeated_span
+FROM t LEFT JOIN nrep USING (doc_id) LEFT JOIN cov USING (doc_id)
+"""
+
+
 def q_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document perplexity under an add-0.5-smoothed bigram model
     trained on the corpus itself (the KenLM-style statistical quality
@@ -2841,6 +2876,7 @@ REGISTRY.update({
     "decontaminate": (q_decontaminate, SQL_DECONTAMINATE),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "bigram_perplexity": (q_bigram_perplexity, SQL_BIGRAM_PERPLEXITY),
+    "repeated_spans": (q_repeated_spans, SQL_REPEATED_SPANS),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "doc_fingerprint": (q_fingerprint, SQL_FINGERPRINT),
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),

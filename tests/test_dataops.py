@@ -553,3 +553,24 @@ def test_bigram_perplexity_signal(spark):
     import math
     assert out[0].perplexity == pytest.approx(
         math.exp(out[0].cross_entropy), rel=1e-4)
+
+
+def test_repeated_span_stats_planted(spark):
+    from skyline_spark.operators.dedup import repeated_span_stats
+    span = " ".join(f"s{i}" for i in range(10))  # a 10-token span
+    d = spark.createDataFrame(
+        [(0, f"{span} middle filler words here then again {span}"),
+         (1, f"prefix tokens {span} suffix tokens"),
+         (2, " ".join(f"u{i}" for i in range(30)))],  # all unique
+        schema="doc_id long, text string")
+    out = {r.doc_id: r for r in repeated_span_stats(d, 10).collect()}
+    # doc 0 repeats the span internally AND shares it with doc 1
+    assert out[0].has_repeated_span and out[1].has_repeated_span
+    assert not out[2].has_repeated_span and out[2].repeated_frac == 0.0
+    # doc 1: exactly the one shared span -> 10 covered tokens of 14
+    assert out[1].n_repeated_spans == 1
+    assert out[1].covered_tokens == 10
+    assert out[1].repeated_frac == pytest.approx(10 / 14, abs=1e-6)
+    # doc 0: both occurrences counted, covered = 20 of 26 tokens
+    assert out[0].n_repeated_spans == 2
+    assert out[0].covered_tokens == 20
