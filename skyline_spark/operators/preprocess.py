@@ -148,3 +148,53 @@ def fill_forward(df: DataFrame, resolution_seconds: int,
     """T6 last_known_value variant (see fill_gaps)."""
     return fill_gaps(df, resolution_seconds, "last_known_value",
                      key, ts_col, value_col)
+
+
+def determine_data_frequency(df: DataFrame, key_cols=("conv_id", "metric"),
+                             ts_col: str = "ts") -> DataFrame:
+    """Per-series metric resolution
+    (skyline/functions/timeseries/determine_data_frequency.py:17-196):
+
+    - the sample is the last 101 timestamps when the series has more
+      than FULLY_POPULATED_PERCENTAGE=94 of them (i.e. n >= 95), else
+      the whole series;
+    - timestamps are int()-truncated before differencing;
+    - the resolution is the most common consecutive delta; with
+      several distinct deltas BOTH reference branches (all-counts-equal
+      and otherwise) reduce to the MINIMUM delta among the max-count
+      ones (the Counter insertion-order tie only survives the
+      single-delta case, where it is moot);
+    - the Prometheus snap: a resolution in [1, 68] that is not 60 and
+      not a standard scrape interval {1,2,3,5,6,10,12,15,20,30} is set
+      to 60 (determine_data_frequency.py:160-185).
+
+    Native windows + one partial-aggregable groupBy per stage; no
+    Python."""
+    eps = F.floor(epoch_seconds(F.col(ts_col))).cast("long")
+    wdesc = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).desc())
+    wall = Window.partitionBy(*key_cols)
+    wasc = Window.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
+    d = (df.withColumn("__e", eps)
+         .withColumn("__rn", F.row_number().over(wdesc))
+         .withColumn("__n", F.count(F.lit(1)).over(wall)))
+    sample = d.where((F.col("__n") < 95) | (F.col("__rn") <= 101))
+    diffs = (sample
+             .withColumn("__prev", F.lag("__e").over(wasc))
+             .where(F.col("__prev").isNotNull())
+             .select(*key_cols,
+                     (F.col("__e") - F.col("__prev")).alias("res")))
+    counts = diffs.groupBy(*key_cols, "res").agg(
+        F.count(F.lit(1)).alias("c"))
+    wk = Window.partitionBy(*key_cols)
+    best = (counts
+            .withColumn("__maxc", F.max("c").over(wk))
+            .where(F.col("c") == F.col("__maxc"))
+            .groupBy(*key_cols)
+            .agg(F.min("res").alias("__res")))
+    keep = F.col("__res").isin(1, 2, 3, 5, 6, 10, 12, 15, 20, 30)
+    snapped = F.when(
+        (F.col("__res") != 60) & ~keep
+        & (F.col("__res") >= 1) & (F.col("__res") <= 68),
+        F.lit(60)).otherwise(F.col("__res"))
+    return best.select(*key_cols,
+                       snapped.cast("int").alias("metric_resolution"))

@@ -232,6 +232,48 @@ FROM valid GROUP BY 1, 2
 """)
 
 
+def q_data_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions/timeseries/determine_data_frequency.py:17-196 — the
+    per-series resolution detector every app shares (last-101 sample
+    when fully populated, min-delta-among-max-count, the
+    snap-to-60 Prometheus rule), value-checked per series."""
+    from skyline_spark.operators.preprocess import determine_data_frequency
+    return determine_data_frequency(_valid(spark, sf_dir))
+
+
+SQL_DATA_FREQUENCY = _sql("""
+, fser AS (
+    SELECT conv_id, metric,
+           CAST(floor(epoch(ts)) AS BIGINT) AS e,
+           row_number() OVER (PARTITION BY conv_id, metric
+                              ORDER BY ts DESC) AS rn,
+           count(*) OVER (PARTITION BY conv_id, metric) AS n,
+           ts
+    FROM valid),
+fsample AS (SELECT * FROM fser WHERE n < 95 OR rn <= 101),
+fdiff AS (
+    SELECT conv_id, metric, e - prev AS res
+    FROM (SELECT *, lag(e) OVER (PARTITION BY conv_id, metric
+                                 ORDER BY ts ASC) AS prev
+          FROM fsample)
+    WHERE prev IS NOT NULL),
+fcnt AS (
+    SELECT conv_id, metric, res, count(*) AS c
+    FROM fdiff GROUP BY 1, 2, 3),
+fbest AS (
+    SELECT conv_id, metric, min(res) AS res
+    FROM (SELECT *, max(c) OVER (PARTITION BY conv_id, metric) AS maxc
+          FROM fcnt)
+    WHERE c = maxc GROUP BY 1, 2)
+SELECT conv_id, metric,
+       CAST(CASE WHEN res <> 60
+                 AND res NOT IN (1, 2, 3, 5, 6, 10, 12, 15, 20, 30)
+                 AND res BETWEEN 1 AND 68
+            THEN 60 ELSE res END AS INT) AS metric_resolution
+FROM fbest
+""")
+
+
 def q_autoaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T8 — BOUNDARY_AUTOAGGRERATION fixed-step re-bucketing by
     summation (skyline/boundary/boundary_algorithms.py:63-122), at a
@@ -1982,6 +2024,7 @@ REGISTRY: dict[str, tuple] = {
     "non_negative_derivative": (q_derivative, SQL_DERIVATIVE),
     "downsample_1h": (q_downsample_1h, SQL_DOWNSAMPLE_1H),
     "autoaggregate": (q_autoaggregate, SQL_AUTOAGGREGATE),
+    "data_frequency": (q_data_frequency, SQL_DATA_FREQUENCY),
     "fill_forward_1h": (q_fill_forward_1h, SQL_FILL_FORWARD_1H),
     "flux_fill_lkv": (q_flux_fill_lkv, SQL_FLUX_FILL_LKV),
     "exception_filters": (q_exceptions, SQL_EXCEPTIONS),

@@ -195,3 +195,40 @@ def test_negatives_present():
     ts = np.arange(5, dtype=np.float64)
     assert alg.negatives_present(ts, np.array([1.0, -2.0, 3.0, 1.0, 1.0])) is True
     assert alg.negatives_present(ts, np.ones(5)) is False
+
+
+def test_determine_data_frequency_quirks(spark):
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from skyline_spark.operators.preprocess import determine_data_frequency
+
+    def series(conv, deltas, start=1_700_000_000):
+        ts, t = [], start
+        for d in [0] + list(deltas):
+            t += d
+            ts.append(t)
+        return pd.DataFrame({"conv_id": conv, "metric": "m",
+                             "ts": pd.to_datetime(ts, unit="s"),
+                             "value": 1.0})
+
+    frames = [
+        # A: clean 300 s cadence -> 300 (not snapped: > 68)
+        series("A", [300] * 20),
+        # B: mixed {300: 25, 900: 5} -> max count 300
+        series("B", [300] * 25 + [900] * 5),
+        # C: equal counts {120: 5, 240: 5} -> min resolution 120
+        series("C", [120, 240] * 5),
+        # D: 45 s cadence -> not a scrape interval, in [1,68] -> 60
+        series("D", [45] * 10),
+        # E: 30 s cadence -> standard scrape interval, kept
+        series("E", [30] * 10),
+        # F: long series (n=120 >= 95): only the LAST 101 points
+        # sampled — the early 600 s deltas fall outside the window
+        series("F", [600] * 19 + [60] * 100),
+    ]
+    df = spark.createDataFrame(pd.concat(frames))
+    got = {r.conv_id: r.metric_resolution
+           for r in determine_data_frequency(df).collect()}
+    assert got == {"A": 300, "B": 300, "C": 120, "D": 60, "E": 30,
+                   "F": 60}
