@@ -198,3 +198,20 @@ def determine_data_frequency(df: DataFrame, key_cols=("conv_id", "metric"),
         F.lit(60)).otherwise(F.col("__res"))
     return best.select(*key_cols,
                        snapped.cast("int").alias("metric_resolution"))
+
+
+def determine_data_sparsity(df: DataFrame, full_duration: int,
+                            key_cols=("conv_id", "metric"),
+                            ts_col: str = "ts") -> DataFrame:
+    """Per-series data sparsity
+    (skyline/functions/timeseries/determine_data_sparsity.py):
+    datapoints present / (full_duration / resolution) * 100, rounded to
+    2, with the resolution from determine_data_frequency — the
+    check_data_sparsity signal metrics_manager tracks."""
+    res = determine_data_frequency(df, key_cols=key_cols, ts_col=ts_col)
+    n = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("__n"))
+    joined = n.join(res, list(key_cols))
+    expected = F.lit(float(full_duration)) / F.col("metric_resolution")
+    sparsity = F.round(F.col("__n") / expected * 100.0, 2) + F.lit(0.0)
+    return joined.select(*key_cols, "metric_resolution",
+                         sparsity.alias("data_sparsity"))

@@ -274,6 +274,38 @@ FROM fbest
 """)
 
 
+def q_data_sparsity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions/timeseries/determine_data_sparsity.py — the
+    check_data_sparsity signal: datapoints present over expected
+    (FULL_DURATION / resolution), percent, rounded to 2 — value-checked
+    per series on top of the frequency detector."""
+    from skyline_spark.operators.preprocess import determine_data_sparsity
+    return determine_data_sparsity(_valid(spark, sf_dir), FD)
+
+
+SQL_DATA_SPARSITY = (
+    SQL_DATA_FREQUENCY.replace(
+        """SELECT conv_id, metric,
+       CAST(CASE WHEN res <> 60
+                 AND res NOT IN (1, 2, 3, 5, 6, 10, 12, 15, 20, 30)
+                 AND res BETWEEN 1 AND 68
+            THEN 60 ELSE res END AS INT) AS metric_resolution
+FROM fbest""",
+        f"""SELECT f.conv_id, f.metric,
+       CAST(CASE WHEN res <> 60
+                 AND res NOT IN (1, 2, 3, 5, 6, 10, 12, 15, 20, 30)
+                 AND res BETWEEN 1 AND 68
+            THEN 60 ELSE res END AS INT) AS metric_resolution,
+       round(c.n / ({FD}.0 / (CASE WHEN res <> 60
+                 AND res NOT IN (1, 2, 3, 5, 6, 10, 12, 15, 20, 30)
+                 AND res BETWEEN 1 AND 68
+            THEN 60 ELSE res END)) * 100.0, 2) AS data_sparsity
+FROM fbest f
+JOIN (SELECT conv_id, metric, count(*) AS n
+      FROM valid GROUP BY 1, 2) c
+  ON c.conv_id = f.conv_id AND c.metric = f.metric"""))
+
+
 def q_autoaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T8 — BOUNDARY_AUTOAGGRERATION fixed-step re-bucketing by
     summation (skyline/boundary/boundary_algorithms.py:63-122), at a
@@ -2025,6 +2057,7 @@ REGISTRY: dict[str, tuple] = {
     "downsample_1h": (q_downsample_1h, SQL_DOWNSAMPLE_1H),
     "autoaggregate": (q_autoaggregate, SQL_AUTOAGGREGATE),
     "data_frequency": (q_data_frequency, SQL_DATA_FREQUENCY),
+    "data_sparsity": (q_data_sparsity, SQL_DATA_SPARSITY),
     "fill_forward_1h": (q_fill_forward_1h, SQL_FILL_FORWARD_1H),
     "flux_fill_lkv": (q_flux_fill_lkv, SQL_FLUX_FILL_LKV),
     "exception_filters": (q_exceptions, SQL_EXCEPTIONS),
