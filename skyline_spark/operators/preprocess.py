@@ -215,3 +215,24 @@ def determine_data_sparsity(df: DataFrame, full_duration: int,
     sparsity = F.round(F.col("__n") / expected * 100.0, 2) + F.lit(0.0)
     return joined.select(*key_cols, "metric_resolution",
                          sparsity.alias("data_sparsity"))
+
+
+def normalized_variance(df: DataFrame, key_cols=("conv_id", "metric"),
+                        value_col: str = "value") -> DataFrame:
+    """Per-series variance of the min-max-normalized values, rounded to
+    4 (skyline/functions/timeseries/normalized_variance.py — the
+    luminosity metric-classification signal). A constant series is NULL
+    (the reference's nan: its 0/0 normalization poisons np.var)."""
+    w = Window.partitionBy(*key_cols)
+    v = F.col(value_col)
+    d = (df.withColumn("__mx", F.max(v).over(w))
+         .withColumn("__mn", F.min(v).over(w)))
+    norm = (v - F.col("__mn")) / (F.col("__mx") - F.col("__mn"))
+    return (d.groupBy(*key_cols)
+            .agg((F.round(F.var_pop(norm), 4) + F.lit(0.0))
+                 .alias("normalized_variance"),
+                 F.max("__mx").alias("__mx2"), F.min("__mn").alias("__mn2"))
+            .select(*key_cols,
+                    F.when(F.col("__mx2") == F.col("__mn2"), F.lit(None))
+                    .otherwise(F.col("normalized_variance"))
+                    .alias("normalized_variance")))

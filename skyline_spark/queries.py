@@ -274,6 +274,30 @@ FROM fbest
 """)
 
 
+def q_normalized_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions/timeseries/normalized_variance.py — variance of the
+    min-max-normalized series (the luminosity classification signal),
+    rounded to 4; constant series NULL on both sides (the reference's
+    nan)."""
+    from skyline_spark.operators.preprocess import normalized_variance
+    return normalized_variance(_valid(spark, sf_dir))
+
+
+SQL_NORMALIZED_VARIANCE = _sql("""
+, nv AS (
+    SELECT conv_id, metric,
+           max(value) OVER (PARTITION BY conv_id, metric) AS mx,
+           min(value) OVER (PARTITION BY conv_id, metric) AS mn,
+           value
+    FROM valid)
+SELECT conv_id, metric,
+       CASE WHEN max(mx) = min(mn) THEN NULL
+            ELSE round(var_pop((value - mn) / (mx - mn)), 4) END
+           AS normalized_variance
+FROM nv GROUP BY 1, 2
+""")
+
+
 def q_data_sparsity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """functions/timeseries/determine_data_sparsity.py — the
     check_data_sparsity signal: datapoints present over expected
@@ -2058,6 +2082,8 @@ REGISTRY: dict[str, tuple] = {
     "autoaggregate": (q_autoaggregate, SQL_AUTOAGGREGATE),
     "data_frequency": (q_data_frequency, SQL_DATA_FREQUENCY),
     "data_sparsity": (q_data_sparsity, SQL_DATA_SPARSITY),
+    "normalized_variance": (q_normalized_variance,
+                            SQL_NORMALIZED_VARIANCE),
     "fill_forward_1h": (q_fill_forward_1h, SQL_FILL_FORWARD_1H),
     "flux_fill_lkv": (q_flux_fill_lkv, SQL_FLUX_FILL_LKV),
     "exception_filters": (q_exceptions, SQL_EXCEPTIONS),
