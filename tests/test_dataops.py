@@ -574,3 +574,80 @@ def test_repeated_span_stats_planted(spark):
     # doc 0: both occurrences counted, covered = 20 of 26 tokens
     assert out[0].n_repeated_spans == 2
     assert out[0].covered_tokens == 20
+
+
+def _gopher_twin(text, line_sep=". "):
+    """Independent Python twin of gopher_repetition_columns written
+    from the metric definitions, not the Spark expressions."""
+    from collections import Counter
+    words = text.split(" ")
+    n_words = len(words)
+    n_chars = len(text)
+    lines = text.split(line_sep)
+    lc = Counter(lines)
+    n_lines = len(lines)
+    dup_line_frac = (n_lines - len(lc)) / max(n_lines, 1)
+    dup_chars = sum((c - 1) * len(l) for l, c in lc.items())
+    line_chars = sum(c * len(l) for l, c in lc.items())
+    dup_line_char_frac = dup_chars / max(line_chars, 1)
+
+    def top_frac(n):
+        if n_words < n:
+            return 0.0
+        grams = Counter(" ".join(words[i:i + n])
+                        for i in range(n_words - n + 1))
+        mx = max(grams.values())
+        top = max(c * len(g) for g, c in grams.items() if c == mx)
+        return top / max(n_chars, 1)
+
+    def dup5():
+        if n_words < 5:
+            return 0.0
+        grams = Counter(" ".join(words[i:i + 5])
+                        for i in range(n_words - 4))
+        dup = sum(c * len(g) for g, c in grams.items() if c > 1)
+        tot = sum(c * len(g) for g, c in grams.items())
+        return dup / max(tot, 1)
+
+    hashes = text.count("#")
+    ell = 0
+    rest = text
+    while "..." in rest:
+        rest = rest.replace("...", "", 1)
+        ell += 1
+    alpha = sum(1 for w in words if any(c.isascii() and c.isalpha()
+                                        for c in w))
+    return {
+        "dup_line_frac": round(dup_line_frac, 6),
+        "dup_line_char_frac": round(dup_line_char_frac, 6),
+        "top_2gram_char_frac": round(top_frac(2), 6),
+        "top_3gram_char_frac": round(top_frac(3), 6),
+        "top_4gram_char_frac": round(top_frac(4), 6),
+        "dup_5gram_char_frac": round(dup5(), 6),
+        "symbol_word_ratio": round((hashes + ell) / max(n_words, 1), 6),
+        "alpha_word_frac": round(alpha / max(n_words, 1), 6),
+    }
+
+
+def test_gopher_randomized_vs_python_twin(spark):
+    import random
+    from skyline_spark.functions.text import gopher_repetition_columns
+    rng = random.Random(13)
+    vocab = ["the", "cat", "sat", "mat", "##", "a...b", "and", "runs",
+             "12", "x"]
+    docs = []
+    for i in range(30):
+        n = rng.randint(1, 60)
+        words = [rng.choice(vocab) for _ in range(n)]
+        # sometimes inject sentence separators and repeats
+        text = " ".join(words)
+        if rng.random() < 0.5:
+            text = text + ". " + text
+        docs.append((i, text))
+    out = gopher_repetition_columns(
+        spark.createDataFrame(docs, schema="doc_id long, text string"),
+        line_sep=". ").collect()
+    for r in out:
+        want = _gopher_twin(dict(docs)[r.doc_id])
+        got = {k: getattr(r, k) for k in want}
+        assert got == pytest.approx(want, abs=2e-6), (r.doc_id, got, want)
