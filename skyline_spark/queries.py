@@ -241,7 +241,7 @@ def q_data_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return determine_data_frequency(_valid(spark, sf_dir))
 
 
-SQL_DATA_FREQUENCY = _sql("""
+_FREQ_CTES = """
 , fser AS (
     SELECT conv_id, metric,
            CAST(floor(epoch(ts)) AS BIGINT) AS e,
@@ -264,13 +264,17 @@ fbest AS (
     SELECT conv_id, metric, min(res) AS res
     FROM (SELECT *, max(c) OVER (PARTITION BY conv_id, metric) AS maxc
           FROM fcnt)
-    WHERE c = maxc GROUP BY 1, 2)
-SELECT conv_id, metric,
-       CAST(CASE WHEN res <> 60
-                 AND res NOT IN (1, 2, 3, 5, 6, 10, 12, 15, 20, 30)
-                 AND res BETWEEN 1 AND 68
-            THEN 60 ELSE res END AS INT) AS metric_resolution
-FROM fbest
+    WHERE c = maxc GROUP BY 1, 2),
+fres AS (
+    SELECT conv_id, metric,
+           CAST(CASE WHEN res <> 60
+                     AND res NOT IN (1, 2, 3, 5, 6, 10, 12, 15, 20, 30)
+                     AND res BETWEEN 1 AND 68
+                THEN 60 ELSE res END AS INT) AS metric_resolution
+    FROM fbest)"""
+
+SQL_DATA_FREQUENCY = _sql(_FREQ_CTES + """
+SELECT * FROM fres
 """)
 
 
@@ -307,27 +311,79 @@ def q_data_sparsity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return determine_data_sparsity(_valid(spark, sf_dir), FD)
 
 
-SQL_DATA_SPARSITY = (
-    SQL_DATA_FREQUENCY.replace(
-        """SELECT conv_id, metric,
-       CAST(CASE WHEN res <> 60
-                 AND res NOT IN (1, 2, 3, 5, 6, 10, 12, 15, 20, 30)
-                 AND res BETWEEN 1 AND 68
-            THEN 60 ELSE res END AS INT) AS metric_resolution
-FROM fbest""",
-        f"""SELECT f.conv_id, f.metric,
-       CAST(CASE WHEN res <> 60
-                 AND res NOT IN (1, 2, 3, 5, 6, 10, 12, 15, 20, 30)
-                 AND res BETWEEN 1 AND 68
-            THEN 60 ELSE res END AS INT) AS metric_resolution,
-       round(c.n / ({FD}.0 / (CASE WHEN res <> 60
-                 AND res NOT IN (1, 2, 3, 5, 6, 10, 12, 15, 20, 30)
-                 AND res BETWEEN 1 AND 68
-            THEN 60 ELSE res END)) * 100.0, 2) AS data_sparsity
-FROM fbest f
+SQL_DATA_SPARSITY = _sql(_FREQ_CTES + f"""
+SELECT f.conv_id, f.metric, f.metric_resolution,
+       round(c.n / ({FD}.0 / f.metric_resolution) * 100.0, 2)
+           AS data_sparsity
+FROM fres f
 JOIN (SELECT conv_id, metric, count(*) AS n
       FROM valid GROUP BY 1, 2) c
-  ON c.conv_id = f.conv_id AND c.metric = f.metric"""))
+  ON c.conv_id = f.conv_id AND c.metric = f.metric
+""")
+
+
+#: CUSTOM_STALE_PERIOD analogue (settings.py:506-535), rescaled to the
+#: events cadence: view series go stale after an hour, error series
+#: get a lenient month
+CUSTOM_STALE_PERIODS = {"view": 3600, "error": 30 * 86400}
+
+#: SPARSELY_POPULATED_PERCENTAGE (settings.py:726 default 40.0)
+#: rescaled to the events cadence like FD/STALE (the corpora's
+#: per-series sparsity vs FULL_DURATION/resolution sits in 0.1-5%)
+SPARSITY_THRESHOLD = 2.0
+
+
+def q_stale_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3/thunder — the stale-metrics sweep
+    (functions/thunder/stale_metrics.py:18-520 + the webapp
+    namespace_stale_metrics endpoint): per-series last timestamp vs the
+    namespace's custom-or-default stale period, sparsely-populated
+    series excluded — every surviving stale row value-checked."""
+    from skyline_spark.operators.parse import parse_events as _pe
+    from skyline_spark.operators.thunder import thunder_stale_metrics
+    from skyline_spark.plans.pipeline import batch_now
+    tdf = transcripts_from_events(spark, sf_dir)
+    now = batch_now(tdf)
+    v = _pe(tdf).where(F.col("value").isNotNull())
+    return thunder_stale_metrics(
+        v, now, STALE, FD, custom_stale_periods=CUSTOM_STALE_PERIODS,
+        sparsity_threshold=SPARSITY_THRESHOLD,
+        exclude_sparsely_populated=True)
+
+
+def _stale_sql() -> str:
+    case = "CASE " + " ".join(
+        f"WHEN string_split(l.metric, '.')[1] = '{n}' THEN {p}"
+        for n, p in CUSTOM_STALE_PERIODS.items()) + f" ELSE {STALE} END"
+    return _sql(_FREQ_CTES + f"""
+, slast AS (
+    SELECT conv_id, metric,
+           max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_timestamp
+    FROM valid GROUP BY 1, 2),
+ssp AS (
+    SELECT f.conv_id, f.metric,
+           round(c.n / ({FD}.0 / f.metric_resolution) * 100.0, 2)
+               AS data_sparsity
+    FROM fres f
+    JOIN (SELECT conv_id, metric, count(*) AS n
+          FROM valid GROUP BY 1, 2) c
+      ON c.conv_id = f.conv_id AND c.metric = f.metric),
+sper AS (
+    SELECT l.conv_id, l.metric, l.last_timestamp,
+           string_split(l.metric, '.')[1] AS parent_namespace,
+           {case} AS period, s.data_sparsity
+    FROM slast l
+    JOIN ssp s ON s.conv_id = l.conv_id AND s.metric = l.metric)
+SELECT parent_namespace, conv_id, metric, last_timestamp,
+       CAST(CAST(floor(b.now) AS BIGINT) - last_timestamp AS BIGINT)
+           AS stale_for
+FROM sper, batch b
+WHERE data_sparsity >= {SPARSITY_THRESHOLD}
+  AND last_timestamp < b.now - period
+""")
+
+
+SQL_STALE_METRICS = _stale_sql()
 
 
 def q_autoaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2084,6 +2140,7 @@ REGISTRY: dict[str, tuple] = {
     "data_sparsity": (q_data_sparsity, SQL_DATA_SPARSITY),
     "normalized_variance": (q_normalized_variance,
                             SQL_NORMALIZED_VARIANCE),
+    "stale_metrics": (q_stale_metrics, SQL_STALE_METRICS),
     "fill_forward_1h": (q_fill_forward_1h, SQL_FILL_FORWARD_1H),
     "flux_fill_lkv": (q_flux_fill_lkv, SQL_FLUX_FILL_LKV),
     "exception_filters": (q_exceptions, SQL_EXCEPTIONS),

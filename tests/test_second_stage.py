@@ -609,3 +609,44 @@ def test_streaming_exact_dedup(spark, tmp_path):
     # the cross-batch duplicate (doc 3) is dropped by carried state
     assert len(kept & {0, 2}) == 1
     assert 3 not in kept and 4 in kept
+
+
+def test_thunder_stale_metrics(spark):
+    import pandas as pd
+
+    from skyline_spark.operators.thunder import thunder_stale_metrics
+
+    def series(conv, metric, start, n, step=60):
+        return pd.DataFrame({
+            "conv_id": conv, "metric": metric,
+            "ts": pd.to_datetime([start + i * step for i in range(n)],
+                                 unit="s"),
+            "value": 1.0})
+
+    now = 1_700_100_000
+    frames = [
+        # ended 2000 s ago: stale under view's custom 1000 s period,
+        # fresh under the default 5000 s
+        series("a", "view.m", now - 2000 - 59 * 60, 60),
+        series("b", "click.m", now - 2000 - 59 * 60, 60),
+        # ended 6000 s ago: stale under the default too
+        series("c", "click.m", now - 6000 - 59 * 60, 60),
+        # stale but sparse: 5 points at the 60 s resolution over a
+        # 3600 s expected window -> sparsity 8.3% -> excluded
+        series("d", "click.m", now - 6000 - 4 * 60, 5),
+    ]
+    v = spark.createDataFrame(pd.concat(frames))
+    out = thunder_stale_metrics(
+        v, float(now), stale_period=5000, full_duration=3600,
+        custom_stale_periods={"view": 1000},
+        sparsity_threshold=50.0, exclude_sparsely_populated=True)
+    got = {r.conv_id: r for r in out.collect()}
+    assert set(got) == {"a", "c"}
+    assert got["a"].parent_namespace == "view"
+    assert got["a"].stale_for == 2000 and got["c"].stale_for == 6000
+    # without the exclusion, the sparse series surfaces too
+    out2 = thunder_stale_metrics(
+        v, float(now), stale_period=5000, full_duration=3600,
+        custom_stale_periods={"view": 1000},
+        exclude_sparsely_populated=False)
+    assert set(r.conv_id for r in out2.collect()) == {"a", "c", "d"}
