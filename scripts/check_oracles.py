@@ -32,8 +32,6 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             if getattr(df[c].dt, "tz", None):
                 df[c] = df[c].dt.tz_localize(None)
             df[c] = df[c].astype("datetime64[ns]")
-        if pd.api.types.is_float_dtype(df[c]):
-            df[c] = df[c].round(6)
         if pd.api.types.is_bool_dtype(df[c]) or str(df[c].dtype) == "boolean":
             df[c] = df[c].astype("boolean")
     df = df.sort_values(by=list(df.columns), ignore_index=True,
@@ -83,18 +81,15 @@ def main() -> int:
             failures += 1
             continue
         try:
-            # non-float columns byte-exact (the driver hashes exact value
-            # reprs — rtol on an int64 epoch would hide a real mismatch),
-            # floats with the usual summation-order tolerance
-            floats = [c for c in a.columns
-                      if pd.api.types.is_float_dtype(a[c])]
-            exact = [c for c in a.columns if c not in floats]
-            pd.testing.assert_frame_equal(a[exact], b[exact],
-                                          check_dtype=False, check_exact=True)
-            pd.testing.assert_frame_equal(a[floats], b[floats],
-                                          check_dtype=False,
-                                          check_exact=False, atol=2e-6,
-                                          rtol=1e-6)
+            # EVERY column byte-exact — the driver hashes exact value
+            # reprs, so a float tolerance here can pass a value the
+            # driver's hash rejects (r04's feature_profiles red row was
+            # exactly that: a 5e-7 rounding-boundary straddle under the
+            # old rtol=1e-6). Every registered query already rounds its
+            # float outputs boundary-safely, so exact comparison is the
+            # honest local twin of the driver gate.
+            pd.testing.assert_frame_equal(a, b, check_dtype=False,
+                                          check_exact=True)
         except AssertionError as e:
             print(f"FAIL  {name}: value mismatch\n{str(e)[:600]}")
             failures += 1

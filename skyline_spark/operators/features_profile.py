@@ -573,7 +573,21 @@ def _fourth_tranche(ts: np.ndarray, v: np.ndarray, n: int, mean: float,
         else:
             sel = np.empty(0)
         if sel.size:
-            m = float(sel.mean())
+            # corridor means are rationals p/(100*n) whose float-sum
+            # differs between engines by ~1e-13 and can straddle ANY
+            # decimal rounding boundary (r04 driver red row:
+            # f_change_q_mean_02_10 on the 5e-7 half-grid). When every
+            # diff is an exact integer-cent value (the %.2f parse
+            # domain guarantees it), sum exact cents and divide once —
+            # a single correctly-rounded double, byte-equal to the SQL
+            # twin with no rounding needed. Non-cent data (e.g. the
+            # statsd golden series) keeps the float mean.
+            cents = sel * 100.0
+            snapped = np.rint(cents)
+            if float(np.max(np.abs(cents - snapped))) < 1e-6:
+                m = float(snapped.sum() / (100.0 * sel.size))
+            else:
+                m = float(sel.mean())
             out[f"change_q_mean_{tag}"] = m
             if not degen:
                 out[f"change_q_var_{tag}"] = \

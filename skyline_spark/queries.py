@@ -3877,10 +3877,17 @@ def q_feature_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # data), so 2 dp would round AT the boundary — 3 dp is exact for
     # grid values and 5e-4 off the boundary otherwise
     prec.update({f"f_fft_tf_c{k}": 3 for k in range(10)})
+    # the change_q_mean family is an integer-cents exact mean in BOTH
+    # engines (byte-identical doubles, see _cents_mean_sql) — emitted
+    # raw, because rounding the same double can still split engines at
+    # boundary-tie detection (r04's red row class)
+    raw = {f"f_change_q_mean_{t}" for t in ("00_10", "02_08", "04_06")}
+    raw.update(f"f_change_q_mean_{t}" for t, _, _ in _FP_CQ_T6)
+    raw.update(f"f_change_q_mean_{t}" for t, _, _ in _FP_CQ_DEGEN_T7)
     # adf_tstat / number_cwt_peaks are kernel-only (NON_SQL_FEATURES):
     # pinned by tests/test_tsfresh_golden.py, excluded from the
     # driver-oracled projection
-    cols = [_RP(c, prec.get(c, 6)).alias(c)
+    cols = [(F.col(c) if c in raw else _RP(c, prec.get(c, 6))).alias(c)
             for c in out.columns
             if c != "conv_id" and c[2:] not in _FP_NON_SQL]
     return out.select("conv_id", *cols)
@@ -4255,6 +4262,22 @@ from skyline_spark.operators.features_profile import (  # noqa: E402
 )
 
 
+def _cents_mean_sql(col: str) -> str:
+    """DuckDB twin of the kernel's integer-cents corridor mean
+    (features_profile.py change_quantiles): when every diff in the
+    corridor is an exact integer-cent value — always true for the
+    %.2f parse domain — sum the exact cents and divide once, so both
+    engines produce the identical correctly-rounded double and the
+    projection needs no rounding (a float-summed mean differs by
+    ~1e-13 between engines and the rational p/(100*n) can sit exactly
+    ON any decimal rounding boundary: the r04 driver red row)."""
+    return (f"(CASE WHEN list_max([abs(x * 100.0 - round(x * 100.0))"
+            f" FOR x IN {col}]) < 1e-6\n"
+            f"       THEN list_sum([round(x * 100.0) FOR x IN {col}])\n"
+            f"            / (100.0 * len({col}))\n"
+            f"       ELSE list_sum({col}) / len({col}) END)")
+
+
 def _acf_cc_sql(k: int) -> str:
     """tsfresh autocorrelation__lag_k — Pearson r between the two
     overlapping slices (per-slice means/stds, the pandas autocorr
@@ -4401,7 +4424,7 @@ def _tranche7_derived_sql() -> str:
     for t, _, _ in _FP_CQ_DEGEN_T7:
         col = f"c.d{t}"
         p.append(f"CASE WHEN len({col}) > 0\n"
-                 f"     THEN (list_sum({col}) / len({col}))\n"
+                 f"     THEN {_cents_mean_sql(col)}\n"
                  f"     ELSE 0.0 END AS f_change_q_mean_{t}")
     # approximate_entropy m=2: |phi(2) - phi(3)|, self-matches included
     # so the log argument is never 0; O(n^2) nested comprehension is
@@ -4549,7 +4572,12 @@ def _tranche4_derived_sql() -> str:
     for tag, col in (("00_10", "c.d00"), ("02_08", "c.d28"),
                      ("04_06", "c.d46")) \
             + tuple((t, f"c.d{t}") for t, _, _ in _FP_CQ_T6):
-        mean = f"(list_sum({col}) / len({col}))"
+        # mirror of the kernel's integer-cents corridor mean (see
+        # features_profile.py change_quantiles): when every diff is an
+        # exact cent, sum exact integers and divide once — the result
+        # double is byte-equal to the kernel's, so the projection
+        # needs no boundary-hazard rounding at all
+        mean = _cents_mean_sql(col)
         p.append(f"CASE WHEN len({col}) > 0 THEN {mean}\n"
                  f"     ELSE 0.0 END AS f_change_q_mean_{tag}")
         p.append(
@@ -5010,11 +5038,11 @@ _FEATURES_FINAL = r"""SELECT conv_id,
        round(f_energy_ratio_chunk_7, 6) AS f_energy_ratio_chunk_7,
        round(f_energy_ratio_chunk_8, 6) AS f_energy_ratio_chunk_8,
        round(f_energy_ratio_chunk_9, 6) AS f_energy_ratio_chunk_9,
-       round(f_change_q_mean_00_10, 6) AS f_change_q_mean_00_10,
+       f_change_q_mean_00_10,
        round(f_change_q_var_00_10, 2) AS f_change_q_var_00_10,
-       round(f_change_q_mean_02_08, 6) AS f_change_q_mean_02_08,
+       f_change_q_mean_02_08,
        round(f_change_q_var_02_08, 2) AS f_change_q_var_02_08,
-       round(f_change_q_mean_04_06, 6) AS f_change_q_mean_04_06,
+       f_change_q_mean_04_06,
        round(f_change_q_var_04_06, 2) AS f_change_q_var_04_06,
        round(f_permutation_entropy_3, 6) AS f_permutation_entropy_3,
        round(f_benford_correlation, 6) AS f_benford_correlation,
@@ -5104,6 +5132,11 @@ def _t6_final_sum_sql() -> str:
 def _t6_final_cols_sql() -> str:
     parts = []
     for k in _t6_feature_names():
+        if k.startswith("change_q_mean"):
+            # integer-cents means are byte-identical across engines
+            # pre-round — emit raw (see _cents_mean_sql)
+            parts.append(f"f_{k}")
+            continue
         d = 6
         if k.startswith("change_q_var"):
             d = 2
@@ -6108,10 +6141,12 @@ _DRIVER_WINDOW = [
     # aggregation / correlation
     "flux_aggregate_1h", "correlate_pearson", "correlate_luminol_sql",
     # the analyze kernel + routing + run aggregates (8-algorithm forms;
-    # anomaly_breakdown_sql8 demoted: a thin groupBy over the verdict
-    # set consensus_vote_sql8 already value-checks row-by-row, displaced
-    # by the combined ionosphere_disposition oracle)
-    "consensus_vote_sql8", "sink_counts_sql5", "routed_turns_sql8",
+    # sink_counts_sql5 demoted: strictly contained in routed_turns_sql8's
+    # per-turn (conv_id, turn_idx, sink, md5(text)) equality — displaced
+    # by anomaly_breakdown_sql8 so the per-algorithm headline aggregate
+    # lands in the driver artifact; sink_counts stays green via
+    # check_oracles)
+    "consensus_vote_sql8", "anomaly_breakdown_sql8", "routed_turns_sql8",
     "run_summary_sql8", "illuminance_sql8",
     "mirage_vote_sql8", "feature_profiles", "ionosphere_match_sql8",
     "ionosphere_layers", "motif_inference", "ionosphere_disposition",

@@ -103,7 +103,14 @@ def test_trev_literal_loop(v, lag):
         return
     terms = [v[i + 2 * lag] ** 2 * v[i] - v[i + lag] * v[i] ** 2
              for i in range(n - 2 * lag)]
-    assert got == pytest.approx(float(np.mean(terms)), rel=1e-12)
+    # the terms can catastrophically cancel to ~0 (e.g. +6.6e5, 0,
+    # -6.6e5) while the vectorized sum's different order leaves a
+    # ~1e-11 residue — a pure relative tolerance around 0 is
+    # unsatisfiable, so scale an absolute term to the summand
+    # magnitude (r04 verdict item 3)
+    tol = 1e-9 * max(1.0, float(np.max(np.abs(terms))) if terms else 0.0)
+    assert got == pytest.approx(float(np.mean(terms)),
+                                rel=1e-12, abs=tol)
 
 
 def test_mean_autocorrelation_fft_path_consistent():
