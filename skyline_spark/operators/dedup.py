@@ -105,12 +105,12 @@ def with_minhash(df: DataFrame, num_hashes: int = 32,
     return df.withColumn("minhash", sig).drop("tokens", "shingles")
 
 
-def lsh_candidate_pairs(with_sig: DataFrame, num_hashes: int = 32,
-                        bands: int = 8, id_col: str = "doc_id",
-                        hash_mode: str = "xxhash64") -> DataFrame:
-    """Band the signature (bands × rows), bucket-join on (band, band
-    hash): docs sharing any band bucket become candidate pairs
-    (id_a < id_b). Shuffle key = band signature -> no all-pairs join."""
+def band_explode(with_sig: DataFrame, num_hashes: int = 32,
+                 bands: int = 8, hash_mode: str = "xxhash64",
+                 keep_cols: tuple = ()) -> DataFrame:
+    """Band the minhash signature (bands × rows) and explode to one
+    (band, band_sig) row per doc per band — the shared banding stage
+    of the batch bucket-join and the streaming stateful bucket."""
     rows_per_band = num_hashes // bands
 
     def band_key(joined):
@@ -123,9 +123,18 @@ def lsh_candidate_pairs(with_sig: DataFrame, num_hashes: int = 32,
                         lambda x: x.cast("string")), ","))
         for b in range(bands)
     ])
-    banded = with_sig.select(
-        F.col(id_col),
-        F.posexplode(band_sigs).alias("band", "band_sig"))
+    return with_sig.select(
+        *keep_cols, F.posexplode(band_sigs).alias("band", "band_sig"))
+
+
+def lsh_candidate_pairs(with_sig: DataFrame, num_hashes: int = 32,
+                        bands: int = 8, id_col: str = "doc_id",
+                        hash_mode: str = "xxhash64") -> DataFrame:
+    """Band the signature (bands × rows), bucket-join on (band, band
+    hash): docs sharing any band bucket become candidate pairs
+    (id_a < id_b). Shuffle key = band signature -> no all-pairs join."""
+    banded = band_explode(with_sig, num_hashes, bands, hash_mode,
+                          keep_cols=(id_col,))
     left = banded.select(F.col(id_col).alias("id_a"), "band", "band_sig")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "band_sig")
     pairs = left.join(right, ["band", "band_sig"]).where(

@@ -2642,10 +2642,10 @@ def q_embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SQL_EMBEDDING_NEAR_DUPS = """
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_cosine_similarity(a.embedding, b.embedding), 4) AS sim
+       round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS sim
 FROM embeddings a JOIN embeddings b
   ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.25
+WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) >= 0.25
 """
 
 
@@ -2719,7 +2719,7 @@ WITH {_SQL_AUG_EMB.strip()}
 SELECT CAST(count(*) AS BIGINT) AS n_exact,
        0.8 AS recall_floor, TRUE AS recall_ge_floor
 FROM aug a JOIN aug b ON a.label = b.label AND a.vec_id < b.vec_id
-WHERE round(list_cosine_similarity(a.embedding, b.embedding), 4) >= 0.9
+WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) >= 0.9
 """
 
 
@@ -2737,7 +2737,7 @@ WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
            WHERE vec_id < 5),
 scored AS (
     SELECT q.query_id, e.vec_id AS cand_id,
-           round(list_cosine_similarity(q.qvec, e.embedding), 4) AS sim
+           round(CAST(list_cosine_similarity(q.qvec, e.embedding) AS DOUBLE), 4) AS sim
     FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
 ranked AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -2905,7 +2905,7 @@ cands AS (
     WHERE c.cand_id <> q.query_id),
 scored AS (
     SELECT query_id, cand_id,
-           round(list_cosine_similarity(qvec, cvec), 4) AS sim
+           round(CAST(list_cosine_similarity(qvec, cvec) AS DOUBLE), 4) AS sim
     FROM cands),
 ranked AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -2950,7 +2950,7 @@ WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
            WHERE vec_id < 5),
 scored AS (
     SELECT q.query_id, e.vec_id AS cand_id,
-           round(list_cosine_similarity(q.qvec, e.embedding), 4) AS sim
+           round(CAST(list_cosine_similarity(q.qvec, e.embedding) AS DOUBLE), 4) AS sim
     FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.query_id),
 ranked AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
@@ -6114,14 +6114,535 @@ REGISTRY.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# ionosphere find_repetitive_patterns (skyline/ionosphere/
+# find_repetitive_patterns.py:155-689) — the repetitive-pattern learning
+# orchestration composed over the oracled feature kernel
+# ---------------------------------------------------------------------------
+
+#: deterministic anomaly-history fixture shared verbatim by the Spark
+#: builder and the DuckDB twin: per series, the last datapoint at
+#: 35 / 62 / 86 / 100 % of the series span is an "anomaly"; metadata
+#: variety comes from integer-epoch arithmetic so both engines derive
+#: the identical table (full_duration short on anomaly_e%5==0,
+#: the excluded algorithm present on %6==0, the parent app ineligible
+#: on t0%9==0, an enabled prior feature profile at the 2nd anomaly of
+#: t0%4==0 series plus a DISABLED one at the 1st — the enabled-only
+#: filter is live).
+_RP_FRACS = (0.35, 0.62, 0.86, 1.0)
+#: scaled gate parameters (reference 360 / 800 / 7200 at a 7-day
+#: 600-second cadence = 1008 slots; the corpora's 7-day windows carry
+#: 5-113 points at a ~4-hour cadence, so the gates scale by the same
+#: ~1/28 cadence ratio — the FULL_DURATION-style rescale the repo
+#: applies throughout)
+_RP_MIN_USE, _RP_SPARSE, _RP_EDGE = 12, 42, 43200
+#: similarity threshold rescaled like the gates: the reference's 2 %
+#: band assumes near-identical daily-ops windows; this corpus's
+#: 7-day-window fp-sum dispersion is tens of percent, so the band sits
+#: at 60 to keep the same relative position. avg_pct stays at the
+#: reference 4.0: the train-on-avg branch is structurally DEAD in
+#: find_repetitive_patterns (a nonempty selection always holds >= 3
+#: timestamps - t plus its >= 2 similar partners - so
+#: ``len(training_timestamps) >= 3`` always wins; the branch is only
+#: live in learn_repetitive_patterns' get_metrics_to_train, where
+#: similar_count resets per pair) - pinned by test_repetitive.
+_RP_SIMILAR = 60.0
+
+
+def _rp_anomaly_fixture(spark: SparkSession, sf_dir: str):
+    """(anomalies, existing_fps) derived deterministically from the
+    series themselves — the get_anomalies_for_period /
+    get_fps_for_metric stand-ins."""
+    v = _valid(spark, sf_dir)
+    e = F.floor(F.col("ts").cast("timestamp").cast("double")).cast("long")
+    pts = v.select("conv_id", "metric", e.alias("e"))
+    spans = pts.groupBy("conv_id").agg(
+        F.min("e").alias("t0"), F.max("e").alias("t1"),
+        F.max("metric").alias("metric"))
+    fracs = spark.createDataFrame([(f,) for f in _RP_FRACS],
+                                  "frac double")
+    anom = (pts.select("conv_id", "e")
+            .join(spans.crossJoin(F.broadcast(fracs)), "conv_id")
+            .where(F.col("e")
+                   <= F.col("t0") + F.col("frac")
+                   * (F.col("t1") - F.col("t0")))
+            .groupBy("conv_id", "metric", "t0", "frac")
+            .agg(F.max("e").alias("anomaly_e"))
+            .select("conv_id", "metric", "t0", "anomaly_e").distinct())
+    wconv = Window.partitionBy("conv_id")
+    anomalies = (anom
+                 .withColumn("__max_e", F.max("anomaly_e").over(wconv))
+                 .withColumn("full_duration",
+                             F.when(F.col("anomaly_e") % 5 == 0,
+                                    F.lit(86400))
+                             .otherwise(F.lit(604800)))
+                 .withColumn(
+                     "triggered",
+                     F.when(F.col("anomaly_e") % 6 == 0,
+                            F.array(
+                                F.lit("stddev_from_average"),
+                                F.lit("decreased_percent_with_increasing"
+                                      "_pair")))
+                     .otherwise(F.array(F.lit("stddev_from_average"),
+                                        F.lit("grubbs"))))
+                 .withColumn(
+                     "app",
+                     F.when(F.col("anomaly_e") == F.col("__max_e"),
+                            F.when(F.col("t0") % 9 == 0,
+                                   F.lit("analyzer"))
+                            .otherwise(F.lit("mirage")))
+                     .when(F.col("anomaly_e") % 2 == 0, F.lit("mirage"))
+                     .otherwise(F.lit("ionosphere")))
+                 .select("conv_id", "metric", "anomaly_e",
+                         "full_duration", "triggered", "app"))
+    wr = Window.partitionBy("conv_id").orderBy("anomaly_e")
+    fps = (anom.withColumn("rn", F.row_number().over(wr))
+           .where((F.col("t0") % 4 == 0) & (F.col("rn") <= 2))
+           .select("conv_id", F.col("anomaly_e").alias("fp_e"),
+                   (F.col("rn") == 2).alias("enabled")))
+    return anomalies, fps
+
+
+def q_repetitive_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — find_repetitive_patterns end-to-end: anomaly-history
+    pruning (excluded algorithms, 3-anomaly floor, trained-period and
+    full-duration gates) -> per-anomaly 7-day windows -> conditional
+    backward downsample -> length/sparse/boring gates -> the REAL
+    feature kernel's per-window features_sum (2 dp, the oracle
+    precision the feature_profiles driver row pins) -> directed
+    percent-different comparison with the same-week skip -> train /
+    train-on-avg decision -> 169-hour dedup -> generation chain. Every
+    anomaly emits its full decision surface."""
+    from skyline_spark.operators.features_profile import feature_profiles
+    from skyline_spark.operators.repetitive import (
+        find_repetitive_patterns_flow,
+    )
+    anomalies, fps = _rp_anomaly_fixture(spark, sf_dir)
+    return find_repetitive_patterns_flow(
+        _valid(spark, sf_dir), anomalies, fps,
+        lambda df: feature_profiles(df).select("conv_id", "features_sum"),
+        min_use_len=_RP_MIN_USE, sparse_len=_RP_SPARSE,
+        edge_tolerance=_RP_EDGE, namespace_excludes=("signup.",),
+        similar_pct=_RP_SIMILAR, sum_decimals=2,
+    ).orderBy("conv_id", "anomaly_e")
+
+
+def q_repetitive_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """functions/timeseries/determine_repetitive_peaks.py — per-series
+    repetitive-peak periods (rows-only: the pair/period mutation loops
+    are not ANSI-expressible; the kernel is pinned by the naive-twin
+    property test in tests/test_repetitive.py)."""
+    from skyline_spark.operators.repetitive import repetitive_peaks
+    return repetitive_peaks(_valid(spark, sf_dir)) \
+        .orderBy("conv_id")
+
+
+SQL_REPETITIVE_PATTERNS = _sql(
+    f"""
+, rpe AS MATERIALIZED (
+    SELECT conv_id, metric,
+           CAST(floor(epoch(ts)) AS BIGINT) AS e, value
+    FROM valid),
+rpspan AS MATERIALIZED (
+    SELECT conv_id, max(metric) AS metric,
+           min(e) AS t0, max(e) AS t1
+    FROM rpe GROUP BY 1),
+rpanom AS MATERIALIZED (
+    SELECT DISTINCT conv_id, metric, t0, anomaly_e FROM (
+        SELECT s.conv_id, s.metric, s.t0, f.frac,
+               max(v.e) AS anomaly_e
+        FROM rpspan s
+        CROSS JOIN (VALUES (0.35), (0.62), (0.86), (1.0)) AS f(frac)
+        JOIN rpe v ON v.conv_id = s.conv_id
+         AND v.e <= s.t0 + f.frac * (s.t1 - s.t0)
+        GROUP BY s.conv_id, s.metric, s.t0, f.frac)),
+rpmeta AS MATERIALIZED (
+    SELECT conv_id, metric, anomaly_e, t0,
+           CASE WHEN anomaly_e % 5 = 0 THEN 86400
+                ELSE 604800 END AS full_duration,
+           anomaly_e % 6 = 0 AS alg_excluded,
+           metric LIKE 'signup.%' AS ns_excluded,
+           t0 % 9 = 0 AS parent_ineligible
+    FROM rpanom),
+rpfps AS MATERIALIZED (
+    SELECT conv_id, anomaly_e AS fp_e, rn = 2 AS enabled
+    FROM (SELECT conv_id, t0, anomaly_e,
+                 row_number() OVER (PARTITION BY conv_id
+                                    ORDER BY anomaly_e) AS rn
+          FROM rpanom)
+    WHERE t0 % 4 = 0 AND rn <= 2),
+rps0 AS MATERIALIZED (
+    SELECT m.*,
+           CASE WHEN ns_excluded THEN 'namespace_excluded'
+                WHEN parent_ineligible THEN 'not_processed'
+                WHEN alg_excluded THEN 'excluded_algorithm'
+           END AS stage_a
+    FROM rpmeta m),
+rpcnt AS MATERIALIZED (
+    SELECT conv_id,
+           sum(CASE WHEN stage_a IS NULL THEN 1 ELSE 0 END) AS n_ok
+    FROM rps0 GROUP BY 1),
+rptrained AS MATERIALIZED (
+    SELECT DISTINCT a.conv_id, a.anomaly_e
+    FROM rps0 a JOIN rpfps f ON f.conv_id = a.conv_id AND f.enabled
+     AND a.anomaly_e > f.fp_e - 86400 AND a.anomaly_e < f.fp_e + 14400),
+rpstage0 AS MATERIALIZED (
+    SELECT a.conv_id, a.metric, a.anomaly_e,
+           coalesce(a.stage_a,
+               CASE WHEN c.n_ok < 3 THEN 'insufficient_anomalies'
+                    WHEN t.anomaly_e IS NOT NULL THEN 'trained_period'
+                    WHEN a.full_duration < 601200
+                        THEN 'short_full_duration' END) AS stage0
+    FROM rps0 a
+    JOIN rpcnt c USING (conv_id)
+    LEFT JOIN rptrained t
+      ON t.conv_id = a.conv_id AND t.anomaly_e = a.anomaly_e),
+rpwin0 AS MATERIALIZED (
+    SELECT a.conv_id, a.anomaly_e, v.e, v.value
+    FROM rpstage0 a JOIN rpe v ON v.conv_id = a.conv_id
+     AND v.e > a.anomaly_e - 604800 AND v.e <= a.anomaly_e
+    WHERE a.stage0 IS NULL),
+rpfsample AS MATERIALIZED (
+    SELECT * FROM (
+        SELECT conv_id, anomaly_e, e,
+               row_number() OVER (PARTITION BY conv_id, anomaly_e
+                                  ORDER BY e DESC) AS rn,
+               count(*) OVER (PARTITION BY conv_id, anomaly_e) AS n
+        FROM rpwin0)
+    WHERE n < 95 OR rn <= 101),
+rpfcnt AS MATERIALIZED (
+    SELECT conv_id, anomaly_e, res, count(*) AS c FROM (
+        SELECT conv_id, anomaly_e, e - prev AS res
+        FROM (SELECT *, lag(e) OVER (PARTITION BY conv_id, anomaly_e
+                                     ORDER BY e ASC) AS prev
+              FROM rpfsample)
+        WHERE prev IS NOT NULL)
+    GROUP BY 1, 2, 3),
+rpfres AS MATERIALIZED (
+    SELECT conv_id, anomaly_e,
+           CAST(CASE WHEN res <> 60
+                     AND res NOT IN (1, 2, 3, 5, 6, 10, 12, 15, 20, 30)
+                     AND res BETWEEN 1 AND 68
+                THEN 60 ELSE res END AS INT) AS res
+    FROM (SELECT conv_id, anomaly_e, min(res) AS res
+          FROM (SELECT *, max(c) OVER (PARTITION BY conv_id, anomaly_e)
+                          AS maxc
+                FROM rpfcnt)
+          WHERE c = maxc GROUP BY 1, 2)),
+rpds AS MATERIALIZED (
+    SELECT w.conv_id, w.anomaly_e,
+           CASE WHEN r.res < 600
+                THEN w.e + (l.last_e - w.e) % 600
+                ELSE w.e END AS bucket,
+           avg(w.value) AS value
+    FROM rpwin0 w
+    LEFT JOIN rpfres r
+      ON r.conv_id = w.conv_id AND r.anomaly_e = w.anomaly_e
+    JOIN (SELECT conv_id, anomaly_e, max(e) AS last_e
+          FROM rpwin0 GROUP BY 1, 2) l
+      ON l.conv_id = w.conv_id AND l.anomaly_e = w.anomaly_e
+    GROUP BY 1, 2, 3),
+rpstats AS MATERIALIZED (
+    SELECT conv_id, anomaly_e, count(*) AS w_n,
+           min(bucket) AS w_first, max(bucket) AS w_last
+    FROM rpds GROUP BY 1, 2),
+rpboring AS MATERIALIZED (
+    SELECT conv_id, anomaly_e,
+           count(DISTINCT value) = 1 AS boring
+    FROM (SELECT *, row_number() OVER (PARTITION BY conv_id, anomaly_e
+                                       ORDER BY bucket DESC) AS rn
+          FROM rpds)
+    WHERE rn <= 100 GROUP BY 1, 2),
+rpgate AS MATERIALIZED (
+    SELECT s.conv_id, s.anomaly_e, s.w_n,
+           (s.w_n < {_RP_SPARSE}
+            AND s.w_first < s.anomaly_e - 604800 + {_RP_EDGE}
+            AND s.w_last > s.anomaly_e - {_RP_EDGE}) AS sparse,
+           CASE WHEN s.w_n < {_RP_MIN_USE} THEN 'too_short'
+                WHEN s.w_n < {_RP_SPARSE}
+                     AND NOT (s.w_first < s.anomaly_e - 604800
+                                          + {_RP_EDGE}
+                              AND s.w_last > s.anomaly_e - {_RP_EDGE})
+                    THEN 'sparse_skipped'
+                WHEN b.boring THEN 'boring' END AS stage5
+    FROM rpstats s JOIN rpboring b
+      ON b.conv_id = s.conv_id AND b.anomaly_e = s.anomaly_e),
+rpgate2 AS MATERIALIZED (
+    SELECT g.conv_id, g.anomaly_e, g.w_n, g.sparse,
+           coalesce(g.stage5,
+               CASE WHEN g.sparse
+                    AND g.w_n < v.savg - floor(v.savg * 0.1)
+                   THEN 'sparse_below_avg' END) AS stage57
+    FROM rpgate g
+    LEFT JOIN (SELECT conv_id,
+                      floor(avg(CASE WHEN sparse THEN w_n END)) AS savg
+               FROM rpgate GROUP BY 1) v USING (conv_id)),
+rp_win AS MATERIALIZED (
+    SELECT d.conv_id || '#' || CAST(d.anomaly_e AS VARCHAR) AS conv_id,
+           to_timestamp(d.bucket) AS ts, d.value
+    FROM rpds d JOIN rpgate2 g
+      ON g.conv_id = d.conv_id AND g.anomaly_e = d.anomaly_e
+    WHERE g.stage57 IS NULL)"""
+    + _features_sql_block("_rp", "rp_win")
+    + f"""
+, rpsums AS MATERIALIZED (
+    SELECT string_split(conv_id, '#')[1] AS conv_id,
+           CAST(string_split(conv_id, '#')[2] AS BIGINT) AS anomaly_e,
+           round(({_FSUM_EXPR}), 2) + 0.0 AS features_sum
+    FROM dfin_rp),
+rppair AS MATERIALIZED (
+    SELECT a.conv_id, a.anomaly_e AS t, b.anomaly_e AS it,
+           CASE WHEN a.features_sum = 0 AND b.features_sum = 0 THEN 0.0
+                WHEN a.features_sum = 0 THEN NULL
+                ELSE abs((b.features_sum - a.features_sum)
+                         / a.features_sum * 100.0) END AS pd
+    FROM rpsums a JOIN rpsums b
+      ON a.conv_id = b.conv_id AND a.anomaly_e <> b.anomaly_e
+    WHERE NOT ((b.anomaly_e > a.anomaly_e
+                AND a.anomaly_e + 604800 > b.anomaly_e)
+            OR (b.anomaly_e < a.anomaly_e
+                AND b.anomaly_e > a.anomaly_e - 604800))),
+rpper_t AS MATERIALIZED (
+    SELECT conv_id, t,
+           sum(CASE WHEN pd <= {_RP_SIMILAR} THEN 1 ELSE 0 END)
+               AS similar_count
+    FROM rppair GROUP BY 1, 2),
+rpsel AS MATERIALIZED (
+    SELECT DISTINCT conv_id, sel FROM (
+        SELECT conv_id, t AS sel FROM rpper_t WHERE similar_count >= 2
+        UNION ALL
+        SELECT p.conv_id, p.it AS sel
+        FROM rppair p JOIN rpper_t s
+          ON s.conv_id = p.conv_id AND s.t = p.t
+         AND s.similar_count >= 2
+        WHERE p.pd <= {_RP_SIMILAR})),
+rpdec AS MATERIALIZED (
+    SELECT s.conv_id,
+           coalesce(m.psum / m.pn, 100.0) AS avg_pd,
+           coalesce(m.nulls, 0) > 0 AS err,
+           coalesce(n.nsel, 0) AS nsel
+    FROM (SELECT DISTINCT conv_id FROM rpsums) s
+    LEFT JOIN (SELECT conv_id,
+                      list_sum(list(pd ORDER BY t, it)) AS psum,
+                      count(*) AS pn,
+                      sum(CASE WHEN pd IS NULL THEN 1 ELSE 0 END)
+                          AS nulls
+               FROM rppair GROUP BY 1) m USING (conv_id)
+    LEFT JOIN (SELECT conv_id, count(*) AS nsel
+               FROM rpsel GROUP BY 1) n USING (conv_id)),
+rptrain AS MATERIALIZED (
+    SELECT conv_id, avg_pd, err, nsel,
+           (nsel >= 3 OR (nsel > 0 AND avg_pd <= 4.0)) AS train_pre,
+           (NOT (nsel >= 3) AND nsel > 0 AND avg_pd <= 4.0)
+               AS train_on_avg
+    FROM rpdec),
+rpdd AS MATERIALIZED (
+    SELECT conv_id, sel,
+           (nxt IS NOT NULL AND sel > nxt - 608400) AS deduped
+    FROM (SELECT s.conv_id, s.sel,
+                 lead(s.sel) OVER (PARTITION BY s.conv_id
+                                   ORDER BY s.sel) AS nxt
+          FROM rpsel s JOIN rptrain t
+            ON t.conv_id = s.conv_id AND t.train_pre)),
+rpkept AS MATERIALIZED (
+    SELECT conv_id, sel,
+           CAST(row_number() OVER (PARTITION BY conv_id ORDER BY sel)
+                + 1 AS INT) AS generation
+    FROM rpdd WHERE NOT deduped),
+rpfdec AS MATERIALIZED (
+    SELECT t.conv_id,
+           t.train_pre AND coalesce(k.nkept, 0) >= 2 AS train,
+           t.train_pre, t.train_on_avg, t.avg_pd, t.err
+    FROM rptrain t
+    LEFT JOIN (SELECT conv_id, count(*) AS nkept
+               FROM rpkept GROUP BY 1) k USING (conv_id)),
+rpout AS MATERIALIZED (
+    SELECT a.conv_id, a.metric, a.anomaly_e,
+           coalesce(a.stage0, g.stage57,
+               CASE WHEN s.features_sum IS NULL THEN 'no_features' END,
+               CASE WHEN d.err THEN 'comparison_error' END,
+               'compared') AS stage,
+           CAST(g.w_n AS INT) AS window_n,
+           s.features_sum,
+           p.similar_count, sl.selected, dd.deduped, k.generation,
+           d.train, d.train_pre, d.train_on_avg, d.avg_pd
+    FROM rpstage0 a
+    LEFT JOIN rpgate2 g
+      ON g.conv_id = a.conv_id AND g.anomaly_e = a.anomaly_e
+    LEFT JOIN rpsums s
+      ON s.conv_id = a.conv_id AND s.anomaly_e = a.anomaly_e
+    LEFT JOIN rpper_t p
+      ON p.conv_id = a.conv_id AND p.t = a.anomaly_e
+    LEFT JOIN (SELECT conv_id, sel, TRUE AS selected FROM rpsel) sl
+      ON sl.conv_id = a.conv_id AND sl.sel = a.anomaly_e
+    LEFT JOIN rpdd dd
+      ON dd.conv_id = a.conv_id AND dd.sel = a.anomaly_e
+    LEFT JOIN rpkept k
+      ON k.conv_id = a.conv_id AND k.sel = a.anomaly_e
+    LEFT JOIN rpfdec d ON d.conv_id = a.conv_id)
+SELECT conv_id, metric, anomaly_e, stage, window_n, features_sum,
+       CASE WHEN stage = 'compared'
+            THEN CAST(coalesce(similar_count, 0) AS INT)
+       END AS similar_count,
+       CASE WHEN stage = 'compared'
+            THEN coalesce(selected, FALSE) END AS selected,
+       CASE WHEN stage = 'compared' AND train_pre
+            AND selected IS NOT NULL THEN deduped END AS deduped,
+       CASE WHEN stage = 'compared' AND train
+            THEN generation END AS generation,
+       CASE WHEN stage = 'compared' THEN train END AS train,
+       CASE WHEN stage = 'compared' THEN train_on_avg
+       END AS train_on_avg,
+       CASE WHEN stage = 'compared' THEN round(avg_pd, 6) + 0.0
+       END AS avg_percent_different
+FROM rpout
+ORDER BY conv_id, anomaly_e
+""")
+
+
+REGISTRY.update({
+    "repetitive_patterns": (q_repetitive_patterns,
+                            SQL_REPETITIVE_PATTERNS),
+    "repetitive_peaks": (q_repetitive_peaks, None),
+})
+
+
+# ---------------------------------------------------------------------------
+# ionosphere common_motifs (skyline/ionosphere/common_motifs.py)
+# ---------------------------------------------------------------------------
+
+def q_common_motifs_candidate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — the common-motifs candidate gate
+    (common_motifs.py:187-246, 1956-1994): min-max the 5-week series,
+    split the 7-day anomaly window from the preceding 4 weeks, pad the
+    anomaly's min/max 10 % toward the interior (positive values only)
+    and require each to appear >= 3 times in pw4. Native expressions —
+    the numpy kernel twin is pinned to this by pytest."""
+    v = _valid(spark, sf_dir)
+    ep = F.col("ts").cast("timestamp").cast("double")
+    wconv = Window.partitionBy("conv_id")
+    d = (v.select("conv_id", "metric", ep.alias("e"), "value")
+         .withColumn("__head", F.max("e").over(wconv))
+         .where(F.col("e") >= F.col("__head") - 5.0 * 604800)
+         .withColumn("__mx", F.max("value").over(wconv))
+         .withColumn("__mn", F.min("value").over(wconv))
+         .withColumn("sv", F.when(F.col("__mx") == F.col("__mn"),
+                                  F.lit(0.0))
+                     .otherwise((F.col("value") - F.col("__mn"))
+                                / (F.col("__mx") - F.col("__mn")))))
+    anom = d.where(F.col("e") >= F.col("__head") - 604800) \
+        .groupBy("conv_id").agg(F.max("metric").alias("metric"),
+                                F.min("sv").alias("min_y"),
+                                F.max("sv").alias("max_y"))
+    anom = (anom
+            .withColumn("max_min_y",
+                        F.when(F.col("min_y") > 0,
+                               F.col("min_y")
+                               + (F.col("min_y") / 100) * 10.0)
+                        .otherwise(F.col("min_y")))
+            .withColumn("min_max_y",
+                        F.when(F.col("max_y") > 0,
+                               F.col("max_y")
+                               - (F.col("max_y") / 100) * 10.0)
+                        .otherwise(F.col("max_y"))))
+    pw4 = d.where(F.col("e") <= F.col("__head") - 604800) \
+        .select("conv_id", "sv")
+    counts = (pw4.join(anom, "conv_id")
+              .groupBy("conv_id")
+              .agg(F.sum(F.when(F.col("sv") <= F.col("max_min_y"), 1)
+                         .otherwise(0)).cast("int").alias("min_found"),
+                   F.sum(F.when(F.col("sv") >= F.col("min_max_y"), 1)
+                         .otherwise(0)).cast("int").alias("max_found")))
+    out = (anom.join(counts, "conv_id", "left")
+           .withColumn("min_found", F.coalesce("min_found", F.lit(0)))
+           .withColumn("max_found", F.coalesce("max_found", F.lit(0))))
+    return out.select(
+        "conv_id", "metric",
+        (F.round("min_y", 6) + F.lit(0.0)).alias("min_y"),
+        (F.round("max_y", 6) + F.lit(0.0)).alias("max_y"),
+        (F.round("max_min_y", 6) + F.lit(0.0)).alias("max_min_y"),
+        (F.round("min_max_y", 6) + F.lit(0.0)).alias("min_max_y"),
+        "min_found", "max_found",
+        ((F.col("min_found") >= 3) & (F.col("max_found") >= 3))
+        .alias("candidate")).orderBy("conv_id")
+
+
+SQL_COMMON_MOTIFS_CANDIDATE = _sql("""
+, cme AS MATERIALIZED (
+    SELECT conv_id, metric, epoch(ts) AS e, value,
+           max(epoch(ts)) OVER (PARTITION BY conv_id) AS head
+    FROM valid),
+cmw AS MATERIALIZED (
+    SELECT conv_id, metric, e, head,
+           CASE WHEN mx = mn THEN 0.0
+                ELSE (value - mn) / (mx - mn) END AS sv
+    FROM (SELECT *, max(value) OVER (PARTITION BY conv_id) AS mx,
+                    min(value) OVER (PARTITION BY conv_id) AS mn
+          FROM cme WHERE e >= head - 5.0 * 604800)),
+cma AS MATERIALIZED (
+    SELECT conv_id, max(metric) AS metric,
+           min(sv) AS min_y, max(sv) AS max_y
+    FROM cmw WHERE e >= head - 604800 GROUP BY 1),
+cma2 AS MATERIALIZED (
+    SELECT conv_id, metric, min_y, max_y,
+           CASE WHEN min_y > 0
+                THEN min_y + (min_y / 100) * 10.0
+                ELSE min_y END AS max_min_y,
+           CASE WHEN max_y > 0
+                THEN max_y - (max_y / 100) * 10.0
+                ELSE max_y END AS min_max_y
+    FROM cma),
+cmc AS (
+    SELECT p.conv_id,
+           CAST(sum(CASE WHEN p.sv <= a.max_min_y THEN 1 ELSE 0 END)
+                AS INT) AS min_found,
+           CAST(sum(CASE WHEN p.sv >= a.min_max_y THEN 1 ELSE 0 END)
+                AS INT) AS max_found
+    FROM cmw p JOIN cma2 a USING (conv_id)
+    WHERE p.e <= p.head - 604800 GROUP BY 1)
+SELECT a.conv_id, a.metric,
+       round(a.min_y, 6) + 0.0 AS min_y,
+       round(a.max_y, 6) + 0.0 AS max_y,
+       round(a.max_min_y, 6) + 0.0 AS max_min_y,
+       round(a.min_max_y, 6) + 0.0 AS min_max_y,
+       coalesce(c.min_found, 0) AS min_found,
+       coalesce(c.max_found, 0) AS max_found,
+       coalesce(c.min_found, 0) >= 3 AND coalesce(c.max_found, 0) >= 3
+           AS candidate
+FROM cma2 a LEFT JOIN cmc c USING (conv_id)
+ORDER BY conv_id
+""")
+
+
+def q_common_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 — the common-motif sweep (common_motifs.py:248-716): per
+    candidate series, every batch-6 window of the minmaxed pw4 that
+    recurs >= 3 times under the stumpy.match distance + range/area
+    gates (rows-only: the sweep is sequential per series with
+    rate-limit state; the kernel is pinned by
+    tests/test_common_motifs.py against brute-force twins)."""
+    from skyline_spark.operators.common_motifs import common_motifs
+    return common_motifs(_valid(spark, sf_dir)) \
+        .orderBy("conv_id", "batch_index", "motif_id")
+
+
+REGISTRY.update({
+    "common_motifs_candidate": (q_common_motifs_candidate,
+                                SQL_COMMON_MOTIFS_CANDIDATE),
+    "common_motifs": (q_common_motifs, None),
+})
+
+
 #: The driver's correctness gate checks the FIRST 50 registry entries
 #: only, so every full-value oracle must outrank the rows-only and
 #: dominated entries. These 50 names are exactly the oracled,
-#: non-dominated queries; past the window sit (a) the 10 rows-only
-#: queries and (b) 8 oracles strictly dominated by an in-window
-#: sibling (the _sql5 twins of _sql8 kernels, and tail_avg — a helper
-#: value-checked inside every consensus_vote_sql8 row). The demoted
-#: oracles still run green via scripts/check_oracles.py.
+#: non-dominated queries; past the window sit (a) the 12 rows-only
+#: queries and (b) 9 oracles strictly dominated by an in-window
+#: sibling (the _sql5 twins of _sql8 kernels, tail_avg — a helper
+#: value-checked inside every consensus_vote_sql8 row — and
+#: ionosphere_match_sql8, whose echo flow ionosphere_disposition
+#: composes and value-checks). The demoted oracles still run green
+#: via scripts/check_oracles.py.
 _DRIVER_WINDOW = [
     # parse / preprocess (sort_dedup demoted past the window: every
     # consensus/vote twin embeds the same sort+dedup-first-per-ts
@@ -6148,7 +6669,14 @@ _DRIVER_WINDOW = [
     # check_oracles)
     "consensus_vote_sql8", "anomaly_breakdown_sql8", "routed_turns_sql8",
     "run_summary_sql8", "illuminance_sql8",
-    "mirage_vote_sql8", "feature_profiles", "ionosphere_match_sql8",
+    # (ionosphere_match_sql8 demoted: ionosphere_disposition composes
+    # the SAME echo flow — identical SQL blocks and fp kernel — as its
+    # middle branch and value-checks its outcome for every series that
+    # reaches it; the standalone match oracle stays green via
+    # check_oracles. Displaced by repetitive_patterns so the
+    # find_repetitive_patterns composition lands in the driver
+    # artifact.)
+    "mirage_vote_sql8", "feature_profiles", "repetitive_patterns",
     "ionosphere_layers", "motif_inference", "ionosphere_disposition",
     # webapp read path (panorama over the sql8 kernel store;
     # least_squares + first_hour_average demoted past the window in

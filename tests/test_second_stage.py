@@ -611,6 +611,71 @@ def test_streaming_exact_dedup(spark, tmp_path):
     assert 3 not in kept and 4 in kept
 
 
+def test_streaming_lsh_candidate_pairs(spark, tmp_path):
+    """Multi-micro-batch MinHash-LSH candidate generation == the batch
+    bucket-join on the same corpus: near-duplicate families are split
+    so their members arrive in DIFFERENT micro-batches — the pairs can
+    only be emitted if each band bucket's membership survives in group
+    state."""
+    import os
+
+    from skyline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        with_minhash,
+    )
+    from skyline_spark.streaming.dedup import streaming_lsh_candidate_pairs
+    from skyline_spark.streaming.flux_agg import run_to_memory
+
+    base = ("the quick brown fox jumps over the lazy dog near the "
+            "river bank while the sun sets slowly behind the hills")
+    docs = []
+    # three near-dup families (suffix tweaks keep shingle overlap
+    # high) + unrelated fillers, ids interleaved so families straddle
+    # the batch split
+    for fam in range(3):
+        for rep in range(3):
+            docs.append((fam * 10 + rep,
+                         f"{base} family {fam} variant tail {rep}"))
+    for k in range(6):
+        docs.append((100 + k,
+                     f"totally unrelated document number {k} with "
+                     f"its own words {k * 7} and nothing shared {k}"))
+    # split so every family has members on both sides
+    b1 = [d for d in docs if d[0] % 2 == 0]
+    b2 = [d for d in docs if d[0] % 2 == 1]
+    srcdir = str(tmp_path / "lsh_in")
+    os.makedirs(srcdir, exist_ok=True)
+    schema = "doc_id long, text string, ts timestamp"
+    for i, part in enumerate((b1, b2)):
+        spark.createDataFrame(
+            [(i_, t, f"2024-01-01 00:0{i}:00") for i_, t in part],
+            schema="doc_id long, text string, ts string") \
+            .withColumn("ts", F.to_timestamp("ts")) \
+            .coalesce(1).write.parquet(f"{srcdir}/b{i}")
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false")
+              .parquet(f"{srcdir}/*"))
+    out = streaming_lsh_candidate_pairs(stream, watermark="10 minutes")
+    q = run_to_memory(out, "lsh_pairs_test", str(tmp_path / "ckpt_lsh"),
+                      output_mode="append")
+    q.awaitTermination(120)
+    got = {(int(a), int(b)) for a, b in spark.sql(
+        "select id_a, id_b from lsh_pairs_test").toPandas().values}
+
+    batch_docs = spark.createDataFrame(docs, "doc_id long, text string")
+    want = {(int(a), int(b)) for a, b in
+            lsh_candidate_pairs(with_minhash(batch_docs))
+            .toPandas().values}
+    assert got == want
+    # the state actually mattered: at least one family pair crosses
+    # the micro-batch split (one even, one odd id)
+    assert any(a % 2 != b % 2 for a, b in got)
+    # and the families were bucketed together at all
+    assert any(a // 10 == b // 10 and a < 100 for a, b in got)
+
+
 def test_thunder_stale_metrics(spark):
     import pandas as pd
 
