@@ -143,6 +143,57 @@ def test_remove_motifs_rate_limit_quirks():
     assert all(i < (n - 1) - 6 for i in idx)
 
 
+def test_removal_walk_learns_fully_repetitive_window():
+    """An anomaly window that is entirely recurrences of pw4's common
+    motif is fully annihilated -> learn (removed_count == window
+    length); micro motifs mop up the sub-batch remainder."""
+    from skyline_spark.operators.common_motifs import (
+        motif_removed_timeseries_indices,
+        remove_timeseries,
+    )
+    rng = np.random.RandomState(7)
+    motif = np.array([0.5, 0.8, 1.0, 0.8, 0.5, 0.45])
+    # pw4: the motif every 12 steps; anomaly window: 3 plants = 18 pts
+    pw4 = rng.uniform(0.48, 0.52, 96)
+    for s in range(0, 96, 12):
+        pw4[s:s + 6] = motif + rng.uniform(-0.005, 0.005, 6)
+    anom = np.concatenate([motif + rng.uniform(-0.005, 0.005, 6)
+                           for _ in range(3)])
+    removed, matched = motif_removed_timeseries_indices(
+        0, pw4[0:6], anom, use_predictions=False)
+    assert removed, "motif did not annihilate any anomaly indices"
+    # timestamps 60 s apart -> the 600 s adjacency walk sees one run
+    anom_pairs = [(1000 + 60 * i, float(v)) for i, v in enumerate(anom)]
+    pw5_pairs = ([(0 + 60 * i, float(v)) for i, v in enumerate(pw4)]
+                 + anom_pairs)
+    _ts, removed_count, unrem, _ru = remove_timeseries(
+        6, anom_pairs, sorted(removed), pw5_pairs)
+    assert removed_count == len(anom_pairs)
+
+
+def test_removal_walk_novel_anomaly_not_learned():
+    """A window shape absent from pw4 is not annihilated."""
+    from skyline_spark.operators.common_motifs import (
+        motif_removed_timeseries_indices,
+    )
+    rng = np.random.RandomState(11)
+    pw4 = rng.uniform(0.4, 0.5, 96)
+    anom = np.array([0.4, 0.1, 0.95, 0.05, 0.9, 0.02] * 3)
+    removed, _ = motif_removed_timeseries_indices(
+        0, pw4[0:6], anom, use_predictions=False)
+    assert len(removed) < anom.size
+
+
+def test_remove_timeseries_all_zero_window_fails_like_reference():
+    """An all-zero anomaly window crashes the reference's zero-value
+    quirk (min of an empty positive list) — surfaced as the outer
+    try's nothing-removed fallback."""
+    from skyline_spark.operators.common_motifs import remove_timeseries
+    anom_pairs = [(1000 + 60 * i, 0.0) for i in range(12)]
+    out = remove_timeseries(6, anom_pairs, [], list(anom_pairs))
+    assert out == ([], 0, {}, {})
+
+
 def test_remove_motifs_prefilter_skips_unique_band():
     """A one-off excursion whose padded band contains < 3 windows is
     prefiltered before any matching."""
