@@ -6626,17 +6626,46 @@ def q_common_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("conv_id", "batch_index", "motif_id")
 
 
+def q_cloudbursts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/luminosity — the two-stage m66 cloudburst detection
+    (luminosity/cloudburst.py:128-1040): native-resolution m66 with
+    the determine-duration/sparsity/constant gates and a persisted run
+    inside the last 4 h, confirmed on the 7-day window summarized to
+    15-minute medians (first + last two dropped) with a run inside the
+    last 6 h, then contiguous-run extraction with the single-point
+    widening quirk (rows-only: chained rolling medians + run state are
+    kernel-shaped; pinned by tests/test_cloudburst.py incl. a planted
+    cloudburst and a two-engine flag-invariance check)."""
+    from skyline_spark.operators.cloudburst import cloudbursts
+    from skyline_spark.operators.parse import parse_events as _pe
+    from skyline_spark.plans.pipeline import batch_now
+    tdf = transcripts_from_events(spark, sf_dir)
+    now = batch_now(tdf)
+    v = _pe(tdf).where(F.col("value").isNotNull())
+    # corpus-scaled config (the FULL_DURATION-style rescale used
+    # throughout): the reference's minute-cadence constants (900 s
+    # summarize, 4 h / 6 h check windows, 6 sigma) map to the corpora's
+    # ~4 h cadence as 4 h buckets, 3-day windows and 3 sigma — the
+    # operator defaults stay at the reference values
+    return cloudbursts(v, now, check_last=3 * 86400,
+                       long_period_check_last=3 * 86400,
+                       long_window_seconds=30 * 86400,
+                       summarize_interval=4 * 3600, n_sigma=3.0) \
+        .orderBy("conv_id", "start")
+
+
 REGISTRY.update({
     "common_motifs_candidate": (q_common_motifs_candidate,
                                 SQL_COMMON_MOTIFS_CANDIDATE),
     "common_motifs": (q_common_motifs, None),
+    "cloudbursts": (q_cloudbursts, None),
 })
 
 
 #: The driver's correctness gate checks the FIRST 50 registry entries
 #: only, so every full-value oracle must outrank the rows-only and
 #: dominated entries. These 50 names are exactly the oracled,
-#: non-dominated queries; past the window sit (a) the 12 rows-only
+#: non-dominated queries; past the window sit (a) the 13 rows-only
 #: queries and (b) 9 oracles strictly dominated by an in-window
 #: sibling (the _sql5 twins of _sql8 kernels, tail_avg — a helper
 #: value-checked inside every consensus_vote_sql8 row — and
