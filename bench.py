@@ -56,28 +56,74 @@ def main() -> int:
 
     fast = os.environ.get("SPARK_GRAFT_BENCH_FAST", "") == "1"
 
+    # ---- per-query host telemetry (machine-checkable phase evidence) --
+    # Three rounds running, per-query driver wall times have whipsawed
+    # 15-85% with shared-VM host phase while the code paths were
+    # commit-verified untouched (r03 q2/q4, r04 q1, r05 all ten). The
+    # attribution lived in prose + out-of-band vmstat runs; from r06 the
+    # BENCH json itself carries a /proc/stat user/idle/steal/iowait
+    # delta + loadavg around EVERY timed sample, so "host phase" is
+    # verifiable from the artifact alone. steal>2% on the picked sample
+    # also triggers an extra resample (foreign load by definition —
+    # idle% can't discriminate: our own local[32] job owns the cores).
+    def _host_probe() -> dict:
+        with open("/proc/stat") as f:
+            jiffies = [int(x) for x in f.readline().split()[1:11]]
+        with open("/proc/loadavg") as f:
+            la = f.read().split()
+        return {"jiffies": jiffies, "load1": float(la[0]),
+                "load5": float(la[1])}
+
+    def _host_delta(a: dict, b: dict) -> dict:
+        d = [y - x for x, y in zip(a["jiffies"], b["jiffies"])]
+        tot = float(sum(d)) or 1.0
+        user, nice, system, idle, iowait, irq, softirq = d[:7]
+        steal = d[7] if len(d) > 7 else 0
+        return {
+            "user_pct": round(100 * (user + nice) / tot, 1),
+            "system_pct": round(100 * (system + irq + softirq) / tot, 1),
+            "idle_pct": round(100 * idle / tot, 1),
+            "iowait_pct": round(100 * iowait / tot, 1),
+            "steal_pct": round(100 * steal / tot, 1),
+            "load1_start": a["load1"], "load1_end": b["load1"],
+        }
+
+    host: dict[str, dict] = {}
+    run_probe_start = _host_probe()
+
     def timed(name: str, make_df, runs: int = 2) -> None:
         # the sandbox host has noisy multi-second stalls: take min of 2
-        # runs, and a 3rd when the first two disagree > 20% (the r03
+        # runs, a 3rd when the first two disagree > 20% (the r03
         # q2/q4 +24%/+27% phantom regressions sat under the old 50%
-        # trigger — same input rows, plan unchanged, min-of-2 still
-        # caught a stall on both samples)
+        # trigger), and a 3rd when the would-be pick saw steal
         samples: list[float] = []
+        probes: list[dict] = []
         for i in range(1 if fast else runs + 1):
             if i == runs:
-                if min(samples) < 1e-9 or (max(samples) / min(samples)) < 1.2:
+                best = min(range(len(samples)), key=samples.__getitem__)
+                noisy = (samples[best] > 1e-9
+                         and (max(samples) / samples[best]) >= 1.2)
+                stolen = probes[best]["steal_pct"] > 2.0
+                if not (noisy or stolen):
                     break
                 if sum(samples) > 150:
                     break
             spark.catalog.clearCache()  # fresh run, no leaked persists
+            p0 = _host_probe()
             t0 = time.perf_counter()
             df = make_df()
             # force full materialization without collecting payloads
             df.write.mode("overwrite").format("noop").save()
-            samples.append(time.perf_counter() - t0)
-            if samples[-1] > 60:  # stay within the harness budget
+            sec = time.perf_counter() - t0
+            probe = _host_delta(p0, _host_probe())
+            probe["sec"] = round(sec, 3)
+            samples.append(sec)
+            probes.append(probe)
+            if sec > 60:  # stay within the harness budget
                 break
-        timings[name] = round(min(samples), 3)
+        picked = min(range(len(samples)), key=samples.__getitem__)
+        timings[name] = round(samples[picked], 3)
+        host[name] = {"picked": picked, "samples": probes}
 
     # Input materialization (NOT timed): the pipeline's contract input is
     # a transcripts *table* (Iceberg/parquet); the events->transcripts
@@ -143,6 +189,7 @@ def main() -> int:
     }
 
     total = round(sum(timings.values()), 3)
+    run_host = _host_delta(run_probe_start, _host_probe())
     out = {
         "metric": "end-to-end parse->route pipeline + headline operators, total wall seconds",
         "value": total,
@@ -157,6 +204,12 @@ def main() -> int:
             n_turns * replicas / timings[f"q1r_pipeline_replicated_{replicas}x"], 1),
         "replicas": replicas,
         "cpus": cpus,
+        # per-query /proc/stat deltas + loadavg for every sample taken,
+        # and the picked-sample index — host-phase evidence inside the
+        # artifact (steal_pct > 0 or a load1_start far above our own
+        # concurrency means a co-tenant burst, not an engine change)
+        "host": host,
+        "host_whole_run": run_host,
     }
     print(json.dumps(out))
     return 0

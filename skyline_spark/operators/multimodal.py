@@ -2,13 +2,14 @@
 columns with typed metadata, processed through Arrow-batched
 ``mapInPandas`` operators.
 
-TWO modalities carry REAL codecs: ``synth_wav_media``/``decode_audio``
-write and parse genuine RIFF/WAVE 16-bit PCM with the stdlib ``wave``
-module, and ``synth_png_media``/``decode_image`` write and parse
-genuine PNG (zlib/struct, CRC-validated chunks, all five scanline
-filters per spec §9). The container has no video codecs, so that
-*decode* kernel remains a deterministic stub (``_decode_image_stub``
-also stays as the SQL-oracle twin for the metadata path) — but every
+ALL THREE modalities carry REAL codecs: ``synth_wav_media``/
+``decode_audio`` write and parse genuine RIFF/WAVE 16-bit PCM with the
+stdlib ``wave`` module; ``synth_png_media``/``decode_image`` write and
+parse genuine PNG (zlib/struct, CRC-validated chunks, all five scanline
+filters per spec §9); and ``synth_gif_media``/``decode_video`` write
+and parse genuine animated GIF89a with an own variable-width LSB-first
+LZW codec (below, roundtrip- and interop-tested). ``_decode_image_stub``
+remains only as the SQL-oracle twin for the metadata path. Every
 Spark-side piece is real and tested: the binary schema, the mapInPandas
 batch iteration, output schemas, partition-preserving projection, and
 batch-size independence."""
