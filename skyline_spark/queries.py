@@ -6662,6 +6662,387 @@ REGISTRY.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# luminosity classification (classify_metrics / classify_anomalies)
+# ---------------------------------------------------------------------------
+
+def q_classify_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2+/luminosity — the classify_metrics level-shift /
+    volatility-shift population sweep (luminosity/
+    classify_metrics.py:58-1191) over the hourly LKV-filled grid (the
+    reference consumes regular-cadence Graphite series; the fill is
+    the already-oracled fill_forward_1h operator). Corpus-scaled
+    config per the cloudburst precedent: IQR fence c 9.9 -> 4.0 on
+    the corpora's ~hourly cadence; windows (LevelShiftAD 10,
+    PersistAD 60, VolatilityShiftAD 5) and significant_length
+    (= window, the realtime path) stay at reference values. Every
+    output column is an int/boolean/timestamp — the full decision
+    surface is value-checked with no float rounding."""
+    from skyline_spark.operators.classify import classify_metrics
+    v = _valid(spark, sf_dir)
+    filled = preprocess.fill_forward(v, 3600)
+    met = v.groupBy("conv_id").agg(F.max("metric").alias("metric"))
+    return classify_metrics(filled.join(met, "conv_id"),
+                            c=4.0, persist_c=4.0, volatility_c=4.0) \
+        .orderBy("conv_id")
+
+
+SQL_CLASSIFY_METRICS = _sql("""
+, cmet AS MATERIALIZED (
+    SELECT conv_id, max(metric) AS metric FROM valid GROUP BY conv_id),
+cfa AS MATERIALIZED (
+    SELECT conv_id, CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
+           value,
+           ROW_NUMBER() OVER (
+               PARTITION BY conv_id,
+                            CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT)
+               ORDER BY epoch(ts) DESC) AS rn
+    FROM valid),
+cfp AS MATERIALIZED (SELECT conv_id, b, value FROM cfa WHERE rn = 1),
+cfl AS MATERIALIZED (
+    SELECT conv_id, unnest(generate_series(min(b), max(b), 3600)) AS b
+    FROM cfp GROUP BY conv_id),
+cfj AS MATERIALIZED (
+    SELECT l.conv_id, l.b, p.value
+    FROM cfl l LEFT JOIN cfp p ON l.conv_id = p.conv_id AND l.b = p.b),
+cf AS MATERIALIZED (
+    SELECT conv_id, b AS e,
+           last_value(value IGNORE NULLS) OVER (
+               PARTITION BY conv_id ORDER BY b
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v,
+           ROW_NUMBER() OVER (PARTITION BY conv_id ORDER BY b) AS rn,
+           COUNT(*) OVER (PARTITION BY conv_id) AS n
+    FROM cfj),
+cres AS MATERIALIZED (
+    SELECT conv_id, d AS res FROM (
+        SELECT conv_id, d, count(*) AS cnt, min(rn) AS frn
+        FROM (SELECT conv_id, rn,
+                     e - lag(e) OVER (PARTITION BY conv_id ORDER BY rn) AS d
+              FROM cf WHERE rn > n - 30)
+        WHERE d IS NOT NULL GROUP BY conv_id, d)
+    QUALIFY row_number() OVER (PARTITION BY conv_id
+                               ORDER BY cnt DESC, frn ASC) = 1),
+cld AS MATERIALIZED (
+    SELECT conv_id, e, rn, n,
+           CASE WHEN n >= 21 AND rn >= 11 AND rn <= n - 9 THEN
+               abs( median(v) OVER (PARTITION BY conv_id ORDER BY rn
+                        ROWS BETWEEN CURRENT ROW AND 9 FOLLOWING)
+                  - median(v) OVER (PARTITION BY conv_id ORDER BY rn
+                        ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+           END AS d
+    FROM cf),
+clt AS MATERIALIZED (
+    SELECT conv_id,
+           quantile_cont(d, 0.75)
+             + 4.0 * (quantile_cont(d, 0.75) - quantile_cont(d, 0.25))
+               AS thr
+    FROM cld WHERE d IS NOT NULL GROUP BY conv_id),
+clf AS MATERIALIZED (
+    SELECT d.conv_id, d.e
+    FROM cld d JOIN clt t USING (conv_id) WHERE d.d > t.thr),
+clc AS MATERIALIZED (
+    SELECT conv_id, count(*) AS lvl_cnt FROM clf GROUP BY 1),
+cpd AS MATERIALIZED (
+    SELECT f.conv_id, f.e, f.rn, f.n,
+           CASE WHEN f.n >= 61 AND f.rn >= 61 THEN
+               abs(f.v - median(f.v) OVER (
+                       PARTITION BY f.conv_id ORDER BY f.rn
+                       ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING))
+           END AS d
+    FROM cf f JOIN clc USING (conv_id)),
+cpt AS MATERIALIZED (
+    SELECT conv_id,
+           quantile_cont(d, 0.75)
+             + 4.0 * (quantile_cont(d, 0.75) - quantile_cont(d, 0.25))
+               AS thr
+    FROM cpd WHERE d IS NOT NULL GROUP BY conv_id),
+cpf AS MATERIALIZED (
+    SELECT d.conv_id, d.e
+    FROM cpd d JOIN cpt t USING (conv_id) WHERE d.d > t.thr),
+cpc AS MATERIALIZED (
+    SELECT conv_id, count(*) AS p_cnt FROM cpf GROUP BY 1),
+cvd AS MATERIALIZED (
+    SELECT conv_id, e, rn, n,
+           CASE WHEN n >= 11 AND rn >= 6 AND rn <= n - 4 THEN
+               abs( stddev_pop(v) OVER (PARTITION BY conv_id ORDER BY rn
+                        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+                  - stddev_pop(v) OVER (PARTITION BY conv_id ORDER BY rn
+                        ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+           END AS d
+    FROM cf),
+cvt AS MATERIALIZED (
+    SELECT conv_id,
+           quantile_cont(d, 0.75)
+             + 4.0 * (quantile_cont(d, 0.75) - quantile_cont(d, 0.25))
+               AS thr
+    FROM cvd WHERE d IS NOT NULL GROUP BY conv_id),
+cvf AS MATERIALIZED (
+    SELECT d.conv_id, d.e
+    FROM cvd d JOIN cvt t USING (conv_id) WHERE d.d > t.thr),
+cvc AS MATERIALIZED (
+    SELECT conv_id, count(*) AS v_cnt FROM cvf GROUP BY 1),
+clpp AS MATERIALIZED (
+    SELECT conv_id, e, sum(np) OVER (PARTITION BY conv_id ORDER BY e)
+               AS pid
+    FROM (SELECT f.conv_id, f.e,
+                 CASE WHEN f.e - lag(f.e) OVER (PARTITION BY f.conv_id
+                                                ORDER BY f.e) = r.res
+                      THEN 0 ELSE 1 END AS np
+          FROM clf f JOIN cres r USING (conv_id))),
+clstat AS MATERIALIZED (
+    SELECT conv_id, count(*) AS n_lvl_periods,
+           min(CASE WHEN len >= 10 THEN start_e END) AS first_sig
+    FROM (SELECT conv_id, pid, min(e) AS start_e, count(*) AS len
+          FROM clpp GROUP BY 1, 2)
+    GROUP BY conv_id),
+cppp AS MATERIALIZED (
+    SELECT conv_id, e, sum(np) OVER (PARTITION BY conv_id ORDER BY e)
+               AS pid
+    FROM (SELECT f.conv_id, f.e,
+                 CASE WHEN f.e - lag(f.e) OVER (PARTITION BY f.conv_id
+                                                ORDER BY f.e) = r.res
+                      THEN 0 ELSE 1 END AS np
+          FROM cpf f JOIN cres r USING (conv_id))),
+cs1 AS MATERIALIZED (
+    SELECT l.conv_id, min(l.e) AS s1
+    FROM clf l JOIN cpf p ON l.conv_id = p.conv_id AND l.e = p.e
+    GROUP BY 1),
+crun AS MATERIALIZED (
+    SELECT s.conv_id, s.s1, count(*) AS run_len
+    FROM cs1 s
+    JOIN cppp sp ON sp.conv_id = s.conv_id AND sp.e = s.s1
+    JOIN cppp p ON p.conv_id = s.conv_id AND p.pid = sp.pid
+               AND p.e >= s.s1
+    GROUP BY 1, 2),
+cvstat AS MATERIALIZED (
+    SELECT conv_id, count(*) AS n_vol_periods,
+           max(start_e) AS last_start
+    FROM (SELECT conv_id, pid, min(e) AS start_e
+          FROM (SELECT conv_id, e,
+                       sum(np) OVER (PARTITION BY conv_id ORDER BY e) AS pid
+                FROM (SELECT f.conv_id, f.e,
+                             CASE WHEN f.e - lag(f.e) OVER (
+                                      PARTITION BY f.conv_id ORDER BY f.e)
+                                      = r.res
+                                  THEN 0 ELSE 1 END AS np
+                      FROM cvf f JOIN cres r USING (conv_id)))
+          GROUP BY 1, 2)
+    GROUP BY conv_id),
+convs AS (SELECT conv_id, max(n) AS n FROM cf GROUP BY 1)
+SELECT c.conv_id, m.metric, CAST(c.n AS INT) AS n_points,
+       coalesce(r.res, 0) AS resolution,
+       CAST(coalesce(lc.lvl_cnt, 0) AS INT) AS n_level_anomalies,
+       CAST(coalesce(ls.n_lvl_periods, 0) AS INT) AS n_level_periods,
+       CAST(coalesce(pc.p_cnt, 0) AS INT) AS n_persist_anomalies,
+       CASE WHEN coalesce(lc.lvl_cnt, 0) = 0 THEN FALSE
+            WHEN coalesce(pc.p_cnt, 0) > 0
+                THEN coalesce(ru.run_len >= 10, FALSE)
+            ELSE ls.n_lvl_periods <= 2 AND ls.first_sig IS NOT NULL
+       END AS level_shift,
+       CASE WHEN coalesce(lc.lvl_cnt, 0) = 0 THEN NULL
+            WHEN coalesce(pc.p_cnt, 0) > 0
+                THEN CASE WHEN ru.run_len >= 10 THEN ru.s1 END
+            WHEN ls.n_lvl_periods <= 2 THEN ls.first_sig
+       END AS level_shift_timestamp,
+       CAST(coalesce(vc.v_cnt, 0) AS INT) AS n_volatility_anomalies,
+       CAST(coalesce(vs.n_vol_periods, 0) AS INT) AS n_volatility_periods,
+       coalesce(vc.v_cnt, 0) > 0 AND vs.n_vol_periods <= 2
+           AS volatility_shift,
+       CASE WHEN coalesce(vc.v_cnt, 0) > 0 AND vs.n_vol_periods <= 2
+            THEN vs.last_start END AS volatility_shift_timestamp
+FROM convs c
+JOIN cmet m USING (conv_id)
+LEFT JOIN cres r USING (conv_id)
+LEFT JOIN clc lc USING (conv_id)
+LEFT JOIN clstat ls USING (conv_id)
+LEFT JOIN cpc pc USING (conv_id)
+LEFT JOIN crun ru USING (conv_id)
+LEFT JOIN cvc vc USING (conv_id)
+LEFT JOIN cvstat vs USING (conv_id)
+ORDER BY c.conv_id
+""")
+
+
+def q_classify_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2+/luminosity — classify_anomalies anomaly-type classification
+    (luminosity/classify_anomalies.py:69-584): per recorded anomaly,
+    the LUMINOSITY_CLASSIFY_ANOMALY_ALGORITHMS suite (adtk level
+    shift / volatility shift / persist / seasonal, window=5, c=6.0)
+    over the anomaly's training window, triggered = flagged inside
+    the last 5 timestamps; anomaly_types = the triggered subset in
+    settings order. Anomalies come from the same deterministic
+    get_anomalies stand-in the repetitive_patterns oracle uses."""
+    from skyline_spark.operators.classify import classify_anomalies
+    anomalies, _ = _rp_anomaly_fixture(spark, sf_dir)
+    return classify_anomalies(_valid(spark, sf_dir), anomalies) \
+        .orderBy("conv_id", "anomaly_e")
+
+
+SQL_CLASSIFY_ANOMALIES = _sql("""
+, cae AS MATERIALIZED (
+    SELECT conv_id, e, value FROM (
+        SELECT conv_id, CAST(floor(epoch(ts)) AS BIGINT) AS e, value,
+               row_number() OVER (
+                   PARTITION BY conv_id, CAST(floor(epoch(ts)) AS BIGINT)
+                   ORDER BY turn_idx) AS dd
+        FROM valid) WHERE dd = 1),
+caraw AS MATERIALIZED (
+    SELECT conv_id, CAST(floor(epoch(ts)) AS BIGINT) AS e FROM valid),
+caspan AS MATERIALIZED (
+    SELECT conv_id, min(e) AS t0, max(e) AS t1 FROM caraw GROUP BY 1),
+caanom AS MATERIALIZED (
+    SELECT DISTINCT conv_id, anomaly_e FROM (
+        SELECT s.conv_id, f.frac, max(v.e) AS anomaly_e
+        FROM caspan s
+        CROSS JOIN (VALUES (0.35), (0.62), (0.86), (1.0)) AS f(frac)
+        JOIN caraw v ON v.conv_id = s.conv_id
+         AND v.e <= s.t0 + f.frac * (s.t1 - s.t0)
+        GROUP BY s.conv_id, f.frac)),
+casl AS MATERIALIZED (
+    SELECT a.conv_id, a.anomaly_e, v.e, v.value,
+           row_number() OVER (PARTITION BY a.conv_id, a.anomaly_e
+                              ORDER BY v.e) AS rn,
+           count(*) OVER (PARTITION BY a.conv_id, a.anomaly_e) AS n
+    FROM caanom a JOIN cae v
+      ON v.conv_id = a.conv_id AND v.e <= a.anomaly_e),
+cald AS MATERIALIZED (
+    SELECT conv_id, anomaly_e, rn, n,
+           CASE WHEN n >= 11 AND rn >= 6 AND rn <= n - 4 THEN
+               abs( median(value) OVER (
+                        PARTITION BY conv_id, anomaly_e ORDER BY rn
+                        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+                  - median(value) OVER (
+                        PARTITION BY conv_id, anomaly_e ORDER BY rn
+                        ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+           END AS d
+    FROM casl),
+calt AS MATERIALIZED (
+    SELECT conv_id, anomaly_e,
+           quantile_cont(d, 0.75)
+             + 6.0 * (quantile_cont(d, 0.75) - quantile_cont(d, 0.25))
+               AS thr
+    FROM cald WHERE d IS NOT NULL GROUP BY 1, 2),
+calh AS MATERIALIZED (
+    SELECT d.conv_id, d.anomaly_e, bool_or(d.rn > d.n - 5) AS hit
+    FROM cald d JOIN calt t USING (conv_id, anomaly_e)
+    WHERE d.d > t.thr GROUP BY 1, 2),
+cavd AS MATERIALIZED (
+    SELECT conv_id, anomaly_e, rn, n,
+           CASE WHEN n >= 11 AND rn >= 6 AND rn <= n - 4 THEN
+               abs( stddev_pop(value) OVER (
+                        PARTITION BY conv_id, anomaly_e ORDER BY rn
+                        ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
+                  - stddev_pop(value) OVER (
+                        PARTITION BY conv_id, anomaly_e ORDER BY rn
+                        ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+           END AS d
+    FROM casl),
+cavt AS MATERIALIZED (
+    SELECT conv_id, anomaly_e,
+           quantile_cont(d, 0.75)
+             + 6.0 * (quantile_cont(d, 0.75) - quantile_cont(d, 0.25))
+               AS thr
+    FROM cavd WHERE d IS NOT NULL GROUP BY 1, 2),
+cavh AS MATERIALIZED (
+    SELECT d.conv_id, d.anomaly_e, bool_or(d.rn > d.n - 5) AS hit
+    FROM cavd d JOIN cavt t USING (conv_id, anomaly_e)
+    WHERE d.d > t.thr GROUP BY 1, 2),
+capd AS MATERIALIZED (
+    SELECT conv_id, anomaly_e, rn, n,
+           CASE WHEN n >= 6 AND rn >= 6 THEN
+               abs(value - median(value) OVER (
+                       PARTITION BY conv_id, anomaly_e ORDER BY rn
+                       ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+           END AS d
+    FROM casl),
+capt AS MATERIALIZED (
+    SELECT conv_id, anomaly_e,
+           quantile_cont(d, 0.75)
+             + 6.0 * (quantile_cont(d, 0.75) - quantile_cont(d, 0.25))
+               AS thr
+    FROM capd WHERE d IS NOT NULL GROUP BY 1, 2),
+caph AS MATERIALIZED (
+    SELECT d.conv_id, d.anomaly_e, bool_or(d.rn > d.n - 5) AS hit
+    FROM capd d JOIN capt t USING (conv_id, anomaly_e)
+    WHERE d.d > t.thr GROUP BY 1, 2),
+cax AS MATERIALIZED (
+    SELECT conv_id, anomaly_e, rn, n, value,
+           value - avg(value) OVER (PARTITION BY conv_id, anomaly_e) AS x
+    FROM casl WHERE n >= 20),
+caden AS MATERIALIZED (
+    SELECT conv_id, anomaly_e, sum(x * x) AS denom, max(n) AS n
+    FROM cax GROUP BY 1, 2),
+caacf AS MATERIALIZED (
+    SELECT a.conv_id, a.anomaly_e, b.rn - a.rn AS k, sum(a.x * b.x) AS num
+    FROM cax a JOIN cax b
+      ON a.conv_id = b.conv_id AND a.anomaly_e = b.anomaly_e
+     AND b.rn > a.rn AND b.rn - a.rn <= a.n // 2
+    GROUP BY 1, 2, 3),
+caper AS MATERIALIZED (
+    SELECT conv_id, anomaly_e, k AS period FROM (
+        SELECT conv_id, anomaly_e, k, acf, n FROM (
+            SELECT f.conv_id, f.anomaly_e, f.k, f.num / d.denom AS acf,
+                   lag(f.num / d.denom) OVER w AS prevv,
+                   lead(f.num / d.denom) OVER w AS nextv,
+                   d.n
+            FROM caacf f JOIN caden d USING (conv_id, anomaly_e)
+            WHERE d.denom <> 0
+            WINDOW w AS (PARTITION BY f.conv_id, f.anomaly_e ORDER BY f.k))
+        WHERE k >= 2 AND k <= n // 2 - 1
+          AND acf >= prevv AND acf >= nextv AND acf > 2.0 / sqrt(n))
+    QUALIFY row_number() OVER (PARTITION BY conv_id, anomaly_e
+                               ORDER BY acf DESC, k ASC) = 1),
+capat AS MATERIALIZED (
+    SELECT s.conv_id, s.anomaly_e, (s.rn - 1) % p.period AS phase,
+           avg(s.value) AS pmean
+    FROM cax s JOIN caper p USING (conv_id, anomaly_e)
+    GROUP BY 1, 2, 3),
+cares AS MATERIALIZED (
+    SELECT s.conv_id, s.anomaly_e, s.rn, s.n, s.value - t.pmean AS resid
+    FROM cax s JOIN caper p USING (conv_id, anomaly_e)
+    JOIN capat t ON t.conv_id = s.conv_id AND t.anomaly_e = s.anomaly_e
+                AND t.phase = (s.rn - 1) % p.period),
+caresf AS MATERIALIZED (
+    SELECT conv_id, anomaly_e,
+           quantile_cont(resid, 0.25) AS q1,
+           quantile_cont(resid, 0.75) AS q3
+    FROM cares GROUP BY 1, 2),
+cash AS MATERIALIZED (
+    SELECT r.conv_id, r.anomaly_e, bool_or(r.rn > r.n - 5) AS hit
+    FROM cares r JOIN caresf f USING (conv_id, anomaly_e)
+    WHERE r.resid > f.q3 + 6.0 * (f.q3 - f.q1)
+       OR r.resid < f.q1 - 6.0 * (f.q3 - f.q1)
+    GROUP BY 1, 2),
+can AS MATERIALIZED (
+    SELECT conv_id, anomaly_e, max(n) AS n FROM casl GROUP BY 1, 2)
+SELECT a.conv_id, a.anomaly_e, CAST(nn.n AS INT) AS n_points,
+       coalesce(l.hit, FALSE) AS adtk_level_shift,
+       coalesce(v.hit, FALSE) AS adtk_volatility_shift,
+       coalesce(p.hit, FALSE) AS adtk_persist,
+       coalesce(se.hit, FALSE) AS adtk_seasonal,
+       concat_ws(',',
+           CASE WHEN coalesce(l.hit, FALSE) THEN 'adtk_level_shift' END,
+           CASE WHEN coalesce(v.hit, FALSE)
+                THEN 'adtk_volatility_shift' END,
+           CASE WHEN coalesce(p.hit, FALSE) THEN 'adtk_persist' END,
+           CASE WHEN coalesce(se.hit, FALSE) THEN 'adtk_seasonal' END)
+           AS anomaly_types
+FROM caanom a
+JOIN can nn USING (conv_id, anomaly_e)
+LEFT JOIN calh l USING (conv_id, anomaly_e)
+LEFT JOIN cavh v USING (conv_id, anomaly_e)
+LEFT JOIN caph p USING (conv_id, anomaly_e)
+LEFT JOIN cash se USING (conv_id, anomaly_e)
+ORDER BY a.conv_id, a.anomaly_e
+""")
+
+
+REGISTRY.update({
+    "classify_metrics": (q_classify_metrics, SQL_CLASSIFY_METRICS),
+    "classify_anomalies": (q_classify_anomalies, SQL_CLASSIFY_ANOMALIES),
+})
+
+
 #: The driver's correctness gate checks the FIRST 50 registry entries
 #: only, so every full-value oracle must outrank the rows-only and
 #: dominated entries. These 50 names are exactly the oracled,

@@ -1,0 +1,202 @@
+"""Luminosity classification (classify_metrics / classify_anomalies)
+— reference: skyline/luminosity/classify_metrics.py:58-1191 and
+classify_anomalies.py:69-584."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from skyline_spark.operators.classify import (
+    classify_anomalies,
+    classify_metrics,
+    continuous_periods,
+    metric_resolution,
+    persist_walk,
+    persist_walk_closed,
+    significant_level_shift,
+)
+
+
+def test_metric_resolution_mode_and_tie_break():
+    # diffs: 60 x2, 120 x2 -> tie; Counter insertion order keeps the
+    # FIRST-encountered diff (120 here)
+    e = np.array([0, 120, 180, 300, 360], dtype=np.int64)
+    assert metric_resolution(e) == 120
+    # clear majority
+    e = np.array([0, 60, 120, 180, 400], dtype=np.int64)
+    assert metric_resolution(e) == 60
+    assert metric_resolution(np.array([5], dtype=np.int64)) == 0
+
+
+def test_metric_resolution_last_30_only():
+    # 40 points: first 10 gaps are 600s, last 29 gaps are 60s; only the
+    # last-30 tail (29 diffs of 60) is consulted
+    e = np.concatenate([np.arange(11) * 600,
+                        6000 + 60 + np.arange(29) * 60]).astype(np.int64)
+    assert metric_resolution(e) == 60
+
+
+def test_continuous_periods_grouping():
+    assert continuous_periods([], 60) == []
+    assert continuous_periods([0, 60, 120, 300, 360, 900], 60) == [
+        [0, 60, 120], [300, 360], [900]]
+    # non-exact spacing never chains
+    assert continuous_periods([0, 61, 122], 60) == [[0], [61], [122]]
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.data())
+def test_persist_walk_literal_matches_closed_form(data):
+    """The closed form the SQL oracle uses is exactly the reference's
+    literal walk (un-reset last_p_timestamp quirk included)."""
+    res = data.draw(st.sampled_from([1, 60]))
+    grid = [i * res for i in range(40)]
+    level = sorted(data.draw(st.sets(st.sampled_from(grid), max_size=15)))
+    persist = sorted(data.draw(st.sets(st.sampled_from(grid), max_size=15)))
+    sig_len = data.draw(st.integers(min_value=1, max_value=6))
+    assert persist_walk(level, persist, res, sig_len) == \
+        persist_walk_closed(level, persist, res, sig_len)
+
+
+def test_persist_walk_first_run_only_grows():
+    # persist islands: [0..240] (5 pts) and [600..660] (2 pts); shared
+    # level anomalies at 60 and 600. Only the run from the FIRST shared
+    # timestamp (60 -> 240, length 4) counts; 600's period stays a
+    # singleton even though its island has 2 points.
+    level = [60, 600]
+    persist = [0, 60, 120, 180, 240, 600, 660]
+    assert persist_walk(level, persist, 60, 4) == (True, 60)
+    assert persist_walk(level, persist, 60, 5) == (False, None)
+    # sig_len 2 would be met by 600's island under a NON-quirky reading;
+    # the reference walk still only grows the first run, but run(60)=5
+    # already qualifies
+    assert persist_walk([600], persist, 60, 2) == (True, 600)
+
+
+def test_significant_level_shift_no_persist_branch():
+    # <= 2 periods and one >= sig_len -> significant at that period's
+    # first timestamp
+    level = [0, 60, 120, 600]
+    ok, ts, nper = significant_level_shift(level, [], 60, 3)
+    assert (ok, ts, nper) == (True, 0, 2)
+    # > 2 periods -> never significant
+    level = [0, 300, 900, 1500]
+    ok, ts, nper = significant_level_shift(level, [], 60, 1)
+    assert (ok, ts) == (False, None) and nper == 4
+    assert significant_level_shift([], [], 60, 3) == (False, None, 0)
+
+
+def _series_df(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "value"])
+        .assign(ts=lambda d: pd.to_datetime(d.ts, unit="s"),
+                metric="m.test"))
+
+
+def test_classify_metrics_planted_level_shift(spark):
+    """A clean sustained step on a regular grid classifies as a
+    level-shift metric; a stable series does not."""
+    rng = np.random.RandomState(7)
+    n = 200
+    base = 1_700_000_000
+    rows = []
+    v = rng.normal(100, 0.5, n)
+    v[120:] += 500.0  # one sustained shift
+    for i in range(n):
+        rows.append(("shifted", i, base + i * 60, float(v[i])))
+    w = rng.normal(100, 0.5, n)
+    for i in range(n):
+        rows.append(("stable", i, base + i * 60, float(w[i])))
+    out = classify_metrics(_series_df(spark, rows), c=4.0, persist_c=4.0,
+                           volatility_c=4.0).toPandas() \
+        .set_index("conv_id")
+    assert out.loc["shifted"].level_shift
+    assert out.loc["shifted"].resolution == 60
+    assert out.loc["shifted"].n_level_anomalies > 0
+    assert not out.loc["stable"].level_shift
+    assert out.loc["stable"].n_level_anomalies == 0
+    # the trigger lands at/near the plant (within the 10-pt window)
+    trig = out.loc["shifted"].level_shift_timestamp
+    assert base + 110 * 60 <= trig <= base + 130 * 60
+
+
+def test_classify_metrics_volatility_shift(spark):
+    """A variance burst classifies as a volatility-shift metric with
+    the trigger at the LAST continuous period start."""
+    rng = np.random.RandomState(11)
+    n = 150
+    base = 1_700_000_000
+    v = rng.normal(50, 0.2, n)
+    v[100:115] = 50 + rng.normal(0, 30, 15)
+    rows = [("burst", i, base + i * 60, float(v[i])) for i in range(n)]
+    out = classify_metrics(_series_df(spark, rows), c=4.0, persist_c=4.0,
+                           volatility_c=4.0).toPandas().iloc[0]
+    assert out.volatility_shift
+    assert out.n_volatility_periods <= 2
+    assert out.volatility_shift_timestamp is not None
+
+
+def test_classify_metrics_too_short_series(spark):
+    rows = [("tiny", i, 1_700_000_000 + i * 60, float(i)) for i in range(8)]
+    out = classify_metrics(_series_df(spark, rows)).toPandas().iloc[0]
+    assert out.n_points == 8
+    assert out.n_level_anomalies == 0
+    assert not out.level_shift and not out.volatility_shift
+
+
+def test_classify_anomalies_types_and_gating(spark):
+    """Per-anomaly training-window classification: a step right at the
+    anomaly triggers the IQR algorithms inside the last-5 window; a
+    too-short window (n < 11) triggers nothing."""
+    rng = np.random.RandomState(3)
+    n = 60
+    base = 1_700_000_000
+    v = rng.normal(10, 0.1, n)
+    v[-3:] += 80.0  # shift landing inside the final 5-point window
+    rows = [("a", i, base + i * 60, float(v[i])) for i in range(n)]
+    rows += [("b", i, base + i * 60, float(i % 3)) for i in range(7)]
+    df = _series_df(spark, rows)
+    anoms = spark.createDataFrame(
+        [("a", base + (n - 1) * 60), ("a", base + 30 * 60),
+         ("b", base + 6 * 60)],
+        "conv_id string, anomaly_e long")
+    out = classify_anomalies(df, anoms).toPandas() \
+        .set_index(["conv_id", "anomaly_e"]).sort_index()
+    hot = out.loc[("a", base + (n - 1) * 60)]
+    assert hot.adtk_persist  # value vs 5-pt trailing median fence
+    assert hot.anomaly_types != ""
+    assert all(t in ("adtk_level_shift", "adtk_volatility_shift",
+                     "adtk_persist", "adtk_seasonal")
+               for t in hot.anomaly_types.split(","))
+    # mid-series anomaly: window ends before the plant -> quiet
+    mid = out.loc[("a", base + 30 * 60)]
+    assert mid.anomaly_types == ""
+    # 7-point window: persist can run (n >= 6), level/vol/seasonal gated
+    tiny = out.loc[("b", base + 6 * 60)]
+    assert not tiny.adtk_level_shift and not tiny.adtk_volatility_shift
+    assert not tiny.adtk_seasonal
+    assert tiny.n_points == 7
+
+
+def test_classify_anomalies_types_string_order(spark):
+    """anomaly_types joins triggered algorithms in settings order."""
+    from skyline_spark.operators.classify import (
+        CLASSIFY_ANOMALY_ALGORITHMS,
+    )
+    assert CLASSIFY_ANOMALY_ALGORITHMS == (
+        "adtk_level_shift", "adtk_volatility_shift", "adtk_persist",
+        "adtk_seasonal")
+
+
+@pytest.mark.parametrize("sig_len,expect", [(1, True), (4, True),
+                                            (5, False)])
+def test_persist_walk_run_length_boundary(sig_len, expect):
+    level = [120]
+    persist = [120, 180, 240, 300]
+    got, ts = persist_walk(level, persist, 60, sig_len)
+    assert got is expect
+    assert ts == (120 if expect else None)
