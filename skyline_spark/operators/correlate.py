@@ -223,9 +223,10 @@ def luminosity_correlations(parsed: DataFrame, anomalies: DataFrame,
                     continue
                 b = {int(p["sb"]): float(p["v"]) for p in r.pv}
                 coef, shift = _shift_corr(a, b, max_steps)
-                out.append((r.anom_conv, r.conv_id, round(coef, 6),
-                            shift * step_s))
-            yield pd.DataFrame(out, columns=["anom_conv", "cand_conv",
+                out.append((r.anom_conv, float(r.anom_ts), r.conv_id,
+                            round(coef, 6), shift * step_s))
+            yield pd.DataFrame(out, columns=["anom_conv", "anom_ts",
+                                             "cand_conv",
                                              "coefficient", "shift_seconds"])
 
     def luminol_rows(batches):
@@ -240,21 +241,176 @@ def luminosity_correlations(parsed: DataFrame, anomalies: DataFrame,
                 vb = np.array([p["v"] for p in r.pv], dtype=float)
                 coef, shift, shifted = luminol_cross_correlation(
                     ta, va, tb, vb, max_shift_seconds=max_shift_s)
-                out.append((r.anom_conv, r.conv_id, round(coef, 6),
-                            int(shift), round(shifted, 6)))
-            yield pd.DataFrame(out, columns=["anom_conv", "cand_conv",
+                out.append((r.anom_conv, float(r.anom_ts), r.conv_id,
+                            round(coef, 6), int(shift), round(shifted, 6)))
+            yield pd.DataFrame(out, columns=["anom_conv", "anom_ts",
+                                             "cand_conv",
                                              "coefficient", "shift_seconds",
                                              "shifted_coefficient"])
 
     if mode == "luminol":
         out = joined.mapInPandas(
             luminol_rows,
-            schema="anom_conv string, cand_conv string, coefficient double, "
+            schema="anom_conv string, anom_ts double, cand_conv string, "
+                   "coefficient double, "
                    "shift_seconds int, shifted_coefficient double")
         # is_correlated(threshold): the SIGNED coefficient clears the bar
         return out.where(F.col("coefficient") >= threshold)
     out = joined.mapInPandas(
         corr_rows,
-        schema="anom_conv string, cand_conv string, coefficient double, "
-               "shift_seconds int")
+        schema="anom_conv string, anom_ts double, cand_conv string, "
+               "coefficient double, shift_seconds int")
     return out.where(F.abs(F.col("coefficient")) >= threshold)
+
+
+def cross_correlation_relationships(correlations: DataFrame,
+                                    minimum_correlations_count: int = 3,
+                                    count_percentile: float = 95.0
+                                    ) -> DataFrame:
+    """related_metrics — aggregate per-anomaly cross-correlations into
+    per-(base, candidate) relationships.
+
+    Reference: skyline/functions/luminosity/
+    get_cross_correlation_relationships.py:33-245 and
+    luminosity/related_metrics.py:512 — for a base metric, gather the
+    stored cross-correlations of all its anomalies (the ``luminosity``
+    MySQL table the ``correlations`` input stands in for), summarize
+    each candidate metric as (correlation count, avg coefficient,
+    Counter of shifts, avg shifted coefficient) (:129-137), then keep
+    only candidates whose count reaches BOTH the
+    ``count_percentile``-th percentile of the base's candidate counts
+    (np.percentile linear interpolation, :180) and
+    LUMINOSITY_RELATED_METRICS_MINIMUM_CORRELATIONS_COUNT (:193,
+    settings.py:3994 default 3). The Redis id<->name hydration and
+    drop-bookkeeping hashes (:99-128, :211-235) are lookup plumbing
+    the DataFrame keys replace.
+
+    ``shifted_counts`` renders the Counter canonically as
+    ``shift:count`` pairs sorted by shift.
+
+    Scale: two aggregations on the same (base, cand) grouping — the
+    shift-level pre-aggregate map-side combines, the percentile is a
+    window over per-base candidate rows (candidate-cardinality, never
+    raw correlation rows). No broadcast, no collect.
+    """
+    per_shift = correlations.groupBy(
+        "anom_conv", "cand_conv", "shift_seconds").agg(
+        F.count("*").alias("cnt"),
+        F.sum("coefficient").alias("sum_coef"),
+        F.sum("shifted_coefficient").alias("sum_shifted"))
+    per = per_shift.groupBy("anom_conv", "cand_conv").agg(
+        F.sum("cnt").cast("long").alias("cross_correlations_count"),
+        (F.sum("sum_coef") / F.sum("cnt")).alias("avg_coefficient"),
+        (F.sum("sum_shifted") / F.sum("cnt"))
+        .alias("avg_shifted_coefficient"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("shift_seconds",
+                                                     "cnt"))),
+                lambda x: F.concat_ws(
+                    ":", x.shift_seconds.cast("string"),
+                    x.cnt.cast("string"))), ",").alias("shifted_counts"))
+    frac = float(count_percentile) / 100.0
+    pct = F.expr(f"percentile(cross_correlations_count, {frac!r}) "
+                 "OVER (PARTITION BY anom_conv)")
+    return (per.withColumn("__pct", pct)
+            .where((F.col("cross_correlations_count") >= F.col("__pct"))
+                   & (F.col("cross_correlations_count")
+                      >= F.lit(int(minimum_correlations_count))))
+            .select(F.col("anom_conv").alias("base_conv"), "cand_conv",
+                    "cross_correlations_count", "avg_coefficient",
+                    "shifted_counts", "avg_shifted_coefficient"))
+
+
+def pearson_closest_matrix(parsed: DataFrame, resolution: int,
+                           targets: DataFrame | None = None,
+                           min_aligned: int = 10) -> DataFrame:
+    """pearson_closest — rank every candidate series by Pearson
+    correlation against each target over a common aligned+filled grid.
+
+    Reference: skyline/webapp/luminosity_pearson_closest.py:45-450
+    (determine_pearson_closest) + skyline/functions/luminosity/
+    pearson_closest.py:34-350. Semantics kept exactly:
+
+    - every point floor-aligns to ``resolution`` and the LAST raw
+      point of a bucket wins the dict overwrite
+      (luminosity_pearson_closest.py:293-317);
+    - the fill grid is the UNION of observed aligned timestamps across
+      all metrics — the dense start..end lattice the reference builds
+      at :301-308 is dead code, ``unique_aligned_timestamps`` is what
+      the fill loop iterates (:320);
+    - gaps and NaNs fill from the last PRESENT value, except the
+      reference's falsy test ``if last_value:`` routes a last value of
+      exactly 0.0 to the series' FIRST value instead (:325-335 —
+      quirk kept);
+    - pairs need >= 10 aligned points (pearson_closest.py:313-325,
+      'too short' -> None) and >= 3 for the pandas min_periods corr;
+      a zero-variance side yields a None coefficient like
+      pandas' NaN;
+    - ranking is by |cc| descending (luminosity_pearson_closest.py:
+      386-413); None coefficients trail unranked. Dict-order ties are
+      determinized by candidate name ascending.
+
+    Scale: the fill is one window pass per series over the shared
+    grid; the correlation is one equi-join on the grid timestamp +
+    grouped covariance aggregates (never a UDF). Pass ``targets``
+    (a small conv_id DataFrame, broadcast) for the production
+    target-vs-population shape; the default all-targets matrix is the
+    oracle/utilities surface (utilities_pearson_closest).
+    """
+    from pyspark.sql import Window
+
+    te = epoch_seconds(F.col("ts"))
+    at = (F.floor(te / resolution) * resolution).cast("long")
+    cols = set(parsed.columns)
+    order = (F.col("turn_idx") if "turn_idx" in cols
+             else F.lit(0)).alias("__o")
+    pts = parsed.where(F.col("value").isNotNull()).select(
+        "conv_id", at.alias("at"), te.alias("te"), order, "value")
+    wl = Window.partitionBy("conv_id", "at").orderBy(
+        F.col("te").desc(), F.col("__o").desc())
+    last_pt = (pts.withColumn("__rn", F.row_number().over(wl))
+               .where(F.col("__rn") == 1).select("conv_id", "at", "value"))
+    grid = last_pt.select("at").distinct()
+    convs = last_pt.select("conv_id").distinct()
+    lattice = convs.crossJoin(grid)  # series x grid: the filled matrix
+    j = lattice.join(last_pt, ["conv_id", "at"], "left")
+    wseq = Window.partitionBy("conv_id").orderBy("at")
+    lkv = F.last("value", ignorenulls=True).over(
+        wseq.rowsBetween(Window.unboundedPreceding, -1))
+    fv = F.first("value", ignorenulls=True).over(
+        wseq.rowsBetween(Window.unboundedPreceding,
+                         Window.unboundedFollowing))
+    filled = j.select(
+        "conv_id", "at",
+        F.coalesce(F.col("value"),
+                   F.when(lkv != 0.0, lkv).otherwise(fv)).alias("v"))
+    gn = grid.agg(F.count("*").alias("n_grid"))
+
+    t = filled.select(F.col("conv_id").alias("target_conv"), "at",
+                      F.col("v").alias("tv"))
+    if targets is not None:
+        t = t.join(F.broadcast(targets.select(
+            F.col("conv_id").alias("target_conv")).distinct()),
+            "target_conv")
+    o = filled.select(F.col("conv_id").alias("cand_conv"), "at",
+                      F.col("v").alias("ov"))
+    r = F.try_divide(F.covar_samp("tv", "ov"),
+                     F.stddev_samp("tv") * F.stddev_samp("ov"))
+    stats = (t.join(o, "at")
+             .groupBy("target_conv", "cand_conv")
+             .agg(F.count("*").alias("n_aligned"), r.alias("cc")))
+    out = (stats.crossJoin(F.broadcast(gn))
+           .withColumn("cc", F.when(F.col("n_grid") >= min_aligned,
+                                    F.col("cc")))
+           .withColumn("pearson_cc", F.round("cc", 6) + F.lit(0.0))
+           .withColumn("abs_pearson_cc",
+                       F.round(F.abs(F.col("cc")), 6) + F.lit(0.0)))
+    wr = Window.partitionBy("target_conv").orderBy(
+        F.col("abs_pearson_cc").desc(), F.col("cand_conv").asc())
+    rank = F.when(F.col("pearson_cc").isNotNull(),
+                  F.row_number().over(wr))
+    return out.select("target_conv", "cand_conv",
+                      F.col("n_aligned").cast("int").alias("n_aligned"),
+                      "pearson_cc", "abs_pearson_cc",
+                      rank.cast("int").alias("rank"))

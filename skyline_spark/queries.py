@@ -7043,6 +7043,209 @@ REGISTRY.update({
 })
 
 
+# ---------------------------------------------------------------------------
+# related_metrics (cross-correlation relationships) + pearson_closest
+# ---------------------------------------------------------------------------
+
+def q_related_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1+/luminosity — related_metrics via cross-correlation
+    relationships (functions/luminosity/
+    get_cross_correlation_relationships.py:33-245): the stored
+    per-anomaly luminol correlations (>= 0.9, the same distributed
+    luminol path the correlate_luminol_sql oracle pins, zero-shift
+    restriction kept so the kernel stays ANSI-expressible) aggregated
+    per (base, candidate) into count / avg coefficient / shift
+    Counter / avg shifted coefficient, gated on the 95th-percentile
+    correlation count AND the minimum-correlations floor (3).
+    Anomalies come from the deterministic get_anomalies stand-in."""
+    from skyline_spark.operators.correlate import (
+        cross_correlation_relationships,
+        luminosity_correlations,
+    )
+    parsed = _parsed(spark, sf_dir)
+    anomalies, _ = _rp_anomaly_fixture(spark, sf_dir)
+    an = anomalies.select("conv_id",
+                          F.col("anomaly_e").cast("double")
+                          .alias("last_ts"))
+    cor = luminosity_correlations(
+        parsed, an, window_s=LUM_WINDOW_S, step_s=LUM_STEP_S,
+        max_shift_s=1, threshold=0.9, mode="luminol")
+    rel = cross_correlation_relationships(cor)
+    return rel.select(
+        "base_conv", "cand_conv", "cross_correlations_count",
+        _R6("avg_coefficient").alias("avg_coefficient"),
+        "shifted_counts",
+        _R6("avg_shifted_coefficient").alias("avg_shifted_coefficient")) \
+        .orderBy("base_conv", "cand_conv")
+
+
+SQL_RELATED_METRICS = _sql(f"""
+, rmraw AS MATERIALIZED (
+    SELECT conv_id, CAST(floor(epoch(ts)) AS BIGINT) AS e FROM valid),
+rmspan AS MATERIALIZED (
+    SELECT conv_id, min(e) AS t0, max(e) AS t1 FROM rmraw GROUP BY 1),
+rmanom AS MATERIALIZED (
+    SELECT DISTINCT conv_id AS anom_conv, anomaly_e AS anom_ts FROM (
+        SELECT s.conv_id, f.frac, max(v.e) AS anomaly_e
+        FROM rmspan s
+        CROSS JOIN (VALUES (0.35), (0.62), (0.86), (1.0)) AS f(frac)
+        JOIN rmraw v ON v.conv_id = s.conv_id
+         AND v.e <= s.t0 + f.frac * (s.t1 - s.t0)
+        GROUP BY s.conv_id, f.frac)),
+rmhits AS MATERIALIZED (
+    SELECT a.anom_conv, a.anom_ts, v.conv_id,
+           CAST(floor(epoch(v.ts) / {LUM_STEP_S}) AS BIGINT) AS sb,
+           avg(v.value) AS v
+    FROM valid v JOIN rmanom a
+      ON epoch(v.ts) >= a.anom_ts - {LUM_WINDOW_S}
+     AND epoch(v.ts) <= a.anom_ts + {LUM_WINDOW_S}
+    GROUP BY 1, 2, 3, 4),
+rmtarg AS MATERIALIZED (
+    SELECT anom_conv, anom_ts, sb, v FROM rmhits
+    WHERE conv_id = anom_conv),
+rmtn AS MATERIALIZED (
+    SELECT anom_conv, anom_ts, count(*) AS tn FROM rmtarg GROUP BY 1, 2),
+rmpairs AS MATERIALIZED (
+    SELECT h.anom_conv, h.anom_ts, h.conv_id
+    FROM rmhits h JOIN rmtn t
+      ON h.anom_conv = t.anom_conv AND h.anom_ts = t.anom_ts
+    WHERE h.conv_id <> h.anom_conv AND t.tn >= 5
+    GROUP BY 1, 2, 3),
+rmcommon AS MATERIALIZED (
+    SELECT h.anom_conv, h.anom_ts, h.conv_id, t.v AS av, h.v AS bv
+    FROM rmhits h JOIN rmtarg t
+      ON h.anom_conv = t.anom_conv AND h.anom_ts = t.anom_ts
+     AND h.sb = t.sb
+    WHERE h.conv_id <> h.anom_conv),
+rmnorm AS MATERIALIZED (
+    SELECT anom_conv, anom_ts, conv_id,
+           CASE WHEN max(av) OVER w <> 0
+                THEN av / (max(av) OVER w) ELSE av END AS an,
+           CASE WHEN max(bv) OVER w <> 0
+                THEN bv / (max(bv) OVER w) ELSE bv END AS bn
+    FROM rmcommon
+    WINDOW w AS (PARTITION BY anom_conv, anom_ts, conv_id)),
+rmstat AS MATERIALIZED (
+    SELECT anom_conv, anom_ts, conv_id, count(*) AS cn,
+           covar_pop(an, bn) AS cov,
+           stddev_pop(an) AS sa, stddev_pop(bn) AS sb
+    FROM rmnorm GROUP BY 1, 2, 3),
+rmkept AS MATERIALIZED (
+    SELECT anom_conv, anom_ts, cand_conv, coefficient,
+           0 AS shift_seconds, coefficient AS shifted_coefficient
+    FROM (SELECT p.anom_conv, p.anom_ts, p.conv_id AS cand_conv,
+                 round(CASE WHEN s.cn IS NULL OR s.cn < 2 THEN 0.0
+                            WHEN s.sa * s.sb * s.cn <> 0.0
+                                THEN s.cov / (s.sa * s.sb)
+                            ELSE s.cov * s.cn END, 6) AS coefficient
+          FROM rmpairs p LEFT JOIN rmstat s
+            ON p.anom_conv = s.anom_conv AND p.anom_ts = s.anom_ts
+           AND p.conv_id = s.conv_id)
+    WHERE coefficient >= 0.9),
+rmshift AS MATERIALIZED (
+    SELECT anom_conv, cand_conv, shift_seconds, count(*) AS cnt,
+           sum(coefficient) AS sum_coef,
+           sum(shifted_coefficient) AS sum_shifted
+    FROM rmkept GROUP BY 1, 2, 3),
+rmper AS MATERIALIZED (
+    SELECT anom_conv, cand_conv,
+           CAST(sum(cnt) AS BIGINT) AS cross_correlations_count,
+           sum(sum_coef) / sum(cnt) AS avg_coefficient,
+           sum(sum_shifted) / sum(cnt) AS avg_shifted_coefficient,
+           string_agg(shift_seconds::VARCHAR || ':' || cnt::VARCHAR,
+                      ',' ORDER BY shift_seconds) AS shifted_counts
+    FROM rmshift GROUP BY 1, 2)
+SELECT anom_conv AS base_conv, cand_conv, cross_correlations_count,
+       round(avg_coefficient, 6) AS avg_coefficient, shifted_counts,
+       round(avg_shifted_coefficient, 6) AS avg_shifted_coefficient
+FROM (SELECT *, quantile_cont(cross_correlations_count, 0.95)
+                    OVER (PARTITION BY anom_conv) AS pct
+      FROM rmper)
+WHERE cross_correlations_count >= pct
+  AND cross_correlations_count >= 3
+ORDER BY base_conv, cand_conv
+""")
+
+
+def q_pearson_closest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1+/luminosity — pearson_closest (webapp/
+    luminosity_pearson_closest.py:45-450 + functions/luminosity/
+    pearson_closest.py:34-350): every series vs every series over the
+    shared hourly aligned-and-filled grid (union of observed aligned
+    timestamps, last-raw-point-per-bucket, LKV fill with the falsy-zero
+    first-value quirk), Pearson cc + |cc| ranking per target. The full
+    utilities matrix is value-checked; production shape is
+    target-vs-population via the ``targets`` broadcast."""
+    from skyline_spark.operators.correlate import pearson_closest_matrix
+    return pearson_closest_matrix(_valid(spark, sf_dir), 3600) \
+        .orderBy("target_conv", "cand_conv")
+
+
+SQL_PEARSON_CLOSEST = _sql("""
+, pca AS MATERIALIZED (
+    SELECT conv_id, at, value FROM (
+        SELECT conv_id,
+               CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS at,
+               value,
+               row_number() OVER (
+                   PARTITION BY conv_id,
+                                CAST(floor(epoch(ts) / 3600) * 3600
+                                     AS BIGINT)
+                   ORDER BY epoch(ts) DESC, turn_idx DESC) AS rn
+        FROM valid) WHERE rn = 1),
+pcg AS MATERIALIZED (SELECT DISTINCT at FROM pca),
+pcc AS MATERIALIZED (SELECT DISTINCT conv_id FROM pca),
+pcj AS MATERIALIZED (
+    SELECT l.conv_id, l.at, p.value
+    FROM (SELECT c.conv_id, g.at FROM pcc c CROSS JOIN pcg g) l
+    LEFT JOIN pca p ON l.conv_id = p.conv_id AND l.at = p.at),
+pcf AS MATERIALIZED (
+    SELECT conv_id, at,
+           coalesce(value,
+               CASE WHEN lkv IS NOT NULL AND lkv <> 0.0 THEN lkv
+                    ELSE fv END) AS v
+    FROM (SELECT conv_id, at, value,
+                 last_value(value IGNORE NULLS) OVER (
+                     PARTITION BY conv_id ORDER BY at
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                     AS lkv,
+                 first_value(value IGNORE NULLS) OVER (
+                     PARTITION BY conv_id ORDER BY at
+                     ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND UNBOUNDED FOLLOWING) AS fv
+          FROM pcj)),
+pcn AS (SELECT count(*) AS n_grid FROM pcg),
+pcs AS MATERIALIZED (
+    SELECT t.conv_id AS target_conv, o.conv_id AS cand_conv,
+           count(*) AS n_aligned,
+           covar_samp(t.v, o.v) AS cov,
+           stddev_samp(t.v) AS sa, stddev_samp(o.v) AS sb
+    FROM pcf t JOIN pcf o ON t.at = o.at
+    GROUP BY 1, 2),
+pcr AS MATERIALIZED (
+    SELECT target_conv, cand_conv, CAST(n_aligned AS INT) AS n_aligned,
+           CASE WHEN (SELECT n_grid FROM pcn) >= 10
+                THEN CASE WHEN sa * sb <> 0 THEN cov / (sa * sb) END
+           END AS cc
+    FROM pcs)
+SELECT target_conv, cand_conv, n_aligned,
+       round(cc, 6) AS pearson_cc, round(abs(cc), 6) AS abs_pearson_cc,
+       CASE WHEN cc IS NOT NULL THEN CAST(row_number() OVER (
+           PARTITION BY target_conv
+           ORDER BY round(abs(cc), 6) DESC NULLS LAST, cand_conv ASC)
+           AS INT)
+       END AS rank
+FROM pcr
+ORDER BY target_conv, cand_conv
+""")
+
+
+REGISTRY.update({
+    "related_metrics": (q_related_metrics, SQL_RELATED_METRICS),
+    "pearson_closest": (q_pearson_closest, SQL_PEARSON_CLOSEST),
+})
+
+
 #: The driver's correctness gate checks the FIRST 50 registry entries
 #: only, so every full-value oracle must outrank the rows-only and
 #: dominated entries. These 50 names are exactly the oracled,
