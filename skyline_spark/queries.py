@@ -7246,6 +7246,116 @@ REGISTRY.update({
 })
 
 
+#: thunder rolling config, corpus-rescaled (reference minute-cadence
+#: constants mapped to the corpora's ~hourly cadence): up expiry 900 s
+#: -> 2 d, 5-minute report window -> 20 h (~5 points), run_time
+#: optimum threshold chosen to split the population, change kernel at
+#: the custom_significant_change oracle's 6 h/7 d scaling with the
+#: thunder times_in_a_row=5 confirmation
+TR_UP_EXPIRY = 172800
+TR_REPORTED_WITHIN = 72000
+TR_OVERRUN_T = 20.0
+TR_AFTER_OVERRUNS = 5
+TR_CHANGE = {"window": 21600, "percent": 10.0, "period": 604800,
+             "times_in_a_row": 5}
+
+
+def q_thunder_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3/thunder — the thunder/rolling per-app health sweep
+    (thunder/thunder_rolling.py:88-360): app-up freshness, the
+    run_time overrun confirmation walk (checks/analyzer/
+    run_time.py:126-155), and the horizon metrics_received check
+    (not-reported window + significant_change_window_percent_sustained
+    with the sustained times_in_a_row confirmation,
+    checks/horizon/metrics_received.py:88-196) — one decision-surface
+    row per series."""
+    from skyline_spark.operators.parse import parse_events as _pe
+    from skyline_spark.operators.thunder import thunder_rolling_checks
+    from skyline_spark.plans.pipeline import batch_now
+    tdf = transcripts_from_events(spark, sf_dir)
+    now = batch_now(tdf)
+    v = _pe(tdf).where(F.col("value").isNotNull())
+    return thunder_rolling_checks(
+        v, now, up_expiry=TR_UP_EXPIRY,
+        overrun_threshold=TR_OVERRUN_T,
+        after_overruns=TR_AFTER_OVERRUNS,
+        reported_within=TR_REPORTED_WITHIN,
+        change_window=TR_CHANGE["window"],
+        change_percent=TR_CHANGE["percent"],
+        change_period=TR_CHANGE["period"],
+        times_in_a_row=TR_CHANGE["times_in_a_row"]) \
+        .orderBy("conv_id")
+
+
+SQL_THUNDER_ROLLING = _sql(f"""
+, tre AS MATERIALIZED (
+    SELECT conv_id, epoch(ts) AS x,
+           CAST(floor(epoch(ts)) AS BIGINT) AS e, value,
+           row_number() OVER (PARTITION BY conv_id
+                              ORDER BY epoch(ts) DESC,
+                                       turn_idx DESC) AS rnd
+    FROM valid),
+trl AS MATERIALIZED (
+    SELECT conv_id, max(e) AS last_timestamp,
+           max(CASE WHEN rnd = 1 THEN value END) AS last_value,
+           max(CASE WHEN rnd = 1 THEN x END) AS t_last,
+           CAST(sum(CASE WHEN rnd <= {TR_AFTER_OVERRUNS}
+                              AND value > {TR_OVERRUN_T}
+                         THEN 1 ELSE 0 END) AS INT) AS n_recent_overruns
+    FROM tre GROUP BY conv_id),
+trb AS MATERIALIZED (
+    SELECT t.conv_id,
+           CAST(floor(t.x / {TR_CHANGE['window']}) AS BIGINT) AS b,
+           median(t.value) AS bmed
+    FROM tre t JOIN trl l USING (conv_id)
+    WHERE t.x >= l.t_last - {TR_CHANGE['period']}
+    GROUP BY 1, 2),
+trm AS MATERIALIZED (
+    SELECT conv_id, median(bmed) AS med FROM trb GROUP BY 1),
+trt AS MATERIALIZED (
+    SELECT t.conv_id, count(*) AS n_tail,
+           sum(CASE WHEN m.med <> 0
+                         AND abs((t.value - m.med) / m.med * 100.0)
+                             > {TR_CHANGE['percent']}
+                    THEN 1 ELSE 0 END) AS n_hits,
+           bool_or(CASE WHEN t.rnd = 1 THEN
+                       CASE WHEN m.med <> 0
+                            THEN abs((t.value - m.med) / m.med * 100.0)
+                                 > {TR_CHANGE['percent']}
+                            ELSE FALSE END
+                   END) AS hit_last,
+           bool_or(m.med = 0 AND t.value <> 0) AS any_none
+    FROM tre t JOIN trm m USING (conv_id)
+    WHERE t.rnd <= {TR_CHANGE['times_in_a_row']}
+    GROUP BY 1),
+trsig AS MATERIALIZED (
+    SELECT conv_id,
+           CASE WHEN any_none THEN NULL
+                ELSE hit_last OR (n_hits = n_tail
+                    AND n_tail = {TR_CHANGE['times_in_a_row']})
+           END AS significant_change
+    FROM trt)
+SELECT l.conv_id, l.last_timestamp,
+       round(l.last_value, 6) AS last_value,
+       l.last_timestamp >= b.now - {TR_UP_EXPIRY} AS reported_up,
+       l.last_timestamp < b.now - {TR_REPORTED_WITHIN} AS not_reported,
+       l.last_value > {TR_OVERRUN_T}
+           AND l.n_recent_overruns = {TR_AFTER_OVERRUNS} AS overrun,
+       l.n_recent_overruns,
+       s.significant_change,
+       CASE WHEN s.significant_change IS NULL THEN NULL
+            WHEN s.significant_change THEN 1.0 ELSE 0.0
+       END AS change_score
+FROM trl l LEFT JOIN trsig s USING (conv_id), batch b
+ORDER BY l.conv_id
+""")
+
+
+REGISTRY.update({
+    "thunder_rolling": (q_thunder_rolling, SQL_THUNDER_ROLLING),
+})
+
+
 #: The driver's correctness gate checks the FIRST 50 registry entries
 #: only, so every full-value oracle must outrank the rows-only and
 #: dominated entries. These 50 names are exactly the oracled,

@@ -147,3 +147,86 @@ def test_pearson_closest_constant_series_none(spark):
     assert pd.isna(ak.pearson_cc) and pd.isna(ak["rank"])
     aa = out[(out.target_conv == "a") & (out.cand_conv == "a")].iloc[0]
     assert aa["rank"] == 1
+
+
+# ---------------------------------------------------------------------------
+# thunder rolling checks (thunder/thunder_rolling.py)
+# ---------------------------------------------------------------------------
+
+def _tr(spark, rows):
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "value"])
+        .assign(ts=lambda d: pd.to_datetime(d.ts, unit="s")))
+
+
+def test_thunder_rolling_up_and_reported_windows(spark):
+    from skyline_spark.operators.thunder import thunder_rolling_checks
+    base = 1_700_000_000
+    rows = []
+    # 'fresh' reports up to now; 'stale' stopped 2000s ago
+    for i in range(20):
+        rows.append(("fresh", i, base + i * 60, 5.0))
+        rows.append(("stale", i, base - 2000 + i * 60, 5.0))
+    now = base + 19 * 60
+    out = thunder_rolling_checks(_tr(spark, rows), now, up_expiry=900,
+                                 reported_within=299,
+                                 overrun_threshold=100.0) \
+        .toPandas().set_index("conv_id")
+    assert out.loc["fresh"].reported_up
+    assert not out.loc["fresh"].not_reported
+    assert not out.loc["stale"].reported_up
+    assert out.loc["stale"].not_reported
+
+
+def test_thunder_rolling_overrun_confirmation_walk(spark):
+    """Overrun needs the CURRENT value over threshold AND every one of
+    the last after_overruns points over it (run_time.py:135-155); a
+    partial streak or a short series never confirms."""
+    from skyline_spark.operators.thunder import thunder_rolling_checks
+    base = 1_700_000_000
+    rows = []
+    v_full = [5.0] * 10 + [150.0] * 5            # confirmed overrun
+    v_partial = [5.0] * 12 + [150.0] * 3         # only 3 of last 5
+    v_short = [150.0] * 4                        # series shorter than 5
+    for name, vs in (("full", v_full), ("partial", v_partial),
+                     ("short", v_short)):
+        for i, v in enumerate(vs):
+            rows.append((name, i, base + i * 60, v))
+    now = base + 15 * 60
+    out = thunder_rolling_checks(_tr(spark, rows), now,
+                                 overrun_threshold=100.0,
+                                 after_overruns=5) \
+        .toPandas().set_index("conv_id")
+    assert out.loc["full"].overrun
+    assert out.loc["full"].n_recent_overruns == 5
+    assert not out.loc["partial"].overrun
+    assert out.loc["partial"].n_recent_overruns == 3
+    assert not out.loc["short"].overrun
+    assert out.loc["short"].n_recent_overruns == 4
+
+
+def test_thunder_rolling_significant_change_sustained(spark):
+    """The metrics_received change check: a sustained jump of >percent
+    vs the median-of-window-medians flags; a single-point spike whose
+    last value returned to normal does not; a zero median with nonzero
+    tail values is undeterminable (None)."""
+    from skyline_spark.operators.thunder import thunder_rolling_checks
+    base = 1_700_000_000
+    rows = []
+    sustained = [100.0] * 40 + [200.0] * 5
+    recovered = [100.0] * 39 + [200.0] * 5 + [100.0]
+    zeros = [0.0] * 40 + [3.0] * 5
+    for name, vs in (("sustained", sustained), ("recovered", recovered),
+                     ("zeros", zeros)):
+        for i, v in enumerate(vs):
+            rows.append((name, i, base + i * 60, v))
+    now = base + 46 * 60
+    out = thunder_rolling_checks(
+        _tr(spark, rows), now, overrun_threshold=1e9,
+        change_window=600, change_percent=20.0, change_period=3600,
+        times_in_a_row=5).toPandas().set_index("conv_id")
+    assert out.loc["sustained"].significant_change
+    assert out.loc["sustained"].change_score == 1.0
+    assert not out.loc["recovered"].significant_change
+    assert out.loc["zeros"].significant_change is None \
+        or pd.isna(out.loc["zeros"].significant_change)
