@@ -7379,7 +7379,15 @@ _DRIVER_WINDOW = [
     # favor of the sigma-suite, alert-throttle, ionosphere-layers and
     # dedup-clusters oracles — all stay green via check_oracles and are
     # value-checked inside the vote twins)
-    "mad_prefilter",
+    # (mad_prefilter demoted r6: the MAD verdict is value-checked
+    # per-series inside BOTH consensus_vote_sql8 and sigma_vote_sql8's
+    # t_mad column; displaced by classify_anomalies so the luminosity
+    # anomaly-type classification — 236-row four-algorithm decision
+    # surface — lands in the driver artifact. Stays green via
+    # check_oracles/ORACLES_rNN.json, as do the other four new r6
+    # oracles: classify_metrics, related_metrics, pearson_closest,
+    # thunder_rolling.)
+    "classify_anomalies",
     "ks_d_sql", "sigma_vote_sql8", "sigma_oneshot_sql",
     "alert_throttle_sql",
     # aggregation / correlation

@@ -715,3 +715,61 @@ def test_thunder_stale_metrics(spark):
         custom_stale_periods={"view": 1000},
         exclude_sparsely_populated=False)
     assert set(r.conv_id for r in out2.collect()) == {"a", "c", "d"}
+
+
+def test_streaming_routed_sets_under_late_and_duplicate_arrivals(
+        spark, tmp_path):
+    """The north-rule invariant under disorder: micro-batches that
+    interleave in time (every series' odd turns arrive a whole trigger
+    AFTER its even turns — all of them 'late' w.r.t. the first batch's
+    watermark) and re-deliver a slice of already-seen rows must drain
+    to per-sink routed-row SETS identical to the one-shot batch plan on
+    the deduplicated input, per-turn text equality included."""
+    import os
+
+    from skyline_spark.plans.pipeline import run_pipeline
+    from skyline_spark.sources.transcripts import synthetic_transcripts
+    from skyline_spark.streaming.pipeline import (
+        run_streaming_pipeline_cumulative,
+    )
+    from skyline_spark.synth import (
+        fixture_alert_config,
+        fixture_pipeline_config,
+    )
+
+    tdf = synthetic_transcripts(spark).where(
+        F.col("conv_id") <= "conv-app.server-0009")
+    srcdir = str(tmp_path / "turns_in")
+    os.makedirs(srcdir, exist_ok=True)
+    even = tdf.where(F.col("turn_idx") % 2 == 0)
+    odd = tdf.where(F.col("turn_idx") % 2 == 1)
+    # drop 0: even turns only. drop 1: the late odd turns PLUS a
+    # duplicate re-delivery of a third of the even turns.
+    even.coalesce(1).write.parquet(f"{srcdir}/d0")
+    odd.unionByName(even.where(F.col("turn_idx") % 3 == 0)) \
+        .coalesce(1).write.parquet(f"{srcdir}/d1")
+    stream = (spark.readStream.schema(TRANSCRIPTS_SCHEMA)
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false").parquet(f"{srcdir}/d*"))
+    adf = spark.createDataFrame(fixture_alert_config(),
+                                schema=ALERT_CONFIG_SCHEMA)
+    out = str(tmp_path / "sinks")
+    q = run_streaming_pipeline_cumulative(
+        spark, stream, adf, fixture_pipeline_config(), out,
+        str(tmp_path / "ckpt"), str(tmp_path / "staging"))
+    q.awaitTermination(240)
+
+    key = ("conv_id", "turn_idx", "sink")
+    got = spark.read.parquet(out).select(
+        *key, F.md5(F.col("text")).alias("text_md5"))
+    want = run_pipeline(spark, tdf, adf,
+                        fixture_pipeline_config()).routed_turns.select(
+        *key, F.md5(F.col("text")).alias("text_md5"))
+    got_set = {tuple(r) for r in got.collect()}
+    want_set = {tuple(r) for r in want.collect()}
+    assert got_set == want_set          # per-sink routed-row sets equal
+    assert len(got_set) == tdf.count()  # duplicates collapsed, no gaps
+    # per-sink aggregate counts equal too (the reference's headline)
+    gc = dict(got.groupBy("sink").count().collect())
+    wc = dict(want.groupBy("sink").count().collect())
+    assert gc == wc
