@@ -239,3 +239,86 @@ def cloudbursts(parsed: DataFrame, now: float, **kernel_kwargs) -> DataFrame:
         "value")
     return proj.groupBy("conv_id").applyInPandas(
         kernel, schema=CLOUDBURST_SCHEMA)
+
+
+def cloudburst_related_metrics(parsed: DataFrame, now: float,
+                               sources: DataFrame,
+                               window_seconds: int = 7 * 86400,
+                               align_seconds: int = 3600,
+                               threshold: float = 0.5,
+                               cv: int = 4) -> DataFrame:
+    """find_related — ppscore relationships between cloudburst source
+    metrics and the candidate population
+    (skyline/luminosity/cloudbursts.py:79-380): per (source,
+    candidate) pair, both directed predictive power scores over the
+    trailing window's shared timestamps; related when either exceeds
+    0.5 (:289), ranked by the two scores' sum (:314).
+
+    Faithful pieces: the strictly-greater window trim
+    (``ts > until - window``, :221), the falsy skip that drops shared
+    rows where the x-side value is exactly 0.0 (``if x_value:``,
+    :270-273), both directed scores from one aligned frame (the
+    pps.matrix call, :284), the >0.5 either-direction gate and the
+    score-sum ranking. Documented out of scope: the reference's
+    longest/shortest selection is a dict-enumerate bug that compares
+    METRIC NAME lengths (``max(enumerate(dict), key=len(tup[1]))``,
+    :255-256) and can pull a third metric's timestamps into the
+    frame — here the pair's lexicographically smaller conv is the x
+    side, deterministically. The reference's minute-cadence shared-raw
+    timestamps become the hourly mean alignment (the corpus'
+    regular-cadence mapping used throughout); ppscore itself is the
+    ppscore-lite kernel (functions/ppscore.py — published pps formula
+    on an exact-parity 1-D CART, chronological folds).
+
+    Scale: one hourly pre-aggregate, one broadcast of the source id
+    list, one equi-join on the aligned bucket per (source, candidate)
+    pair, one Arrow kernel per pair — never all-pairs beyond the
+    source-cardinality fan-out the reference itself performs.
+    """
+    from skyline_spark.functions.ppscore import ppscore_1d
+
+    te = F.col("ts").cast("timestamp").cast("double")
+    pts = (parsed.where(F.col("value").isNotNull())
+           .where(te > F.lit(float(now)) - F.lit(int(window_seconds)))
+           .groupBy("conv_id",
+                    (F.floor(te / align_seconds) * align_seconds)
+                    .cast("long").alias("b"))
+           .agg(F.avg("value").alias("v")))
+    src = sources.select(F.col("conv_id").alias("source_conv")).distinct()
+    a = pts.join(F.broadcast(src),
+                 pts["conv_id"] == F.col("source_conv")) \
+        .select(F.col("source_conv"), "b", F.col("v").alias("sv"))
+    joined = a.join(pts.withColumnRenamed("conv_id", "cand_conv")
+                    .withColumnRenamed("v", "cv_"), "b") \
+        .where(F.col("cand_conv") != F.col("source_conv"))
+    # the falsy x-side skip: x = the lexicographically smaller conv
+    xv = F.when(F.col("source_conv") < F.col("cand_conv"),
+                F.col("sv")).otherwise(F.col("cv_"))
+    joined = joined.where(xv != 0.0)
+
+    def kernel(pdf):
+        import pandas as pd
+        pdf = pdf.sort_values("b", kind="stable")
+        s = pdf["sv"].to_numpy(np.float64)
+        c = pdf["cv_"].to_numpy(np.float64)
+        s2c, case1 = ppscore_1d(s, c, cv=cv)
+        c2s, case2 = ppscore_1d(c, s, cv=cv)
+        s2c, c2s = round(s2c, 6) + 0.0, round(c2s, 6) + 0.0
+        return pd.DataFrame([{
+            "source_conv": pdf["source_conv"].iloc[0],
+            "cand_conv": pdf["cand_conv"].iloc[0],
+            "n_shared": int(len(pdf)),
+            "pps_source_to_cand": s2c,
+            "pps_cand_to_source": c2s,
+            "case_source_to_cand": case1,
+            "case_cand_to_source": case2,
+            "related": bool(s2c > threshold or c2s > threshold),
+            "ppscores_sum": round(s2c + c2s, 6) + 0.0,
+        }])
+
+    schema = ("source_conv string, cand_conv string, n_shared int, "
+              "pps_source_to_cand double, pps_cand_to_source double, "
+              "case_source_to_cand string, case_cand_to_source string, "
+              "related boolean, ppscores_sum double")
+    return joined.groupBy("source_conv", "cand_conv").applyInPandas(
+        kernel, schema=schema)

@@ -7356,6 +7356,143 @@ REGISTRY.update({
 })
 
 
+def q_cloudburst_related(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1+/luminosity — cloudbursts find_related via ppscore
+    (luminosity/cloudbursts.py:79-380): both directed
+    predictive-power scores per (source, candidate) pair over the
+    trailing week's shared hourly buckets (falsy x-side skip kept),
+    related when either rounded score exceeds 0.5, ranked by the
+    scores' sum. ppscore-lite = the published pps regression formula
+    on an exact-parity closed-form 1-D CART with chronological folds
+    (functions/ppscore.py). Sources are the deterministic
+    cloudburst-metric stand-in (t0 % 3 == 0)."""
+    from skyline_spark.operators.cloudburst import (
+        cloudburst_related_metrics,
+    )
+    from skyline_spark.operators.parse import parse_events as _pe
+    from skyline_spark.plans.pipeline import batch_now
+    tdf = transcripts_from_events(spark, sf_dir)
+    now = batch_now(tdf)
+    v = _pe(tdf).where(F.col("value").isNotNull())
+    e = F.floor(F.col("ts").cast("timestamp").cast("double")).cast("long")
+    sources = v.groupBy("conv_id").agg(F.min(e).alias("t0")) \
+        .where(F.col("t0") % 3 == 0).select("conv_id")
+    return cloudburst_related_metrics(v, now, sources) \
+        .orderBy("source_conv", "cand_conv")
+
+
+SQL_CLOUDBURST_RELATED = _sql("""
+, prsrc AS MATERIALIZED (
+    SELECT conv_id AS source_conv FROM (
+        SELECT conv_id, min(CAST(floor(epoch(ts)) AS BIGINT)) AS t0
+        FROM valid GROUP BY 1)
+    WHERE t0 % 3 = 0),
+prpts AS MATERIALIZED (
+    SELECT conv_id,
+           CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS b,
+           avg(value) AS v
+    FROM valid, batch bt
+    WHERE epoch(ts) > bt.now - 604800
+    GROUP BY 1, 2),
+prj AS MATERIALIZED (
+    SELECT s.source_conv, c.conv_id AS cand_conv, a.b,
+           a.v AS sv, c.v AS cv_
+    FROM prpts a
+    JOIN prsrc s ON a.conv_id = s.source_conv
+    JOIN prpts c ON c.b = a.b AND c.conv_id <> s.source_conv
+    WHERE CASE WHEN s.source_conv < c.conv_id THEN a.v ELSE c.v END
+              <> 0.0),
+prn AS MATERIALIZED (
+    SELECT source_conv, cand_conv, count(*) AS n
+    FROM prj GROUP BY 1, 2),
+prr AS MATERIALIZED (
+    SELECT source_conv, cand_conv, b, sv, cv_,
+           row_number() OVER (PARTITION BY source_conv, cand_conv
+                              ORDER BY b) - 1 AS i,
+           count(*) OVER (PARTITION BY source_conv, cand_conv) AS n
+    FROM prj),
+prf AS MATERIALIZED (
+    SELECT *, CASE WHEN i < (n % 4) * (n // 4 + 1)
+                   THEN i // (n // 4 + 1)
+                   ELSE (n % 4) + (i - (n % 4) * (n // 4 + 1)) // (n // 4)
+              END AS f
+    FROM prr WHERE n >= 4),
+prd AS MATERIALIZED (
+    SELECT source_conv, cand_conv, 's2c' AS dir, b, i, n, f,
+           sv AS x, cv_ AS y
+    FROM prf
+    UNION ALL
+    SELECT source_conv, cand_conv, 'c2s', b, i, n, f, cv_, sv
+    FROM prf),
+prconst AS MATERIALIZED (
+    SELECT source_conv, cand_conv, dir, count(DISTINCT y) AS ny
+    FROM prd GROUP BY 1, 2, 3),
+prtm AS MATERIALIZED (
+    SELECT d.source_conv, d.cand_conv, d.dir, tf.f AS test_f, d.x,
+           avg(d.y) AS my
+    FROM prd d CROSS JOIN (VALUES (0), (1), (2), (3)) AS tf(f)
+    WHERE d.f <> tf.f
+    GROUP BY 1, 2, 3, 4, 5),
+prpred AS MATERIALIZED (
+    SELECT te.source_conv, te.cand_conv, te.dir, te.f, te.i, te.y,
+           tm.my AS pred
+    FROM prd te JOIN prtm tm
+      ON tm.source_conv = te.source_conv
+     AND tm.cand_conv = te.cand_conv
+     AND tm.dir = te.dir AND tm.test_f = te.f
+    QUALIFY row_number() OVER (
+        PARTITION BY te.source_conv, te.cand_conv, te.dir, te.i
+        ORDER BY abs(te.x - tm.x) ASC, tm.x ASC) = 1),
+prmodel AS MATERIALIZED (
+    SELECT source_conv, cand_conv, dir, avg(mae) AS model_mae
+    FROM (SELECT source_conv, cand_conv, dir, f,
+                 avg(abs(y - pred)) AS mae
+          FROM prpred GROUP BY 1, 2, 3, 4)
+    GROUP BY 1, 2, 3),
+prnaive AS MATERIALIZED (
+    SELECT source_conv, cand_conv, dir, avg(abs(y - med)) AS naive_mae
+    FROM (SELECT *, median(y) OVER (PARTITION BY source_conv, cand_conv,
+                                                 dir) AS med
+          FROM prd)
+    GROUP BY 1, 2, 3),
+prscore AS MATERIALIZED (
+    SELECT m.source_conv, m.cand_conv, m.dir,
+           round(CASE WHEN c.ny = 1 THEN 0.0
+                      WHEN m.model_mae > n2.naive_mae THEN 0.0
+                      ELSE 1.0 - m.model_mae / n2.naive_mae END, 6)
+               AS score,
+           CASE WHEN c.ny = 1 THEN 'target_is_constant'
+                ELSE 'ok' END AS casec
+    FROM prmodel m
+    JOIN prnaive n2 USING (source_conv, cand_conv, dir)
+    JOIN prconst c USING (source_conv, cand_conv, dir))
+SELECT n.source_conv, n.cand_conv, CAST(n.n AS INT) AS n_shared,
+       coalesce(s1.score, 0.0) + 0.0 AS pps_source_to_cand,
+       coalesce(s2.score, 0.0) + 0.0 AS pps_cand_to_source,
+       CASE WHEN n.n < 4 THEN 'n_too_small'
+            ELSE s1.casec END AS case_source_to_cand,
+       CASE WHEN n.n < 4 THEN 'n_too_small'
+            ELSE s2.casec END AS case_cand_to_source,
+       coalesce(s1.score, 0.0) > 0.5 OR coalesce(s2.score, 0.0) > 0.5
+           AS related,
+       round(coalesce(s1.score, 0.0) + coalesce(s2.score, 0.0), 6)
+           AS ppscores_sum
+FROM prn n
+LEFT JOIN prscore s1
+  ON s1.source_conv = n.source_conv AND s1.cand_conv = n.cand_conv
+ AND s1.dir = 's2c'
+LEFT JOIN prscore s2
+  ON s2.source_conv = n.source_conv AND s2.cand_conv = n.cand_conv
+ AND s2.dir = 'c2s'
+ORDER BY n.source_conv, n.cand_conv
+""")
+
+
+REGISTRY.update({
+    "cloudburst_related": (q_cloudburst_related, SQL_CLOUDBURST_RELATED),
+})
+
+
 #: The driver's correctness gate checks the FIRST 50 registry entries
 #: only, so every full-value oracle must outrank the rows-only and
 #: dominated entries. These 50 names are exactly the oracled,
