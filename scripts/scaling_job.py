@@ -58,12 +58,38 @@ def main() -> int:
         res.routed_turns.write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
+    def host_probe() -> dict:
+        with open("/proc/stat") as f:
+            jiffies = [int(x) for x in f.readline().split()[1:11]]
+        with open("/proc/loadavg") as f:
+            la = f.read().split()
+        return {"jiffies": jiffies, "load1": float(la[0])}
+
+    def host_delta(a: dict, b: dict) -> dict:
+        d = [y - x for x, y in zip(a["jiffies"], b["jiffies"])]
+        tot = float(sum(d)) or 1.0
+        user, nice, system, idle, iowait, irq, softirq = d[:7]
+        steal = d[7] if len(d) > 7 else 0
+        return {"user_pct": round(100 * (user + nice) / tot, 1),
+                "system_pct": round(100 * (system + irq + softirq) / tot, 1),
+                "idle_pct": round(100 * idle / tot, 1),
+                "iowait_pct": round(100 * iowait / tot, 1),
+                "steal_pct": round(100 * steal / tot, 1),
+                "load1_start": a["load1"], "load1_end": b["load1"]}
+
     run_once()  # warmup: python workers + codegen
+    p0 = host_probe()
     wall = run_once()
+    host = host_delta(p0, host_probe())
 
     out = {"cores": cores, "replicas": replicas, "turns": n_turns,
            "wall_sec": round(wall, 3),
-           "turns_per_sec": round(n_turns / wall, 1)}
+           "turns_per_sec": round(n_turns / wall, 1),
+           # /proc/stat delta + loadavg around the TIMED run: the
+           # machine-checkable host-phase evidence the per-round
+           # artifacts carry (steal>0 or foreign load = co-tenant
+           # burst, not plan change)
+           "host": host}
     with open(out_json, "w") as fh:
         json.dump(out, fh)
     print(json.dumps(out))
