@@ -214,3 +214,77 @@ def test_motif_inference_single_shuffle_arrow_kernel(spark):
     assert "CartesianProduct" not in plan
     import re as _re
     assert len(_re.findall(r"Exchange hashpartitioning", plan)) == 1
+
+
+def test_classify_metrics_single_exchange_arrow_kernel(spark):
+    """classify_metrics rides ONE per-series hash exchange into one
+    Arrow kernel — no cartesian, no extra wide shuffle beyond the
+    grouping (the fill feeding it adds only conv_id-partitioned
+    window exchanges that co-partition with the kernel grouping)."""
+    import pandas as pd
+
+    from skyline_spark.operators.classify import classify_metrics
+    rows = [("a", i, pd.Timestamp(1_700_000_000 + i * 3600, unit="s"),
+             float(i % 7)) for i in range(40)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "value"])
+        .assign(metric="m"))
+    plan = classify_metrics(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    import re
+    conv_ex = set(re.findall(r"Exchange hashpartitioning\(conv_id[^)]*\)",
+                             plan))
+    assert len(conv_ex) <= 2, conv_ex
+
+
+def test_classify_anomalies_broadcasts_anomaly_list(spark):
+    """The per-anomaly fan-out is a BROADCAST equi-join of the
+    anomaly-cardinality list onto the series rows, then one grouped
+    Arrow kernel."""
+    import pandas as pd
+
+    from skyline_spark.operators.classify import classify_anomalies
+    rows = [("a", i, pd.Timestamp(1_700_000_000 + i * 3600, unit="s"),
+             float(i)) for i in range(30)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "value"]))
+    anoms = spark.createDataFrame([("a", 1_700_000_000 + 29 * 3600)],
+                                  "conv_id string, anomaly_e long")
+    plan = classify_anomalies(df, anoms)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_related_metrics_aggregation_no_extra_shuffle(spark):
+    """cross_correlation_relationships: a strictly coarsening exchange
+    cascade — (anom, cand, shift) pre-aggregate -> (anom, cand) rollup
+    -> (anom) percentile window — each stage re-keying ALREADY
+    AGGREGATED (candidate-cardinality) rows, never raw correlations
+    twice; no cartesian, no broadcast of fact rows."""
+    import pandas as pd
+
+    from skyline_spark.operators.correlate import (
+        cross_correlation_relationships,
+    )
+    rows = [("a", 1000.0 + i, f"c{i % 3}", 0.95, 0, 0.9)
+            for i in range(12)]
+    cor = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["anom_conv", "anom_ts", "cand_conv",
+                                    "coefficient", "shift_seconds",
+                                    "shifted_coefficient"]))
+    plan = cross_correlation_relationships(cor)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+    ex = set(re.findall(r"Exchange hashpartitioning\(anom_conv[^)]*\)",
+                        plan))
+    assert len(ex) == 3, ex  # exactly the coarsening cascade, no repeat
+    # the raw-row exchange is the FINEST keying; the other two re-key
+    # aggregated outputs only
+    assert sum("shift_seconds" in e for e in ex) == 1, ex
