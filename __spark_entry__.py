@@ -3,21 +3,24 @@
 ``entry(spark)`` runs the flagship parse -> enrich -> analyze -> route
 pipeline over transcripts derived deterministically from the sf0.001
 events table. ``queries()``/``oracle_sql()`` expose the operator registry
-(skyline_spark.queries.REGISTRY): 61 of 71 queries carry a full DuckDB
+(skyline_spark.queries.REGISTRY): 88 of 101 queries carry a full DuckDB
 value oracle — including the analyze kernel itself restricted to the 8
 SQL-expressible algorithms (consensus_vote_sql8 with grubbs t-ISF
 thresholds injected as literals), the per-turn routed-row sets
 (routed_turns_sql8), the KS statistic D (ks_d_sql), the luminol
 correlator at zero shift (correlate_luminol_sql), MinHash/SimHash/LSH
-in engine-portable md5 hash mode, and the ionosphere feature basket.
-The registry leads with the 50 non-dominated oracles (the driver's
-correctness gate reads the first 50 entries); past the window sit the
-10 rows-only queries (numerics not ANSI-expressible — the full
-9-algorithm vote needs KS-p+ADF — or approximate variants of an
-oracled exact twin, pinned by the golden-fixture + property pytest
-suite) and 8 oracles strictly dominated by an in-window sibling (the
-_sql5 kernel twins and tail_avg), all still green via
-scripts/check_oracles.py.
+in engine-portable md5 hash mode, the ionosphere feature basket, and
+the round-6 luminosity tranche (classify_metrics/classify_anomalies,
+related_metrics, pearson_closest, thunder_rolling, the ppscore-CART
+cloudburst_related). The registry leads with the 50 non-dominated
+oracles (the driver's correctness gate reads the first 50 entries);
+past the window sit the 13 rows-only queries (numerics not
+ANSI-expressible — the full 9-algorithm vote needs KS-p+ADF — or
+approximate/sequential-state variants of an oracled exact twin, pinned
+by the golden-fixture + property pytest suite) and the oracles
+dominated by an in-window sibling (the _sql5 kernel twins, tail_avg,
+mad_prefilter), all green via scripts/check_oracles.py — the full
+per-query record is committed per round as ORACLES_rNN.json.
 """
 
 from __future__ import annotations
