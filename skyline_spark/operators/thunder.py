@@ -163,3 +163,45 @@ def thunder_rolling_checks(valid: DataFrame, now_epoch: float,
         kernel, "conv_id string, significant_change boolean, "
                 "change_score double")
     return native.join(sig, "conv_id", "left")
+
+
+def thunder_alert_events_exact(checks: DataFrame, expiry: float,
+                               key: str = "check_key",
+                               ts_col: str = "ts",
+                               bad_col: str = "bad") -> DataFrame:
+    """Batch twin of streaming/thunder_alerts.py — an independent
+    literal simulation of the thunder.alert.* Redis key
+    (set-with-TTL on alert, delete on recovery,
+    checks/app/up.py:151-214): per check, chronological walk emitting
+    'alert' when bad with no live key, 'recovery' when healthy with a
+    live key. Used by the multi-micro-batch parity test."""
+    import pandas as pd
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("__t", kind="stable")
+        key_expires_at = float("-inf")  # no key
+        out = []
+        for t, b in zip(pdf["__t"].astype(float), pdf["bad"].astype(bool)):
+            key_live = t < key_expires_at
+            event = None
+            if b and not key_live:
+                event = "alert"
+                key_expires_at = t + expiry  # setex(key, expiry)
+            elif not b and key_live:
+                event = "recovery"
+                key_expires_at = float("-inf")  # delete(key)
+            elif not b:
+                key_expires_at = float("-inf")
+            out.append(event)
+        return pd.DataFrame({"check_key": pdf["check_key"].iloc[0],
+                             "ts_epoch": pdf["__t"].astype(float),
+                             "bad": pdf["bad"].astype(bool),
+                             "event": out})
+
+    proj = checks.select(
+        F.col(key).alias("check_key"),
+        F.col(ts_col).cast("timestamp").cast("double").alias("__t"),
+        F.col(bad_col).alias("bad"))
+    return proj.groupBy("check_key").applyInPandas(
+        kernel, "check_key string, ts_epoch double, bad boolean, "
+                "event string")

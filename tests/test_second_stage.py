@@ -773,3 +773,61 @@ def test_streaming_routed_sets_under_late_and_duplicate_arrivals(
     gc = dict(got.groupBy("sink").count().collect())
     wc = dict(want.groupBy("sink").count().collect())
     assert gc == wc
+
+
+def test_streaming_thunder_alert_state_machine(spark, tmp_path):
+    """applyInPandasWithState: the thunder.alert.* key (alert-once with
+    TTL re-alert + recovery-on-heal) must persist across micro-batches —
+    a flapping check split over two file-triggers emits exactly the
+    event sequence of the batch Redis-key simulation."""
+    import os
+
+    from skyline_spark.operators.thunder import thunder_alert_events_exact
+    from skyline_spark.streaming.thunder_alerts import (
+        streaming_thunder_alerts,
+    )
+
+    base = 1_700_000_000
+    # check c1: bad at 0..200 (alert at 0, suppressed), heals at 300
+    # (recovery), bad again at 400 (alert) and STAYS bad past the TTL
+    # (re-alert at 1500: 400+1000 < 1500). The heal/re-bad edge and the
+    # TTL lapse both land in batch 2, so state must cross the boundary.
+    rows1 = [("c1", base + 0, True), ("c1", base + 100, True),
+             ("c1", base + 200, True),
+             ("c2", base + 50, False)]
+    rows2 = [("c1", base + 300, False), ("c1", base + 400, True),
+             ("c1", base + 1500, True),
+             ("c2", base + 250, True), ("c2", base + 350, False)]
+    srcdir = str(tmp_path / "checks")
+    os.makedirs(srcdir, exist_ok=True)
+    for i, rows in enumerate((rows1, rows2)):
+        spark.createDataFrame(
+            pd.DataFrame(rows, columns=["check_key", "e", "bad"])
+            .assign(ts=lambda d: pd.to_datetime(d.e, unit="s"))
+            .drop(columns=["e"])) \
+            .coalesce(1).write.parquet(f"{srcdir}/b{i}")
+    schema = "check_key string, bad boolean, ts timestamp"
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false").parquet(f"{srcdir}/b*"))
+    out = streaming_thunder_alerts(stream, expiry=1000.0)
+    q = (out.writeStream.format("memory").queryName("thunder_alerts")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_ta"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM thunder_alerts").toPandas() \
+        .sort_values(["check_key", "ts_epoch"], ignore_index=True)
+
+    batch_in = spark.createDataFrame(
+        pd.DataFrame(rows1 + rows2, columns=["check_key", "e", "bad"])
+        .assign(ts=lambda d: pd.to_datetime(d.e, unit="s"))
+        .drop(columns=["e"]))
+    want = thunder_alert_events_exact(batch_in, expiry=1000.0).toPandas() \
+        .sort_values(["check_key", "ts_epoch"], ignore_index=True)
+    assert list(got.event.fillna("")) == list(want.event.fillna(""))
+    c1 = got[got.check_key == "c1"]
+    assert list(c1.event.fillna("")) == \
+        ["alert", "", "", "recovery", "alert", "alert"]
+    c2 = got[got.check_key == "c2"]
+    assert list(c2.event.fillna("")) == ["", "alert", "recovery"]
