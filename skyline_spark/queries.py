@@ -6762,12 +6762,17 @@ cpf AS MATERIALIZED (
 cpc AS MATERIALIZED (
     SELECT conv_id, count(*) AS p_cnt FROM cpf GROUP BY 1),
 cvd AS MATERIALIZED (
+    -- |dstd| rounded to 10 dp before fencing, mirroring the kernel's
+    -- oracle-stability determinization (two-pass vs streaming std
+    -- differ ~1e-14 on constant windows; zero-IQR thresholds abound
+    -- on LKV grids)
     SELECT conv_id, e, rn, n,
            CASE WHEN n >= 11 AND rn >= 6 AND rn <= n - 4 THEN
-               abs( stddev_pop(v) OVER (PARTITION BY conv_id ORDER BY rn
+               round(abs(
+                    stddev_pop(v) OVER (PARTITION BY conv_id ORDER BY rn
                         ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
                   - stddev_pop(v) OVER (PARTITION BY conv_id ORDER BY rn
-                        ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+                        ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)), 10)
            END AS d
     FROM cf),
 cvt AS MATERIALIZED (
@@ -6927,14 +6932,17 @@ calh AS MATERIALIZED (
     FROM cald d JOIN calt t USING (conv_id, anomaly_e)
     WHERE d.d > t.thr GROUP BY 1, 2),
 cavd AS MATERIALIZED (
+    -- |dstd| rounded to 10 dp before fencing (see cvd in
+    -- SQL_CLASSIFY_METRICS)
     SELECT conv_id, anomaly_e, rn, n,
            CASE WHEN n >= 11 AND rn >= 6 AND rn <= n - 4 THEN
-               abs( stddev_pop(value) OVER (
+               round(abs(
+                    stddev_pop(value) OVER (
                         PARTITION BY conv_id, anomaly_e ORDER BY rn
                         ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING)
                   - stddev_pop(value) OVER (
                         PARTITION BY conv_id, anomaly_e ORDER BY rn
-                        ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING))
+                        ROWS BETWEEN 5 PRECEDING AND 1 PRECEDING)), 10)
            END AS d
     FROM casl),
 cavt AS MATERIALIZED (
@@ -7490,6 +7498,60 @@ ORDER BY n.source_conv, n.cand_conv
 
 REGISTRY.update({
     "cloudburst_related": (q_cloudburst_related, SQL_CLOUDBURST_RELATED),
+})
+
+
+def q_classify_metrics_longterm(spark: SparkSession, sf_dir: str
+                                ) -> DataFrame:
+    """X2+/luminosity — classify_metrics' LONG-TERM back-walk
+    (classify_metrics.py:556-790): the 90-day history is checked in
+    full-duration slices with significant_length=3 (the long-term
+    significance floor, :733) instead of the realtime window=10. The
+    reference walks data-dependent [start, last+1] windows fed by a
+    Redis continue-processing queue; the batch form slices on the
+    epoch week (the same full-duration periodization, deterministic)
+    and runs the IDENTICAL kernel per (series, slice) — each slice is
+    its own classification row, so a shift that is significant in one
+    week and absent in others is visible exactly like the reference's
+    per-period significant-file drops."""
+    from skyline_spark.operators.classify import classify_metrics
+    v = _valid(spark, sf_dir)
+    e = F.col("ts").cast("timestamp").cast("double")
+    sliced = v.withColumn(
+        "conv_id",
+        F.concat_ws("#", "conv_id",
+                    F.floor(e / 604800).cast("long").cast("string")))
+    filled = preprocess.fill_forward(sliced, 3600)
+    met = sliced.groupBy("conv_id").agg(F.max("metric").alias("metric"))
+    return classify_metrics(filled.join(met, "conv_id"),
+                            c=4.0, persist_c=4.0, volatility_c=4.0,
+                            significant_length=3) \
+        .orderBy("conv_id")
+
+
+#: the long-term twin = the realtime twin over week-sliced series keys
+#: with the significant_length floor 10 -> 3 (both legs of the
+#: level-shift decision use it)
+SQL_CLASSIFY_METRICS_LONGTERM = SQL_CLASSIFY_METRICS.replace(
+    ", cmet AS MATERIALIZED (",
+    """, lt_valid AS MATERIALIZED (
+    SELECT conv_id || '#' ||
+           CAST(CAST(floor(epoch(ts) / 604800) AS BIGINT) AS VARCHAR)
+               AS conv_id,
+           metric, ts, value, turn_idx
+    FROM parsed WHERE value IS NOT NULL),
+cmet AS MATERIALIZED (""", 1) \
+    .replace("FROM valid", "FROM lt_valid") \
+    .replace("WHEN len >= 10 THEN start_e", "WHEN len >= 3 THEN start_e") \
+    .replace("THEN coalesce(ru.run_len >= 10, FALSE)",
+             "THEN coalesce(ru.run_len >= 3, FALSE)") \
+    .replace("THEN CASE WHEN ru.run_len >= 10 THEN ru.s1 END",
+             "THEN CASE WHEN ru.run_len >= 3 THEN ru.s1 END")
+
+
+REGISTRY.update({
+    "classify_metrics_longterm": (q_classify_metrics_longterm,
+                                  SQL_CLASSIFY_METRICS_LONGTERM),
 })
 
 
