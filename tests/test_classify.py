@@ -200,3 +200,34 @@ def test_persist_walk_run_length_boundary(sig_len, expect):
     got, ts = persist_walk(level, persist, 60, sig_len)
     assert got is expect
     assert ts == (120 if expect else None)
+
+
+def test_classify_metrics_constant_series_no_flags(spark):
+    """A constant series: every rolling aggregate equal, IQR fence 0,
+    strict > never fires (the 10-dp rounding keeps two-pass and
+    streaming std agreeing on the exact zero)."""
+    rows = [("flat", i, 1_700_000_000 + i * 60, 42.0) for i in range(80)]
+    out = classify_metrics(_series_df(spark, rows), c=4.0, persist_c=4.0,
+                           volatility_c=4.0).toPandas().iloc[0]
+    assert out.n_level_anomalies == 0
+    assert out.n_volatility_anomalies == 0
+    assert not out.level_shift and not out.volatility_shift
+
+
+def test_classify_metrics_single_point(spark):
+    rows = [("one", 0, 1_700_000_000, 5.0)]
+    out = classify_metrics(_series_df(spark, rows)).toPandas().iloc[0]
+    assert out.n_points == 1 and out.resolution == 0
+    assert not out.level_shift and not out.volatility_shift
+
+
+def test_classify_anomalies_constant_window(spark):
+    """Constant training window: level/volatility/persist diffs are all
+    zero (no flags); seasonal hits the zero-denominator path -> False."""
+    rows = [("k", i, 1_700_000_000 + i * 60, 7.0) for i in range(40)]
+    anoms = spark.createDataFrame([("k", 1_700_000_000 + 39 * 60)],
+                                  "conv_id string, anomaly_e long")
+    out = classify_anomalies(_series_df(spark, rows), anoms) \
+        .toPandas().iloc[0]
+    assert out.anomaly_types == ""
+    assert not out.adtk_seasonal

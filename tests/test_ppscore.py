@@ -165,3 +165,13 @@ def test_cloudburst_related_operator(spark):
     assert out.loc["f"].pps_source_to_cand == 1.0
     assert not out.loc["z"].related
     assert out.loc["f"].ppscores_sum > out.loc["z"].ppscores_sum
+
+
+def test_ppscore_single_unique_x():
+    """All train x identical: the tree is one leaf (global mean);
+    still well-defined for every test point."""
+    pred = cart_1d_predict(np.full(6, 3.0), np.arange(6.0),
+                           np.array([-1.0, 3.0, 99.0]))
+    assert np.allclose(pred, 2.5)
+    s, case = ppscore_1d(np.full(12, 3.0), np.arange(12.0))
+    assert case == "ok" and s == 0.0
