@@ -414,3 +414,50 @@ def pearson_closest_matrix(parsed: DataFrame, resolution: int,
                       F.col("n_aligned").cast("int").alias("n_aligned"),
                       "pearson_cc", "abs_pearson_cc",
                       rank.cast("int").alias("rank"))
+
+
+def correlate_or_relate_filter(pairs: DataFrame,
+                               a_metric: str, b_metric: str,
+                               correlate_namespaces_only: list[str]
+                               | None = None,
+                               correlation_maps: dict[str, list[str]]
+                               | None = None,
+                               correlate_all: bool = True) -> DataFrame:
+    """correlate_or_relate_with as a native pair predicate
+    (skyline/functions/metrics/correlate_or_relate_with.py:21-175):
+
+    - with NO LUMINOSITY_CORRELATE_NAMESPACES_ONLY and NO
+      LUMINOSITY_CORRELATION_MAPS, everything correlates iff
+      LUMINOSITY_CORRELATE_ALL (:114-117; a falsy CORRELATE_ALL with no
+      config falls through to False);
+    - namespaces-only: a pair correlates when SOME listed pattern
+      matches BOTH metrics under the matched_or_regexed_in_list
+      semantics (:119-148 — absolute | substring | dotted-element
+      subset | anchored regex, the same predicate the enrich dimension
+      uses);
+    - correlation maps: a pair correlates when both metrics appear in
+      the SAME map (:150-165);
+    - the two branches OR together (the reference falls through from
+      the namespace loop into the map check).
+
+    Scale: the config is settings-sized — the whole gate compiles to
+    one literal boolean expression over the pair columns, no join, no
+    Python. Applied BEFORE correlation storage, exactly where
+    process_correlations consults it.
+    """
+    from skyline_spark.operators.enrich import _match_condition
+
+    ns = list(correlate_namespaces_only or [])
+    maps = dict(correlation_maps or {})
+    if not ns and not maps:
+        return pairs if correlate_all else pairs.where(F.lit(False))
+    keep = F.lit(False)
+    for p in ns:
+        pat = F.lit(p)
+        keep = keep | (_match_condition(F.col(a_metric), pat)
+                       & _match_condition(F.col(b_metric), pat))
+    for members in maps.values():
+        arr = F.array(*[F.lit(m) for m in members])
+        keep = keep | (F.array_contains(arr, F.col(a_metric))
+                       & F.array_contains(arr, F.col(b_metric)))
+    return pairs.where(keep)

@@ -7555,6 +7555,96 @@ REGISTRY.update({
 })
 
 
+#: correlate_or_relate_with config for the gated relationships query —
+#: namespace patterns exercise the substring/element matcher, the map
+#: pairs two namespaces the patterns do NOT cover
+RM_GATE_NS = ("click", "view")
+RM_GATE_MAPS = {"conv_group": ("error.turns.rate", "signup.turns.rate")}
+
+
+def q_related_metrics_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1+/luminosity — related_metrics under the
+    correlate_or_relate_with pair gate (functions/metrics/
+    correlate_or_relate_with.py:21-175): the per-anomaly correlations
+    are filtered BEFORE storage — a pair survives when some
+    LUMINOSITY_CORRELATE_NAMESPACES_ONLY pattern matches BOTH metrics
+    (matched_or_regexed_in_list semantics) OR both appear in the same
+    LUMINOSITY_CORRELATION_MAPS map — and the relationship aggregation
+    (incl. its percentile gate) runs over the gated population, exactly
+    as it would over the gated luminosity table."""
+    from skyline_spark.operators.correlate import (
+        correlate_or_relate_filter,
+        cross_correlation_relationships,
+        luminosity_correlations,
+    )
+    parsed = _parsed(spark, sf_dir)
+    anomalies, _ = _rp_anomaly_fixture(spark, sf_dir)
+    an = anomalies.select("conv_id",
+                          F.col("anomaly_e").cast("double")
+                          .alias("last_ts"))
+    cor = luminosity_correlations(
+        parsed, an, window_s=LUM_WINDOW_S, step_s=LUM_STEP_S,
+        max_shift_s=1, threshold=0.9, mode="luminol")
+    met = _valid(spark, sf_dir).groupBy("conv_id") \
+        .agg(F.max("metric").alias("metric"))
+    cor = cor \
+        .join(F.broadcast(met.select(F.col("conv_id").alias("anom_conv"),
+                                     F.col("metric").alias("a_metric"))),
+              "anom_conv") \
+        .join(F.broadcast(met.select(F.col("conv_id").alias("cand_conv"),
+                                     F.col("metric").alias("b_metric"))),
+              "cand_conv")
+    gated = correlate_or_relate_filter(
+        cor, "a_metric", "b_metric",
+        correlate_namespaces_only=list(RM_GATE_NS),
+        correlation_maps={k: list(v) for k, v in RM_GATE_MAPS.items()})
+    rel = cross_correlation_relationships(gated)
+    return rel.select(
+        "base_conv", "cand_conv", "cross_correlations_count",
+        _R6("avg_coefficient").alias("avg_coefficient"),
+        "shifted_counts",
+        _R6("avg_shifted_coefficient").alias("avg_shifted_coefficient")) \
+        .orderBy("base_conv", "cand_conv")
+
+
+def _rm_gate_sql() -> str:
+    """The correlate_or_relate_with predicate over (ma.metric,
+    mb.metric) as DuckDB SQL — absolute | substring | dotted-element
+    subset | anchored regex per pattern, plus same-map membership."""
+    def match(col: str, p: str) -> str:
+        return (f"({col} = '{p}' OR contains({col}, '{p}') OR "
+                f"len(list_filter(string_split('{p}', '.'), "
+                f"x -> NOT list_contains(string_split({col}, '.'), x))) "
+                f"= 0 OR "
+                f"regexp_matches({col}, '^(?:' || '{p}' || ')'))")
+
+    ors = [f"({match('ma.metric', p)} AND {match('mb.metric', p)})"
+           for p in RM_GATE_NS]
+    for members in RM_GATE_MAPS.values():
+        lst = ", ".join(f"'{m}'" for m in members)
+        ors.append(f"(ma.metric IN ({lst}) AND mb.metric IN ({lst}))")
+    return " OR ".join(ors)
+
+
+SQL_RELATED_METRICS_GATED = SQL_RELATED_METRICS.replace(
+    "rmshift AS MATERIALIZED (",
+    f"""rmmet AS MATERIALIZED (
+    SELECT conv_id, max(metric) AS metric FROM valid GROUP BY 1),
+rmgate AS MATERIALIZED (
+    SELECT k.* FROM rmkept k
+    JOIN rmmet ma ON ma.conv_id = k.anom_conv
+    JOIN rmmet mb ON mb.conv_id = k.cand_conv
+    WHERE {_rm_gate_sql()}),
+rmshift AS MATERIALIZED (""", 1) \
+    .replace("FROM rmkept GROUP BY 1, 2, 3", "FROM rmgate GROUP BY 1, 2, 3")
+
+
+REGISTRY.update({
+    "related_metrics_gated": (q_related_metrics_gated,
+                              SQL_RELATED_METRICS_GATED),
+})
+
+
 #: The driver's correctness gate checks the FIRST 50 registry entries
 #: only, so every full-value oracle must outrank the rows-only and
 #: dominated entries. These 50 names are exactly the oracled,

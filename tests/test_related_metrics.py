@@ -230,3 +230,35 @@ def test_thunder_rolling_significant_change_sustained(spark):
     assert not out.loc["recovered"].significant_change
     assert out.loc["zeros"].significant_change is None \
         or pd.isna(out.loc["zeros"].significant_change)
+
+
+def test_correlate_or_relate_filter_branches(spark):
+    """correlate_or_relate_with: correlate-all default, the
+    both-match-same-pattern namespaces rule, the same-map rule, and
+    the falsy-CORRELATE_ALL fall-through to nothing."""
+    from skyline_spark.operators.correlate import correlate_or_relate_filter
+    pairs = spark.createDataFrame(
+        [("web.a.req", "web.b.req"), ("web.a.req", "db.q.lat"),
+         ("db.q.lat", "cache.hit"), ("app.x", "app.y")],
+        "am string, bm string")
+    # no config + correlate_all -> everything
+    assert correlate_or_relate_filter(pairs, "am", "bm").count() == 4
+    # no config + correlate_all False -> nothing (:114-117 fall-through)
+    assert correlate_or_relate_filter(
+        pairs, "am", "bm", correlate_all=False).count() == 0
+    # namespaces-only: both sides must match the SAME pattern
+    got = correlate_or_relate_filter(
+        pairs, "am", "bm", correlate_namespaces_only=["web"]).collect()
+    assert [(r.am, r.bm) for r in got] == [("web.a.req", "web.b.req")]
+    # maps: both in the same map ORs with the namespace rule
+    got = correlate_or_relate_filter(
+        pairs, "am", "bm", correlate_namespaces_only=["web"],
+        correlation_maps={"m": ["db.q.lat", "cache.hit"]}).toPandas()
+    assert set(zip(got.am, got.bm)) == {("web.a.req", "web.b.req"),
+                                        ("db.q.lat", "cache.hit")}
+    # element-subset mode of the matcher: pattern 'req.web' matches
+    # web.a.req by dotted-element subset regardless of order
+    got = correlate_or_relate_filter(
+        pairs, "am", "bm",
+        correlate_namespaces_only=["req.web"]).collect()
+    assert [(r.am, r.bm) for r in got] == [("web.a.req", "web.b.req")]
