@@ -3,7 +3,7 @@
 ``entry(spark)`` runs the flagship parse -> enrich -> analyze -> route
 pipeline over transcripts derived deterministically from the sf0.001
 events table. ``queries()``/``oracle_sql()`` expose the operator registry
-(skyline_spark.queries.REGISTRY): 90 of 103 queries carry a full DuckDB
+(skyline_spark.queries.REGISTRY): 92 of 105 queries carry a full DuckDB
 value oracle — including the analyze kernel itself restricted to the 8
 SQL-expressible algorithms (consensus_vote_sql8 with grubbs t-ISF
 thresholds injected as literals), the per-turn routed-row sets

@@ -163,3 +163,57 @@ def _epoch(ts) -> int | None:
                 continue
         raise ValueError(f"unparseable timestamp {ts!r}")
     return int(ts)
+
+
+def inactive_metrics(known: DataFrame, active: DataFrame,
+                     namespace: str | None = None,
+                     name_col: str = "metric") -> DataFrame:
+    """webapp inactive_metrics (functions/metrics/
+    get_inactive_metrics.py:16-109): the base names known to the
+    database but absent from the active population (the
+    aet.analyzer.unique_base_names Redis set the ``active`` input
+    stands in for), optionally filtered to a namespace under the
+    matched_or_regexed_in_list predicate. The DB id is reproduced as a
+    deterministic name-ordered rank (the autoincrement stand-in the
+    panorama store already uses). One anti-join on the
+    (dimension-sized) name populations — no fact-table scan."""
+    from pyspark.sql import Window
+
+    from skyline_spark.operators.enrich import _match_condition
+
+    inact = known.select(name_col).distinct().join(
+        active.select(name_col).distinct(), [name_col], "left_anti")
+    if namespace:
+        inact = inact.where(_match_condition(F.col(name_col),
+                                             F.lit(namespace)))
+    rank = F.row_number().over(Window.orderBy(F.col(name_col).asc()))
+    return inact.select(F.col(name_col).alias("base_name"),
+                        rank.cast("long").alias("metric_id"))
+
+
+def namespace_metric_counts(known: DataFrame, active: DataFrame,
+                            namespaces: list[str],
+                            name_col: str = "metric") -> DataFrame:
+    """webapp namespace metric counts (functions/metrics/
+    get_namespace_metric_count.py:14-109): per requested namespace
+    pattern, the total / active / inactive base-name counts, where
+    inactive = known minus active and membership uses the
+    matched_or_regexed_in_list predicate. The patterns are
+    settings-sized (broadcast literal); one aggregate over the name
+    dimension."""
+    from skyline_spark.operators.enrich import _match_condition
+
+    spark = known.sparkSession
+    pats = spark.createDataFrame([(p,) for p in namespaces],
+                                 "namespace string")
+    act = active.select(F.col(name_col).alias("base_name")).distinct() \
+        .withColumn("__act", F.lit(1))
+    k = known.select(F.col(name_col).alias("base_name")).distinct() \
+        .join(act, "base_name", "left") \
+        .withColumn("__act", F.coalesce("__act", F.lit(0)))
+    j = k.crossJoin(F.broadcast(pats)).where(
+        _match_condition(F.col("base_name"), F.col("namespace")))
+    return j.groupBy("namespace").agg(
+        F.count("*").cast("long").alias("total_metrics"),
+        F.sum("__act").cast("long").alias("active_metrics"),
+        F.sum(1 - F.col("__act")).cast("long").alias("inactive_metrics"))

@@ -7645,6 +7645,112 @@ REGISTRY.update({
 })
 
 
+#: inactive = no data within this window of the batch watermark (the
+#: aet.analyzer.unique_base_names membership stand-in, corpus-scaled
+#: like TR_UP_EXPIRY)
+INACTIVE_WINDOW = 172800
+NS_COUNT_PATTERNS = ("conv-click", "conv-view", "conv-error",
+                     "conv-purchase", "conv-signup")
+
+
+def q_inactive_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3/webapp — inactive_metrics (functions/metrics/
+    get_inactive_metrics.py:16-109): base names known to the store but
+    absent from the active population (no data within the active
+    window of the batch watermark), namespace-filtered under the
+    matched_or_regexed predicate, with the deterministic id
+    stand-in."""
+    from skyline_spark.operators.parse import parse_events as _pe
+    from skyline_spark.operators.webapp import inactive_metrics
+    from skyline_spark.plans.pipeline import batch_now
+    tdf = transcripts_from_events(spark, sf_dir)
+    now = batch_now(tdf)
+    v = _pe(tdf).where(F.col("value").isNotNull())
+    e = F.col("ts").cast("timestamp").cast("double")
+    known = v.select(F.col("conv_id").alias("metric"))
+    active = v.where(e >= F.lit(float(now)) - F.lit(INACTIVE_WINDOW)) \
+        .select(F.col("conv_id").alias("metric"))
+    return inactive_metrics(known, active, namespace="conv") \
+        .orderBy("base_name")
+
+
+SQL_INACTIVE_METRICS = _sql(f"""
+, imk AS (SELECT DISTINCT conv_id AS base_name FROM valid),
+ima AS (SELECT DISTINCT conv_id AS base_name
+        FROM valid, batch b
+        WHERE epoch(ts) >= b.now - {INACTIVE_WINDOW}),
+imi AS (SELECT k.base_name FROM imk k
+        LEFT JOIN ima a ON a.base_name = k.base_name
+        WHERE a.base_name IS NULL
+          AND (k.base_name = 'conv' OR contains(k.base_name, 'conv')
+               OR len(list_filter(string_split('conv', '.'),
+                      x -> NOT list_contains(
+                          string_split(k.base_name, '.'), x))) = 0
+               OR regexp_matches(k.base_name, '^(?:conv)')))
+SELECT base_name,
+       CAST(row_number() OVER (ORDER BY base_name ASC) AS BIGINT)
+           AS metric_id
+FROM imi ORDER BY base_name
+""")
+
+
+def q_namespace_metric_counts(spark: SparkSession, sf_dir: str
+                              ) -> DataFrame:
+    """§3.3/webapp — per-namespace metric counts (functions/metrics/
+    get_namespace_metric_count.py:14-109 + get_top_level_namespaces):
+    total / active / inactive base names per requested pattern under
+    the matched_or_regexed predicate."""
+    from skyline_spark.operators.parse import parse_events as _pe
+    from skyline_spark.operators.webapp import namespace_metric_counts
+    from skyline_spark.plans.pipeline import batch_now
+    tdf = transcripts_from_events(spark, sf_dir)
+    now = batch_now(tdf)
+    v = _pe(tdf).where(F.col("value").isNotNull())
+    e = F.col("ts").cast("timestamp").cast("double")
+    known = v.select(F.col("conv_id").alias("metric"))
+    active = v.where(e >= F.lit(float(now)) - F.lit(INACTIVE_WINDOW)) \
+        .select(F.col("conv_id").alias("metric"))
+    return namespace_metric_counts(known, active,
+                                   list(NS_COUNT_PATTERNS)) \
+        .orderBy("namespace")
+
+
+def _ns_count_sql() -> str:
+    pats = ", ".join(f"('{p}')" for p in NS_COUNT_PATTERNS)
+    return _sql(f"""
+, nck AS (SELECT DISTINCT conv_id AS base_name FROM valid),
+nca AS (SELECT DISTINCT conv_id AS base_name
+        FROM valid, batch b
+        WHERE epoch(ts) >= b.now - {INACTIVE_WINDOW}),
+ncf AS (SELECT k.base_name,
+               CASE WHEN a.base_name IS NULL THEN 0 ELSE 1 END AS act
+        FROM nck k LEFT JOIN nca a ON a.base_name = k.base_name),
+ncj AS (SELECT p.namespace, f.base_name, f.act
+        FROM ncf f CROSS JOIN (VALUES {pats}) AS p(namespace)
+        WHERE f.base_name = p.namespace
+           OR contains(f.base_name, p.namespace)
+           OR len(list_filter(string_split(p.namespace, '.'),
+                  x -> NOT list_contains(string_split(f.base_name, '.'),
+                                         x))) = 0
+           OR regexp_matches(f.base_name, '^(?:' || p.namespace || ')'))
+SELECT namespace,
+       CAST(count(*) AS BIGINT) AS total_metrics,
+       CAST(sum(act) AS BIGINT) AS active_metrics,
+       CAST(sum(1 - act) AS BIGINT) AS inactive_metrics
+FROM ncj GROUP BY namespace ORDER BY namespace
+""")
+
+
+SQL_NAMESPACE_METRIC_COUNTS = _ns_count_sql()
+
+
+REGISTRY.update({
+    "inactive_metrics": (q_inactive_metrics, SQL_INACTIVE_METRICS),
+    "namespace_metric_counts": (q_namespace_metric_counts,
+                                SQL_NAMESPACE_METRIC_COUNTS),
+})
+
+
 #: The driver's correctness gate checks the FIRST 50 registry entries
 #: only, so every full-value oracle must outrank the rows-only and
 #: dominated entries. These 50 names are exactly the oracled,

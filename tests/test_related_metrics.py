@@ -262,3 +262,26 @@ def test_correlate_or_relate_filter_branches(spark):
         pairs, "am", "bm",
         correlate_namespaces_only=["req.web"]).collect()
     assert [(r.am, r.bm) for r in got] == [("web.a.req", "web.b.req")]
+
+
+def test_inactive_metrics_and_namespace_counts(spark):
+    from skyline_spark.operators.webapp import (
+        inactive_metrics,
+        namespace_metric_counts,
+    )
+    known = spark.createDataFrame(
+        [("web.a",), ("web.b",), ("db.q",), ("db.r",)], "metric string")
+    active = spark.createDataFrame([("web.a",), ("db.q",)],
+                                   "metric string")
+    inact = inactive_metrics(known, active).toPandas()
+    assert list(inact.base_name) == ["db.r", "web.b"]
+    assert list(inact.metric_id) == [1, 2]  # deterministic name rank
+    only_web = inactive_metrics(known, active,
+                                namespace="web").toPandas()
+    assert list(only_web.base_name) == ["web.b"]
+    counts = namespace_metric_counts(known, active, ["web", "db"]) \
+        .orderBy("namespace").toPandas()
+    assert list(counts.namespace) == ["db", "web"]
+    assert list(counts.total_metrics) == [2, 2]
+    assert list(counts.active_metrics) == [1, 1]
+    assert list(counts.inactive_metrics) == [1, 1]
