@@ -60,33 +60,23 @@ def main() -> int:
     # Three rounds running, per-query driver wall times have whipsawed
     # 15-85% with shared-VM host phase while the code paths were
     # commit-verified untouched (r03 q2/q4, r04 q1, r05 all ten). The
-    # attribution lived in prose + out-of-band vmstat runs; from r06 the
-    # BENCH json itself carries a /proc/stat user/idle/steal/iowait
-    # delta + loadavg around EVERY timed sample, so "host phase" is
-    # verifiable from the artifact alone. steal>2% on the picked sample
-    # also triggers an extra resample (foreign load by definition —
-    # idle% can't discriminate: our own local[32] job owns the cores).
-    def _host_probe() -> dict:
-        with open("/proc/stat") as f:
-            jiffies = [int(x) for x in f.readline().split()[1:11]]
-        with open("/proc/loadavg") as f:
-            la = f.read().split()
-        return {"jiffies": jiffies, "load1": float(la[0]),
-                "load5": float(la[1])}
-
-    def _host_delta(a: dict, b: dict) -> dict:
-        d = [y - x for x, y in zip(a["jiffies"], b["jiffies"])]
-        tot = float(sum(d)) or 1.0
-        user, nice, system, idle, iowait, irq, softirq = d[:7]
-        steal = d[7] if len(d) > 7 else 0
-        return {
-            "user_pct": round(100 * (user + nice) / tot, 1),
-            "system_pct": round(100 * (system + irq + softirq) / tot, 1),
-            "idle_pct": round(100 * idle / tot, 1),
-            "iowait_pct": round(100 * iowait / tot, 1),
-            "steal_pct": round(100 * steal / tot, 1),
-            "load1_start": a["load1"], "load1_end": b["load1"],
-        }
+    # attribution lived in prose + out-of-band vmstat runs; from r06
+    # the bench carries a /proc/stat user/idle/steal/iowait delta +
+    # loadavg around EVERY timed sample, so "host phase" is verifiable
+    # from the artifacts alone. steal>2% on the picked sample also
+    # triggers an extra resample (foreign load by definition — idle%
+    # can't discriminate: our own local[32] job owns the cores).
+    #
+    # Emission shape (r07 fix): r06 inlined the full telemetry into the
+    # single stdout JSON line, which outgrew the driver's tail-capture
+    # window and truncated away the summary head (BENCH_r06.json came
+    # back parsed:null). The stdout line is now the COMPACT summary
+    # only (metric/value/queries/inputs/throughput + the picked-sample
+    # index per query for cross-reference), printed LAST; the full
+    # per-sample telemetry goes to a side artifact
+    # ($SPARK_GRAFT_BENCH_HOST_OUT, default BENCH/BENCH_host_latest.json).
+    from skyline_spark.hostprobe import host_delta as _host_delta
+    from skyline_spark.hostprobe import host_probe as _host_probe
 
     host: dict[str, dict] = {}
     run_probe_start = _host_probe()
@@ -190,6 +180,24 @@ def main() -> int:
 
     total = round(sum(timings.values()), 3)
     run_host = _host_delta(run_probe_start, _host_probe())
+
+    # full per-sample telemetry -> side artifact (never on stdout: the
+    # driver captures only the tail of stdout, and the telemetry block
+    # is bigger than that window — see r06 post-mortem above)
+    host_out = os.environ.get("SPARK_GRAFT_BENCH_HOST_OUT",
+                              os.path.join(os.path.dirname(
+                                  os.path.abspath(__file__)),
+                                  "BENCH", "BENCH_host_latest.json"))
+    host_payload = {"host": host, "host_whole_run": run_host,
+                    "queries": timings, "sf": sf, "cpus": cpus}
+    try:
+        os.makedirs(os.path.dirname(host_out), exist_ok=True)
+        with open(host_out, "w") as fh:
+            json.dump(host_payload, fh, indent=1)
+    except OSError as exc:  # never let telemetry sink a bench run
+        print(f"host telemetry write failed: {exc}", file=sys.stderr)
+        host_out = None
+
     out = {
         "metric": "end-to-end parse->route pipeline + headline operators, total wall seconds",
         "value": total,
@@ -204,13 +212,15 @@ def main() -> int:
             n_turns * replicas / timings[f"q1r_pipeline_replicated_{replicas}x"], 1),
         "replicas": replicas,
         "cpus": cpus,
-        # per-query /proc/stat deltas + loadavg for every sample taken,
-        # and the picked-sample index — host-phase evidence inside the
-        # artifact (steal_pct > 0 or a load1_start far above our own
-        # concurrency means a co-tenant burst, not an engine change)
-        "host": host,
+        # picked-sample index per query + whole-run host summary; the
+        # per-sample /proc/stat deltas live in host_telemetry_path
+        # (keyed by query name, samples[host_picked[q]] is the timed one)
+        "host_picked": {q: h["picked"] for q, h in host.items()},
         "host_whole_run": run_host,
+        "host_telemetry_path": host_out,
     }
+    # COMPACT summary as the LAST stdout line (driver tail-captures)
+    sys.stdout.flush()
     print(json.dumps(out))
     return 0
 

@@ -58,24 +58,7 @@ def main() -> int:
         res.routed_turns.write.mode("overwrite").format("noop").save()
         return time.perf_counter() - t0
 
-    def host_probe() -> dict:
-        with open("/proc/stat") as f:
-            jiffies = [int(x) for x in f.readline().split()[1:11]]
-        with open("/proc/loadavg") as f:
-            la = f.read().split()
-        return {"jiffies": jiffies, "load1": float(la[0])}
-
-    def host_delta(a: dict, b: dict) -> dict:
-        d = [y - x for x, y in zip(a["jiffies"], b["jiffies"])]
-        tot = float(sum(d)) or 1.0
-        user, nice, system, idle, iowait, irq, softirq = d[:7]
-        steal = d[7] if len(d) > 7 else 0
-        return {"user_pct": round(100 * (user + nice) / tot, 1),
-                "system_pct": round(100 * (system + irq + softirq) / tot, 1),
-                "idle_pct": round(100 * idle / tot, 1),
-                "iowait_pct": round(100 * iowait / tot, 1),
-                "steal_pct": round(100 * steal / tot, 1),
-                "load1_start": a["load1"], "load1_end": b["load1"]}
+    from skyline_spark.hostprobe import host_delta, host_probe
 
     run_once()  # warmup: python workers + codegen
     p0 = host_probe()

@@ -167,9 +167,8 @@ def persist_walk_closed(level_ts: list[int], persist_ts: list[int],
         elif p > last:
             break
     if run >= significant_length:
-        return True, s1
-    if significant_length <= 1:
-        # every singleton period qualifies; the first period starts
+        # run starts at 1, so significant_length <= 1 always lands here:
+        # every singleton period qualifies, and the first period starts
         # at the first shared timestamp either way
         return True, s1
     return False, None

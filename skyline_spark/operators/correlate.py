@@ -5,7 +5,10 @@ Reference: skyline/luminosity/process_correlations.py:1073-1521 — for
 each anomaly, the ±window of every other metric is cross-correlated
 (luminol Correlator) and kept when coefficient >= 0.9 (:1335-1339).
 
-Spark shape (scale-safe — NO driver collect, NO crossJoin):
+Spark shape of ``luminosity_correlations`` (scale-safe — NO driver
+collect, NO crossJoin; ``pearson_closest_matrix`` below is the one
+exception in this module: it materializes the series×grid fill
+lattice its semantics require via an explicit crossJoin):
 1. each anomaly explodes to its <=3 coarse epoch buckets of width
    ``window_s``; facts carry the same bucket key, so candidate-window
    selection is ONE broadcast equi-join on the bucket (anomalies are
@@ -288,11 +291,20 @@ def cross_correlation_relationships(correlations: DataFrame,
     ``shifted_counts`` renders the Counter canonically as
     ``shift:count`` pairs sorted by shift.
 
+    Input contract: any ``luminosity_correlations`` output. The
+    'luminol' mode carries ``shifted_coefficient``; the default
+    'pearson_shift' mode does not (no shift-impact damping), so it is
+    defaulted to ``coefficient`` here — the zero-damping identity —
+    rather than failing on the missing column.
+
     Scale: two aggregations on the same (base, cand) grouping — the
     shift-level pre-aggregate map-side combines, the percentile is a
     window over per-base candidate rows (candidate-cardinality, never
     raw correlation rows). No broadcast, no collect.
     """
+    if "shifted_coefficient" not in correlations.columns:
+        correlations = correlations.withColumn(
+            "shifted_coefficient", F.col("coefficient"))
     per_shift = correlations.groupBy(
         "anom_conv", "cand_conv", "shift_seconds").agg(
         F.count("*").alias("cnt"),
