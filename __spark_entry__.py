@@ -14,13 +14,18 @@ the round-6 luminosity tranche (classify_metrics/classify_anomalies,
 related_metrics, pearson_closest, thunder_rolling, the ppscore-CART
 cloudburst_related). The registry leads with the 50 non-dominated
 oracles (the driver's correctness gate reads the first 50 entries);
-past the window sit the 13 rows-only queries (numerics not
-ANSI-expressible — the full 9-algorithm vote needs KS-p+ADF — or
-approximate/sequential-state variants of an oracled exact twin, pinned
-by the golden-fixture + property pytest suite) and the oracles
-dominated by an in-window sibling (the _sql5 kernel twins, tail_avg,
-mad_prefilter), all green via scripts/check_oracles.py — the full
-per-query record is committed per round as ORACLES_rNN.json.
+the window is rotated per round so newly ported surfaces get
+driver-hash verification — round 7 rotated in classify_metrics,
+related_metrics, thunder_rolling and cloudburst_related for four
+oracles dominated by in-window siblings. Past the window sit the
+rows-only queries (numerics not ANSI-expressible — the full
+9-algorithm vote needs KS-p+ADF — or approximate/sequential-state
+variants of an oracled exact twin, pinned by the golden-fixture +
+property pytest suite) and the dominated oracles (the _sql5 kernel
+twins, tail_avg, mad_prefilter, fill_forward_1h,
+run_summary/illuminance_sql8, panorama_count_sql8), all green via
+scripts/check_oracles.py — the full per-query record is committed per
+round as ORACLES_rNN.json.
 """
 
 from __future__ import annotations

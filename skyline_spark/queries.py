@@ -7753,21 +7753,30 @@ REGISTRY.update({
 
 #: The driver's correctness gate checks the FIRST 50 registry entries
 #: only, so every full-value oracle must outrank the rows-only and
-#: dominated entries. These 50 names are exactly the oracled,
-#: non-dominated queries; past the window sit (a) the 13 rows-only
-#: queries and (b) 9 oracles strictly dominated by an in-window
-#: sibling (the _sql5 twins of _sql8 kernels, tail_avg — a helper
-#: value-checked inside every consensus_vote_sql8 row — and
-#: ionosphere_match_sql8, whose echo flow ionosphere_disposition
-#: composes and value-checks). The demoted oracles still run green
-#: via scripts/check_oracles.py.
+#: dominated entries. These 50 names are the oracled queries whose
+#: value check is NOT subsumed by an in-window sibling; past the
+#: window sit (a) the rows-only queries (numerics not
+#: ANSI-expressible, or recall/streaming variants of an oracled exact
+#: twin) and (b) oracles dominated by an in-window sibling (the _sql5
+#: twins of _sql8 kernels, tail_avg — a helper value-checked inside
+#: every consensus_vote_sql8 row — ionosphere_match_sql8, whose echo
+#: flow ionosphere_disposition composes and value-checks, and the r7
+#: demotions annotated inline below). The window is rotated per round
+#: so newly ported surfaces receive driver-hash verification; every
+#: demoted oracle still runs green via scripts/check_oracles.py and is
+#: recorded per round in ORACLES_rNN.json.
 _DRIVER_WINDOW = [
     # parse / preprocess (sort_dedup demoted past the window: every
     # consensus/vote twin embeds the same sort+dedup-first-per-ts
-    # preprocessing, and it stays green via check_oracles)
+    # preprocessing, and it stays green via check_oracles; r7 also
+    # demotes fill_forward_1h — its flux_fill_lkv sibling exercises the
+    # same last-known-value fill kernel in-window — in favor of
+    # classify_metrics, so the r6 luminosity level/volatility/persist
+    # classification sweep lands in the driver artifact)
     "parse_events", "skip_list", "validate_events",
     "retention_trim", "non_negative_derivative", "downsample_1h",
-    "fill_forward_1h", "flux_fill_lkv", "exception_filters",
+    "flux_fill_lkv", "exception_filters",
+    "classify_metrics",
     # per-algorithm oracles (each also inside consensus_vote_sql8;
     # stddev_from_average, histogram_bins, mean_subtraction_cumulation
     # and median_absolute_deviation are demoted past the window in
@@ -7793,8 +7802,16 @@ _DRIVER_WINDOW = [
     # by anomaly_breakdown_sql8 so the per-algorithm headline aggregate
     # lands in the driver artifact; sink_counts stays green via
     # check_oracles)
+    # (run_summary_sql8 + illuminance_sql8 demoted r7: both carry
+    # out-of-window sql5 twins green via check_oracles, and their
+    # in-window inputs stay value-checked — the exception counters via
+    # exception_filters, the verdict/trigger aggregates via
+    # consensus_vote_sql8 + anomaly_breakdown_sql8 + routed_turns_sql8.
+    # Displaced by related_metrics + thunder_rolling so the r6
+    # luminosity relationships gate and the thunder rolling checks land
+    # in the driver artifact.)
     "consensus_vote_sql8", "anomaly_breakdown_sql8", "routed_turns_sql8",
-    "run_summary_sql8", "illuminance_sql8",
+    "related_metrics", "thunder_rolling",
     # (ionosphere_match_sql8 demoted: ionosphere_disposition composes
     # the SAME echo flow — identical SQL blocks and fp kernel — as its
     # middle branch and value-checks its outcome for every series that
@@ -7806,8 +7823,12 @@ _DRIVER_WINDOW = [
     "ionosphere_layers", "motif_inference", "ionosphere_disposition",
     # webapp read path (panorama over the sql8 kernel store;
     # least_squares + first_hour_average demoted past the window in
-    # their favor — both stay value-checked inside consensus_vote_sql8)
-    "panorama_search_sql8", "panorama_count_sql8",
+    # their favor — both stay value-checked inside consensus_vote_sql8;
+    # panorama_count_sql8 demoted r7: a count over the SAME anomaly
+    # store whose per-row contents panorama_search_sql8 value-checks
+    # in-window — displaced by cloudburst_related so the ppscore-CART
+    # find_related surface lands in the driver artifact)
+    "panorama_search_sql8", "cloudburst_related",
     # absolute tsfresh parity vs the reference's own golden CSV
     # (custom_abs_stddev_from_median demoted in its favor — the custom
     # family stays window-covered by custom_significant_change and
