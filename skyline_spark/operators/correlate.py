@@ -268,7 +268,8 @@ def luminosity_correlations(parsed: DataFrame, anomalies: DataFrame,
 
 def cross_correlation_relationships(correlations: DataFrame,
                                     minimum_correlations_count: int = 3,
-                                    count_percentile: float = 95.0
+                                    count_percentile: float = 95.0,
+                                    decimal_unit: float | None = None
                                     ) -> DataFrame:
     """related_metrics — aggregate per-anomaly cross-correlations into
     per-(base, candidate) relationships.
@@ -297,6 +298,18 @@ def cross_correlation_relationships(correlations: DataFrame,
     defaulted to ``coefficient`` here — the zero-damping identity —
     rather than failing on the missing column.
 
+    ``decimal_unit``: when the input coefficients are quantized to a
+    fixed decimal grid (the reference persists them as DECIMAL(6,5),
+    skyline.sql:572-578 — our store queries quantize at 6 dp, unit
+    1e-6), pass that unit and the averages are computed over exact
+    integer sums of grid units. Integer sums are order-independent, so
+    the resulting avg double is bit-identical across engines and
+    partitionings — float sums can differ in the last ulp with
+    aggregation order, and a 6-dp re-round of the average sits exactly
+    on a rounding tie whenever the count divides a power of ten
+    (cnt=4 made sum/4 end in ...x5 at 7 dp, which Spark's HALF_UP and
+    DuckDB's scaled-multiply round broke differently).
+
     Scale: two aggregations on the same (base, cand) grouping — the
     shift-level pre-aggregate map-side combines, the percentile is a
     window over per-base candidate rows (candidate-cardinality, never
@@ -305,16 +318,29 @@ def cross_correlation_relationships(correlations: DataFrame,
     if "shifted_coefficient" not in correlations.columns:
         correlations = correlations.withColumn(
             "shifted_coefficient", F.col("coefficient"))
+    if decimal_unit is not None:
+        unit = F.lit(float(decimal_unit))
+        c_sum = F.sum(F.round(F.col("coefficient") / unit).cast("long"))
+        s_sum = F.sum(F.round(F.col("shifted_coefficient") / unit)
+                      .cast("long"))
+        def _avg(col: str) -> F.Column:
+            # exact integer units end-to-end; one double division
+            return (F.sum(col).cast("double") / F.sum("cnt")
+                    * F.lit(float(decimal_unit)))
+    else:
+        c_sum = F.sum("coefficient")
+        s_sum = F.sum("shifted_coefficient")
+        def _avg(col: str) -> F.Column:
+            return F.sum(col) / F.sum("cnt")
     per_shift = correlations.groupBy(
         "anom_conv", "cand_conv", "shift_seconds").agg(
         F.count("*").alias("cnt"),
-        F.sum("coefficient").alias("sum_coef"),
-        F.sum("shifted_coefficient").alias("sum_shifted"))
+        c_sum.alias("sum_coef"),
+        s_sum.alias("sum_shifted"))
     per = per_shift.groupBy("anom_conv", "cand_conv").agg(
         F.sum("cnt").cast("long").alias("cross_correlations_count"),
-        (F.sum("sum_coef") / F.sum("cnt")).alias("avg_coefficient"),
-        (F.sum("sum_shifted") / F.sum("cnt"))
-        .alias("avg_shifted_coefficient"),
+        _avg("sum_coef").alias("avg_coefficient"),
+        _avg("sum_shifted").alias("avg_shifted_coefficient"),
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("shift_seconds",
@@ -332,6 +358,141 @@ def cross_correlation_relationships(correlations: DataFrame,
             .select(F.col("anom_conv").alias("base_conv"), "cand_conv",
                     "cross_correlations_count", "avg_coefficient",
                     "shifted_counts", "avg_shifted_coefficient"))
+
+
+def _ns_join(parts, length) -> F.Column:
+    """'.'.join(elements[0:length]) — python slice semantics (shorter
+    lists pass through whole; length 0 -> '')."""
+    return F.array_join(F.slice(parts, F.lit(1), length), ".")
+
+
+def related_metrics_confidence(rel: DataFrame, names: DataFrame,
+                               minimum_correlations_count: int = 3,
+                               min_count_percentile: float = 95.0
+                               ) -> DataFrame:
+    """related-metrics confidence read — the webapp read over the
+    metric-group store that scores each stored relationship.
+
+    Reference: skyline/functions/metrics/get_related_metrics.py:155-381
+    — for a base metric's group (our ``rel`` rows =
+    cross_correlation_relationships output standing in for the MySQL
+    metric_group table):
+
+    * group stats (:216-227): max_correlations = max of the per-related
+      summed shifted counts (== cross_correlations_count),
+      include_correlation_count = (max_correlations / 100) * percentile
+      with the ladder percentile 40 -> 50 (max>20) -> 60 (max>50) ->
+      70 (max>100), min_correlation_count = np.percentile(counts,
+      LUMINOSITY_RELATED_METRICS_MIN_CORRELATION_COUNT_PERCENTILE)
+      (settings.py:3982 default 95.0, linear interpolation);
+    * namespace rollups (:201-214): distinct counts of the first 1 / 2
+      / 3 dotted elements over the group's related metric names;
+    * per-relation confidence (:320-360, the ``new_confidence`` branch
+      — the hardcoded ``new_confidence = True`` at :321 makes it the
+      only branch whose result is STORED; the legacy :383-534 block
+      recomputes a local ``confidence`` that is never written back, so
+      it is dead for the returned payload): base factor by count
+      (0.7 under 8; 1 at/above min_correlation_count; 0.85 inside
+      [int(icc), int(mcc)); the initial ``True`` — numerically 1 —
+      otherwise) times avg_coefficient, then the namespace elif-ladder
+      (first-degree/tertiary <=0.7 -> /0.7; secondary <=0.5 -> /0.7;
+      out-of-namespace >=0.5 -> *0.7), the high-coefficient rescues
+      and the low-volume down-weights, rounded to 5 dp.
+
+    The labelled-metrics (`_tenant_id=`) re-derivation at :246-259 and
+    the instance down-weight at :362-374 are Prometheus-label plumbing
+    with no analogue in the dotted-name corpus — out of scope here.
+    ``in list(range(int(a), int(b)))`` membership (:324) is kept
+    bit-faithful: int counts in [int(a), int(b)), empty when b <= a.
+
+    ``names`` maps conv_id -> dotted metric name (metrics dimension).
+    Scale: one broadcast join on the metrics dimension, then windows
+    over the base-metric partition (group-cardinality rows, never raw
+    correlations). No collect.
+    """
+    from pyspark.sql import Window
+    base_n = F.broadcast(names.select(
+        F.col("conv_id").alias("base_conv"),
+        F.col("metric").alias("base_metric")))
+    cand_n = F.broadcast(names.select(
+        F.col("conv_id").alias("cand_conv"),
+        F.col("metric").alias("related_metric")))
+    df = rel.join(base_n, "base_conv").join(cand_n, "cand_conv")
+
+    bp = F.split("base_metric", r"\.")
+    rp = F.split("related_metric", r"\.")
+    df = df.withColumns({
+        "b_sec": _ns_join(bp, F.lit(2)), "b_ter": _ns_join(bp, F.lit(3)),
+        "b_fd": _ns_join(bp, F.size(bp) - 1),
+        "r_pri": _ns_join(rp, F.lit(1)),
+        "r_sec": _ns_join(rp, F.lit(2)), "r_ter": _ns_join(rp, F.lit(3)),
+        "r_fd": _ns_join(rp, F.size(rp) - 1),
+    })
+    w = Window.partitionBy("base_conv")
+    cc = F.col("cross_correlations_count")
+    frac = float(min_count_percentile) / 100.0
+    df = df.withColumns({
+        "max_correlations": F.max(cc).over(w),
+        "min_correlation_count": F.expr(
+            f"percentile(cross_correlations_count, {frac!r})").over(w),
+        "primary_namespaces": F.size(F.collect_set("r_pri").over(w)),
+        "secondary_namespaces": F.size(F.collect_set("r_sec").over(w)),
+        "tertiary_namespaces": F.size(F.collect_set("r_ter").over(w)),
+    })
+    ladder = (F.when(F.col("max_correlations") > 100, F.lit(70.0))
+              .when(F.col("max_correlations") > 50, F.lit(60.0))
+              .when(F.col("max_correlations") > 20, F.lit(50.0))
+              .otherwise(F.lit(40.0)))
+    df = df.withColumn(
+        "include_correlation_count",
+        F.col("max_correlations") / F.lit(100.0) * ladder)
+
+    icc = F.col("include_correlation_count")
+    mcc = F.col("min_correlation_count")
+    avg = F.col("avg_coefficient")
+    in_fd = F.col("r_fd") == F.col("b_fd")
+    in_ter = F.col("r_ter") == F.col("b_ter")
+    in_sec = F.col("r_sec") == F.col("b_sec")
+    in_ns = in_fd | in_ter | in_sec
+
+    # base factor: the LAST matching assignment in the reference's
+    # sequential ifs wins (cc<8 over cc>=mcc over the range test); the
+    # untouched initial ``True`` multiplies as 1
+    nc1 = (F.when(cc < 8, F.lit(0.7))
+           .when(cc >= mcc, F.lit(1.0))
+           .when((cc >= F.floor(icc).cast("long"))
+                 & (cc < F.floor(mcc).cast("long")), F.lit(0.85))
+           .otherwise(F.lit(1.0))) * avg
+    df = df.withColumn("__nc", nc1)
+    nc = F.col("__nc")
+    # namespace elif-ladder
+    df = df.withColumn("__nc", F.when(
+        in_fd | in_ter, F.when(nc <= 0.7, nc / 0.7).otherwise(nc))
+        .when(in_sec, F.when(nc <= 0.5, nc / 0.7).otherwise(nc))
+        .when(nc >= 0.5, nc * 0.7).otherwise(nc))
+    # high-coefficient rescue above the include gate
+    df = df.withColumn("__nc", F.when(
+        (cc >= icc) & (nc <= 0.7) & (avg >= 0.95),
+        F.when(~in_ns, avg * 0.9).otherwise(avg * 0.95)).otherwise(nc))
+    # low-volume all-1s down-weight
+    df = df.withColumn("__nc", F.when(
+        (nc == 1.0) & (cc < mcc), avg * 0.95).otherwise(nc))
+    df = df.withColumn("__nc", F.when(
+        (nc >= 0.95) & (cc < icc), nc * 0.8).otherwise(nc))
+    df = df.withColumn("__nc", F.when(
+        cc < int(minimum_correlations_count), nc * 0.5).otherwise(nc))
+    df = df.withColumn("__nc", F.when(
+        (cc < 8) & ~in_ns, nc * 0.5).otherwise(nc))
+
+    return df.select(
+        "base_conv", "cand_conv", "base_metric", "related_metric",
+        "cross_correlations_count", "avg_coefficient",
+        F.round(nc, 5).alias("confidence"),
+        in_ns.alias("in_namespace"),
+        "primary_namespaces", "secondary_namespaces",
+        "tertiary_namespaces",
+        "max_correlations", "include_correlation_count",
+        "min_correlation_count")
 
 
 def pearson_closest_matrix(parsed: DataFrame, resolution: int,

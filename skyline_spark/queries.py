@@ -7055,6 +7055,32 @@ REGISTRY.update({
 # related_metrics (cross-correlation relationships) + pearson_closest
 # ---------------------------------------------------------------------------
 
+def _rm_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The stored per-anomaly luminol correlations feeding every
+    related-metrics query: the distributed luminol path (zero-shift
+    restriction so the kernel stays ANSI-expressible), quantized to
+    the canonical 6 dp BEFORE the >= 0.9 keep-filter and all
+    downstream aggregation — the reference persists coefficients as
+    DECIMAL(6,5) (skyline.sql:572-578), so the store itself quantizes
+    before anything reads it; we quantize one digit finer at the
+    repo-wide 6 dp. Rounding first also removes the cross-engine
+    straddle where Spark's raw kernel double and DuckDB's rounded
+    rmkept coefficient averaged onto opposite sides of a 6 dp tie."""
+    from skyline_spark.operators.correlate import luminosity_correlations
+    parsed = _parsed(spark, sf_dir)
+    anomalies, _ = _rp_anomaly_fixture(spark, sf_dir)
+    an = anomalies.select("conv_id",
+                          F.col("anomaly_e").cast("double")
+                          .alias("last_ts"))
+    cor = luminosity_correlations(
+        parsed, an, window_s=LUM_WINDOW_S, step_s=LUM_STEP_S,
+        max_shift_s=1, threshold=-1.5, mode="luminol")
+    return (cor.withColumn("coefficient", _R6("coefficient"))
+            .withColumn("shifted_coefficient",
+                        _R6("shifted_coefficient"))
+            .where(F.col("coefficient") >= 0.9))
+
+
 def q_related_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1+/luminosity — related_metrics via cross-correlation
     relationships (functions/luminosity/
@@ -7068,22 +7094,17 @@ def q_related_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     Anomalies come from the deterministic get_anomalies stand-in."""
     from skyline_spark.operators.correlate import (
         cross_correlation_relationships,
-        luminosity_correlations,
     )
-    parsed = _parsed(spark, sf_dir)
-    anomalies, _ = _rp_anomaly_fixture(spark, sf_dir)
-    an = anomalies.select("conv_id",
-                          F.col("anomaly_e").cast("double")
-                          .alias("last_ts"))
-    cor = luminosity_correlations(
-        parsed, an, window_s=LUM_WINDOW_S, step_s=LUM_STEP_S,
-        max_shift_s=1, threshold=0.9, mode="luminol")
-    rel = cross_correlation_relationships(cor)
+    rel = cross_correlation_relationships(_rm_correlations(spark, sf_dir),
+                                          decimal_unit=1e-6)
+    # avg columns emitted RAW: exact integer-unit sums make the
+    # quotient bit-identical across engines, while a 6 dp re-round sat
+    # exactly on a rounding tie for power-of-two counts (see
+    # cross_correlation_relationships decimal_unit)
     return rel.select(
         "base_conv", "cand_conv", "cross_correlations_count",
-        _R6("avg_coefficient").alias("avg_coefficient"),
-        "shifted_counts",
-        _R6("avg_shifted_coefficient").alias("avg_shifted_coefficient")) \
+        "avg_coefficient", "shifted_counts",
+        "avg_shifted_coefficient") \
         .orderBy("base_conv", "cand_conv")
 
 
@@ -7152,20 +7173,22 @@ rmkept AS MATERIALIZED (
     WHERE coefficient >= 0.9),
 rmshift AS MATERIALIZED (
     SELECT anom_conv, cand_conv, shift_seconds, count(*) AS cnt,
-           sum(coefficient) AS sum_coef,
-           sum(shifted_coefficient) AS sum_shifted
+           sum(CAST(round(coefficient / 1e-06) AS BIGINT)) AS sum_coef,
+           sum(CAST(round(shifted_coefficient / 1e-06) AS BIGINT))
+               AS sum_shifted
     FROM rmkept GROUP BY 1, 2, 3),
 rmper AS MATERIALIZED (
     SELECT anom_conv, cand_conv,
            CAST(sum(cnt) AS BIGINT) AS cross_correlations_count,
-           sum(sum_coef) / sum(cnt) AS avg_coefficient,
-           sum(sum_shifted) / sum(cnt) AS avg_shifted_coefficient,
+           CAST(sum(sum_coef) AS DOUBLE) / sum(cnt) * 1e-06
+               AS avg_coefficient,
+           CAST(sum(sum_shifted) AS DOUBLE) / sum(cnt) * 1e-06
+               AS avg_shifted_coefficient,
            string_agg(shift_seconds::VARCHAR || ':' || cnt::VARCHAR,
                       ',' ORDER BY shift_seconds) AS shifted_counts
     FROM rmshift GROUP BY 1, 2)
 SELECT anom_conv AS base_conv, cand_conv, cross_correlations_count,
-       round(avg_coefficient, 6) AS avg_coefficient, shifted_counts,
-       round(avg_shifted_coefficient, 6) AS avg_shifted_coefficient
+       avg_coefficient, shifted_counts, avg_shifted_coefficient
 FROM (SELECT *, quantile_cont(cross_correlations_count, 0.95)
                     OVER (PARTITION BY anom_conv) AS pct
       FROM rmper)
@@ -7248,9 +7271,176 @@ ORDER BY target_conv, cand_conv
 """)
 
 
+def q_related_metrics_confidence(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """X1+/luminosity — the related-metrics confidence read path
+    (functions/metrics/get_related_metrics.py:155-381): the webapp read
+    over the metric-group store (the related_metrics output) that adds
+    the primary/secondary/tertiary namespace rollups, the
+    count-scaled include_correlation_count gate (max/100 * the
+    20/50/100 ladder percentile), the min-count percentile (95.0) and
+    the per-relation confidence score. avg_coefficient enters as the
+    store's exact integer-unit quotient (see
+    cross_correlation_relationships decimal_unit), so both engines
+    score bit-identical doubles."""
+    from skyline_spark.operators.correlate import (
+        cross_correlation_relationships,
+        related_metrics_confidence,
+    )
+    rel = cross_correlation_relationships(_rm_correlations(spark, sf_dir),
+                                          decimal_unit=1e-6)
+    names = _valid(spark, sf_dir).groupBy("conv_id") \
+        .agg(F.max("metric").alias("metric"))
+    conf = related_metrics_confidence(rel, names)
+    return conf.select(
+        "base_conv", "cand_conv", "base_metric", "related_metric",
+        "cross_correlations_count", "avg_coefficient", "confidence",
+        "in_namespace",
+        F.col("primary_namespaces").cast("int")
+        .alias("primary_namespaces"),
+        F.col("secondary_namespaces").cast("int")
+        .alias("secondary_namespaces"),
+        F.col("tertiary_namespaces").cast("int")
+        .alias("tertiary_namespaces"),
+        F.col("max_correlations").cast("long").alias("max_correlations"),
+        _R6("include_correlation_count")
+        .alias("include_correlation_count"),
+        _R6("min_correlation_count").alias("min_correlation_count")) \
+        .orderBy("base_conv", "cand_conv")
+
+
+#: DuckDB twin: the related_metrics chain re-terminated as a CTE, then
+#: the confidence cascade as sequential computed-column CTEs (each c_i
+#: reads the previous value, mirroring the reference's sequential
+#: reassignments)
+SQL_RELATED_METRICS_CONFIDENCE = SQL_RELATED_METRICS.replace(
+    """SELECT anom_conv AS base_conv, cand_conv, cross_correlations_count,
+       avg_coefficient, shifted_counts, avg_shifted_coefficient
+FROM (SELECT *, quantile_cont(cross_correlations_count, 0.95)
+                    OVER (PARTITION BY anom_conv) AS pct
+      FROM rmper)
+WHERE cross_correlations_count >= pct
+  AND cross_correlations_count >= 3
+ORDER BY base_conv, cand_conv
+""",
+    """, rmrel AS MATERIALIZED (
+    SELECT anom_conv AS base_conv, cand_conv, cross_correlations_count,
+           avg_coefficient
+    FROM (SELECT *, quantile_cont(cross_correlations_count, 0.95)
+                        OVER (PARTITION BY anom_conv) AS pct
+          FROM rmper)
+    WHERE cross_correlations_count >= pct
+      AND cross_correlations_count >= 3),
+rcnames AS MATERIALIZED (
+    SELECT conv_id, max(metric) AS metric FROM valid GROUP BY 1),
+rcns AS MATERIALIZED (
+    SELECT r.*, bn.metric AS base_metric, cn.metric AS related_metric,
+           array_to_string(list_slice(string_split(bn.metric, '.'),
+                                      1, 2), '.') AS b_sec,
+           array_to_string(list_slice(string_split(bn.metric, '.'),
+                                      1, 3), '.') AS b_ter,
+           array_to_string(list_slice(string_split(bn.metric, '.'), 1,
+               len(string_split(bn.metric, '.')) - 1), '.') AS b_fd,
+           array_to_string(list_slice(string_split(cn.metric, '.'),
+                                      1, 1), '.') AS r_pri,
+           array_to_string(list_slice(string_split(cn.metric, '.'),
+                                      1, 2), '.') AS r_sec,
+           array_to_string(list_slice(string_split(cn.metric, '.'),
+                                      1, 3), '.') AS r_ter,
+           array_to_string(list_slice(string_split(cn.metric, '.'), 1,
+               len(string_split(cn.metric, '.')) - 1), '.') AS r_fd
+    FROM rmrel r
+    JOIN rcnames bn ON bn.conv_id = r.base_conv
+    JOIN rcnames cn ON cn.conv_id = r.cand_conv),
+rcgrp AS MATERIALIZED (
+    SELECT base_conv, max(cross_correlations_count) AS max_correlations,
+           quantile_cont(cross_correlations_count, 0.95)
+               AS min_correlation_count,
+           CAST(count(DISTINCT r_pri) AS INT) AS primary_namespaces,
+           CAST(count(DISTINCT r_sec) AS INT) AS secondary_namespaces,
+           CAST(count(DISTINCT r_ter) AS INT) AS tertiary_namespaces
+    FROM rcns GROUP BY 1),
+rc0 AS MATERIALIZED (
+    SELECT n.*, g.max_correlations, g.min_correlation_count,
+           g.primary_namespaces, g.secondary_namespaces,
+           g.tertiary_namespaces,
+           g.max_correlations / 100.0 *
+               (CASE WHEN g.max_correlations > 100 THEN 70.0
+                     WHEN g.max_correlations > 50 THEN 60.0
+                     WHEN g.max_correlations > 20 THEN 50.0
+                     ELSE 40.0 END) AS include_correlation_count,
+           (n.r_fd = n.b_fd) AS in_fd, (n.r_ter = n.b_ter) AS in_ter,
+           (n.r_sec = n.b_sec) AS in_sec,
+           (n.r_fd = n.b_fd OR n.r_ter = n.b_ter OR n.r_sec = n.b_sec)
+               AS in_ns
+    FROM rcns n JOIN rcgrp g USING (base_conv)),
+rc1 AS MATERIALIZED (
+    SELECT *,
+           (CASE WHEN cross_correlations_count < 8 THEN 0.7
+                 WHEN cross_correlations_count >= min_correlation_count
+                     THEN 1.0
+                 WHEN cross_correlations_count >=
+                          CAST(floor(include_correlation_count) AS BIGINT)
+                  AND cross_correlations_count <
+                          CAST(floor(min_correlation_count) AS BIGINT)
+                     THEN 0.85
+                 ELSE 1.0 END) * avg_coefficient AS nc
+    FROM rc0),
+rc2 AS MATERIALIZED (
+    SELECT * REPLACE (
+        CASE WHEN in_fd OR in_ter THEN
+                 (CASE WHEN nc <= 0.7 THEN nc / 0.7 ELSE nc END)
+             WHEN in_sec THEN
+                 (CASE WHEN nc <= 0.5 THEN nc / 0.7 ELSE nc END)
+             WHEN nc >= 0.5 THEN nc * 0.7 ELSE nc END AS nc)
+    FROM rc1),
+rc3 AS MATERIALIZED (
+    SELECT * REPLACE (
+        CASE WHEN cross_correlations_count >= include_correlation_count
+                  AND nc <= 0.7 AND avg_coefficient >= 0.95 THEN
+                 (CASE WHEN NOT in_ns THEN avg_coefficient * 0.9
+                       ELSE avg_coefficient * 0.95 END)
+             ELSE nc END AS nc)
+    FROM rc2),
+rc4 AS MATERIALIZED (
+    SELECT * REPLACE (
+        CASE WHEN nc = 1.0
+                  AND cross_correlations_count < min_correlation_count
+             THEN avg_coefficient * 0.95 ELSE nc END AS nc)
+    FROM rc3),
+rc5 AS MATERIALIZED (
+    SELECT * REPLACE (
+        CASE WHEN nc >= 0.95
+                  AND cross_correlations_count < include_correlation_count
+             THEN nc * 0.8 ELSE nc END AS nc)
+    FROM rc4),
+rc6 AS MATERIALIZED (
+    SELECT * REPLACE (
+        CASE WHEN cross_correlations_count < 3 THEN nc * 0.5
+             ELSE nc END AS nc)
+    FROM rc5),
+rc7 AS MATERIALIZED (
+    SELECT * REPLACE (
+        CASE WHEN cross_correlations_count < 8 AND NOT in_ns
+             THEN nc * 0.5 ELSE nc END AS nc)
+    FROM rc6)
+SELECT base_conv, cand_conv, base_metric, related_metric,
+       cross_correlations_count, avg_coefficient,
+       round(nc, 5) AS confidence, in_ns AS in_namespace,
+       primary_namespaces, secondary_namespaces, tertiary_namespaces,
+       CAST(max_correlations AS BIGINT) AS max_correlations,
+       round(include_correlation_count, 6) AS include_correlation_count,
+       round(min_correlation_count, 6) AS min_correlation_count
+FROM rc7
+ORDER BY base_conv, cand_conv
+""", 1)
+
+
 REGISTRY.update({
     "related_metrics": (q_related_metrics, SQL_RELATED_METRICS),
     "pearson_closest": (q_pearson_closest, SQL_PEARSON_CLOSEST),
+    "related_metrics_confidence": (q_related_metrics_confidence,
+                                   SQL_RELATED_METRICS_CONFIDENCE),
 })
 
 
@@ -7575,16 +7765,8 @@ def q_related_metrics_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
     from skyline_spark.operators.correlate import (
         correlate_or_relate_filter,
         cross_correlation_relationships,
-        luminosity_correlations,
     )
-    parsed = _parsed(spark, sf_dir)
-    anomalies, _ = _rp_anomaly_fixture(spark, sf_dir)
-    an = anomalies.select("conv_id",
-                          F.col("anomaly_e").cast("double")
-                          .alias("last_ts"))
-    cor = luminosity_correlations(
-        parsed, an, window_s=LUM_WINDOW_S, step_s=LUM_STEP_S,
-        max_shift_s=1, threshold=0.9, mode="luminol")
+    cor = _rm_correlations(spark, sf_dir)
     met = _valid(spark, sf_dir).groupBy("conv_id") \
         .agg(F.max("metric").alias("metric"))
     cor = cor \
@@ -7598,12 +7780,11 @@ def q_related_metrics_gated(spark: SparkSession, sf_dir: str) -> DataFrame:
         cor, "a_metric", "b_metric",
         correlate_namespaces_only=list(RM_GATE_NS),
         correlation_maps={k: list(v) for k, v in RM_GATE_MAPS.items()})
-    rel = cross_correlation_relationships(gated)
+    rel = cross_correlation_relationships(gated, decimal_unit=1e-6)
     return rel.select(
         "base_conv", "cand_conv", "cross_correlations_count",
-        _R6("avg_coefficient").alias("avg_coefficient"),
-        "shifted_counts",
-        _R6("avg_shifted_coefficient").alias("avg_shifted_coefficient")) \
+        "avg_coefficient", "shifted_counts",
+        "avg_shifted_coefficient") \
         .orderBy("base_conv", "cand_conv")
 
 

@@ -264,6 +264,92 @@ def test_correlate_or_relate_filter_branches(spark):
     assert [(r.am, r.bm) for r in got] == [("web.a.req", "web.b.req")]
 
 
+# ---------------------------------------------------------------------------
+# related-metrics confidence read (functions/metrics/get_related_metrics.py)
+# ---------------------------------------------------------------------------
+
+def _conf(spark, rel_rows, name_rows):
+    from skyline_spark.operators.correlate import related_metrics_confidence
+    rel = spark.createDataFrame(
+        pd.DataFrame(rel_rows, columns=["base_conv", "cand_conv",
+                                        "cross_correlations_count",
+                                        "avg_coefficient"]))
+    names = spark.createDataFrame(
+        pd.DataFrame(name_rows, columns=["conv_id", "metric"]))
+    return related_metrics_confidence(rel, names) \
+        .toPandas().set_index("cand_conv")
+
+
+def test_confidence_cascade_branches(spark):
+    """Every live branch of the new_confidence cascade
+    (get_related_metrics.py:320-360), hand-walked: group max=120 ->
+    ladder percentile 70 -> include_correlation_count 84.0;
+    min_correlation_count = np.percentile([4,7,10,30,120], 95) =
+    102.0."""
+    names = [("b", "app.svc.req.rate"),
+             ("c1", "app.svc.req.errors"),   # first-degree match
+             ("c2", "app.svc.lat.p99"),      # secondary-only match
+             ("c3", "db.q.lat.avg"),         # out of namespace
+             ("c4", "app.svc.req.count"),    # first-degree, max count
+             ("c5", "cache.hit.ratio.x")]    # out of namespace, low count
+    rel = [("b", "c1", 30, 0.96), ("b", "c2", 10, 0.92),
+           ("b", "c3", 4, 0.99), ("b", "c4", 120, 1.0),
+           ("b", "c5", 7, 0.96)]
+    out = _conf(spark, rel, names)
+    # c1: base 1 (not <8, not >=102, not in [84,102)) * .96 = .96;
+    #     in_fd > .7 unchanged; >= .95 and 30 < icc -> * 0.8 = .768
+    assert abs(out.loc["c1"].confidence - 0.768) < 1e-9
+    # c2: 1 * .92; in_sec > .5 unchanged; no rescue/down-weight
+    assert abs(out.loc["c2"].confidence - 0.92) < 1e-9
+    # c3: <8 -> .7 * .99 = .693; out-of-ns >= .5 -> *.7 = .4851;
+    #     <8 and out-of-ns -> *.5 = .24255
+    assert abs(out.loc["c3"].confidence - 0.24255) < 1e-9
+    # c4: >= mcc -> 1 * 1.0 = 1.0; in_fd; nc==1 but cc >= mcc -> stays
+    assert out.loc["c4"].confidence == 1.0
+    # c5: .7 * .96 = .672; out-of-ns -> .4704; <8 out-of-ns -> .2352
+    assert abs(out.loc["c5"].confidence - 0.2352) < 1e-9
+    # group stats repeat on every row
+    assert set(out.max_correlations) == {120}
+    assert set(out.include_correlation_count) == {84.0}
+    assert all(abs(v - 102.0) < 1e-9 for v in out.min_correlation_count)
+    # namespace rollups: primary {app,db,cache}, secondary
+    # {app.svc,db.q,cache.hit}, tertiary {app.svc.req, app.svc.lat,
+    # db.q.lat, cache.hit.ratio}
+    assert set(out.primary_namespaces) == {3}
+    assert set(out.secondary_namespaces) == {3}
+    assert set(out.tertiary_namespaces) == {4}
+    assert bool(out.loc["c1"].in_namespace)
+    assert bool(out.loc["c2"].in_namespace)
+    assert not bool(out.loc["c3"].in_namespace)
+
+
+def test_confidence_range_membership_branch(spark):
+    """The 0.85 factor fires only for int counts in
+    [int(icc), int(mcc)) — the reference's `in list(range(...))`
+    (:324): counts [90, 60] -> icc = 90/100*60 = 54, mcc =
+    np.percentile([60,90],95) = 88.5, so 60 lands in [54, 88)."""
+    names = [("b", "a.b.c"), ("x", "a.b.d"), ("y", "a.b.e")]
+    rel = [("b", "x", 90, 0.9), ("b", "y", 60, 0.9)]
+    out = _conf(spark, rel, names)
+    # y: 0.85 * 0.9 = .765; in_fd (a.b == a.b) with nc > .7 unchanged
+    assert abs(out.loc["y"].confidence - 0.765) < 1e-9
+    # x: cc >= mcc -> 1 * .9 = .9
+    assert abs(out.loc["x"].confidence - 0.9) < 1e-9
+
+
+def test_confidence_single_element_names(spark):
+    """Single-element metric names: elements[0:-1] is empty on both
+    sides, so first_degree namespaces are both '' and every pair is
+    in-namespace by first-degree — python slice semantics preserved."""
+    names = [("b", "alpha"), ("x", "beta")]
+    rel = [("b", "x", 10, 0.9)]
+    out = _conf(spark, rel, names)
+    assert bool(out.loc["x"].in_namespace)
+    # base 1 * .9 = .9 > .7 -> unchanged by the fd ladder; no rescue
+    # (cc 10 >= icc 4.0 but nc > .7), nc < .95
+    assert abs(out.loc["x"].confidence - 0.9) < 1e-9
+
+
 def test_inactive_metrics_and_namespace_counts(spark):
     from skyline_spark.operators.webapp import (
         inactive_metrics,
