@@ -217,3 +217,89 @@ def namespace_metric_counts(known: DataFrame, active: DataFrame,
         F.count("*").cast("long").alias("total_metrics"),
         F.sum("__act").cast("long").alias("active_metrics"),
         F.sum(1 - F.col("__act")).cast("long").alias("inactive_metrics"))
+
+
+def metric_analysed_events(realtime: DataFrame, long_series: DataFrame,
+                           now: float, last_day_window: int = 86400,
+                           boundary_namespaces: tuple[str, ...] = (),
+                           key_col: str = "conv_id",
+                           ts_col: str = "ts",
+                           long_e_col: str = "e") -> DataFrame:
+    """webapp analysed-events inventory (functions/metrics/
+    get_metric_analysed_events.py:18-166): per metric, the number of
+    analysed events over [from, until] — the per-metric twin of the
+    namespace inventory counts.
+
+    The reference counts two stores: the Redis FULL_DURATION series
+    (``realtime``; every point newer than now - 86400 counts once,
+    :146-149) and the Graphite long fetch (``long_series``, the
+    retention-DOWNSAMPLED history; each point older than the last-day
+    boundary counts int(full_resolution / resolution) times when the
+    long store is coarser than the live one, else once, :120-137 —
+    the weighting undoes the retention thinning). resolution is the
+    metrics_manager hash value floored at 60 (:89-103, the hash is
+    itself determine_data_frequency over the live series, so that is
+    what stands in here); full_resolution is determine_data_frequency
+    over the long fetch. The >1-point guard on the long fetch
+    (:129-130) is kept. Metrics in the boundary hash double their
+    total (analyzer + boundary, :152-162); zero-count metrics return
+    the empty dict -> no row (:163-164).
+
+    ``long_series`` carries ``key_col`` + epoch-seconds ``long_e_col``
+    (a downsample() output). Scale: two per-series aggregates plus the
+    (shared) frequency kernels — map-side combinable groupBys on the
+    series key; boundary membership is a settings-sized literal
+    predicate. No broadcast of facts, no collect.
+    """
+    from skyline_spark.operators.enrich import _match_condition
+    from skyline_spark.operators.preprocess import determine_data_frequency
+
+    last_day = F.lit(float(now)) - F.lit(int(last_day_window))
+    e_rt = F.floor(F.col(ts_col).cast("timestamp").cast("double")) \
+        .cast("long")
+
+    recent = (realtime.where(e_rt >= last_day)
+              .groupBy(key_col)
+              .agg(F.count(F.lit(1)).cast("long").alias("n_recent")))
+
+    le = F.col(long_e_col).cast("long")
+    longc = (long_series
+             .groupBy(key_col)
+             .agg(F.count(F.lit(1)).cast("long").alias("n_long_total"),
+                  F.sum(F.when(le < last_day, 1).otherwise(0))
+                  .cast("long").alias("n_long_old")))
+
+    res = determine_data_frequency(realtime, key_cols=(key_col,),
+                                   ts_col=ts_col) \
+        .select(key_col, F.greatest("metric_resolution", F.lit(60))
+                .alias("res"))
+    lfreq = determine_data_frequency(
+        long_series.withColumn("__ts", le.cast("timestamp")),
+        key_cols=(key_col,), ts_col="__ts") \
+        .select(key_col, F.col("metric_resolution").alias("full_res"))
+
+    j = (recent.join(longc, key_col, "full")
+         .join(res, key_col, "left").join(lfreq, key_col, "left")
+         # hash-miss default: resolution falls back to 60 (:89-103)
+         .withColumn("res", F.coalesce("res", F.lit(60))))
+    weight = F.when(F.col("full_res") > F.col("res"),
+                    F.floor(F.col("full_res").cast("double")
+                            / F.col("res")).cast("long")) \
+        .otherwise(F.lit(1))
+    analyzer = (F.when((F.col("n_long_total") > 1)
+                       & F.col("full_res").isNotNull(),
+                       F.col("n_long_old") * weight).otherwise(F.lit(0))
+                + F.coalesce("n_recent", F.lit(0)))
+    out = j.withColumn("analyzer", analyzer.cast("long")) \
+        .where(F.col("analyzer") > 0)
+    is_boundary = F.lit(False)
+    for p in boundary_namespaces:
+        is_boundary = is_boundary | _match_condition(F.col(key_col),
+                                                     F.lit(p))
+    return out.select(
+        F.col(key_col).alias("base_name"),
+        F.col("analyzer"),
+        F.when(is_boundary, F.col("analyzer")).cast("long")
+        .alias("boundary"),
+        F.when(is_boundary, F.col("analyzer") * 2)
+        .otherwise(F.col("analyzer")).cast("long").alias("total"))

@@ -7925,10 +7925,145 @@ FROM ncj GROUP BY namespace ORDER BY namespace
 SQL_NAMESPACE_METRIC_COUNTS = _ns_count_sql()
 
 
+#: analysed-events config: the Graphite long-store stand-in is the
+#: valid series downsampled to a 4 h retention grid (coarser than most
+#: series' native cadence, so the int(full_resolution/resolution)
+#: retention-unthinning weight is live); error conversations are the
+#: boundary-checked population
+AE_LONG_STEP = 14400
+AE_LAST_DAY = 86400
+AE_BOUNDARY_NS = ("conv-error",)
+
+
+def q_analysed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§3.3/webapp — per-metric analysed-events inventory
+    (functions/metrics/get_metric_analysed_events.py:18-166): realtime
+    points in the last day count once; the retention-downsampled long
+    store's older points count int(full_resolution/resolution) times;
+    boundary metrics double the total; zero-count metrics emit no
+    row."""
+    from skyline_spark.operators import preprocess as _pp
+    from skyline_spark.operators.parse import parse_events as _pe
+    from skyline_spark.operators.webapp import metric_analysed_events
+    from skyline_spark.plans.pipeline import batch_now
+    tdf = transcripts_from_events(spark, sf_dir)
+    now = batch_now(tdf)
+    v = _pe(tdf).where(F.col("value").isNotNull())
+    long_store = _pp.downsample(v, AE_LONG_STEP, method="mean") \
+        .select("conv_id",
+                F.col("bucket_start").cast("timestamp").cast("double")
+                .alias("e"))
+    out = metric_analysed_events(
+        v, long_store, now, last_day_window=AE_LAST_DAY,
+        boundary_namespaces=AE_BOUNDARY_NS)
+    return out.orderBy("base_name")
+
+
+def _freq_sql(p: str, src: str, e_expr: str, ord_expr: str) -> str:
+    """The determine_data_frequency CTE chain (the _FREQ_CTES shape)
+    keyed by conv_id over an arbitrary source, renamable so it can
+    appear twice in one query (realtime + long store)."""
+    return f"""
+{p}ser AS (
+    SELECT conv_id, {e_expr} AS e,
+           row_number() OVER (PARTITION BY conv_id
+                              ORDER BY {ord_expr} DESC) AS rn,
+           count(*) OVER (PARTITION BY conv_id) AS n,
+           {ord_expr} AS ord
+    FROM {src}),
+{p}sample AS (SELECT * FROM {p}ser WHERE n < 95 OR rn <= 101),
+{p}diff AS (
+    SELECT conv_id, e - prev AS res
+    FROM (SELECT *, lag(e) OVER (PARTITION BY conv_id
+                                 ORDER BY ord ASC) AS prev
+          FROM {p}sample)
+    WHERE prev IS NOT NULL),
+{p}cnt AS (
+    SELECT conv_id, res, count(*) AS c FROM {p}diff GROUP BY 1, 2),
+{p}best AS (
+    SELECT conv_id, min(res) AS res
+    FROM (SELECT *, max(c) OVER (PARTITION BY conv_id) AS maxc
+          FROM {p}cnt)
+    WHERE c = maxc GROUP BY 1),
+{p}res AS (
+    SELECT conv_id,
+           CAST(CASE WHEN res <> 60
+                     AND res NOT IN (1, 2, 3, 5, 6, 10, 12, 15, 20, 30)
+                     AND res BETWEEN 1 AND 68
+                THEN 60 ELSE res END AS INT) AS metric_resolution
+    FROM {p}best)"""
+
+
+def _ae_boundary_sql(col: str) -> str:
+    ors = []
+    for pat in AE_BOUNDARY_NS:
+        ors.append(
+            f"({col} = '{pat}' OR contains({col}, '{pat}') OR "
+            f"len(list_filter(string_split('{pat}', '.'), "
+            f"x -> NOT list_contains(string_split({col}, '.'), x))) = 0 "
+            f"OR regexp_matches({col}, '^(?:' || '{pat}' || ')'))")
+    return "(" + " OR ".join(ors) + ")" if ors else "FALSE"
+
+
+SQL_ANALYSED_EVENTS = _sql(
+    ","
+    + _freq_sql("aef", "valid", "CAST(floor(epoch(ts)) AS BIGINT)", "ts")
+    + ",\naelong AS MATERIALIZED (\n"
+    f"    SELECT conv_id,\n"
+    f"           CAST(floor(epoch(ts) / {AE_LONG_STEP}) * {AE_LONG_STEP}\n"
+    f"                AS BIGINT) AS e\n"
+    "    FROM valid GROUP BY 1, 2),"
+    + _freq_sql("ael", "aelong", "e", "e")
+    + f"""
+, aerec AS (
+    SELECT conv_id, CAST(count(*) AS BIGINT) AS n_recent
+    FROM valid, batch bt
+    WHERE CAST(floor(epoch(ts)) AS BIGINT) >= bt.now - {AE_LAST_DAY}
+    GROUP BY 1),
+aelc AS (
+    SELECT conv_id, CAST(count(*) AS BIGINT) AS n_long_total,
+           CAST(sum(CASE WHEN e < bt.now - {AE_LAST_DAY} THEN 1
+                         ELSE 0 END) AS BIGINT) AS n_long_old
+    FROM aelong, batch bt GROUP BY 1),
+aeuni AS (SELECT DISTINCT conv_id FROM valid),
+aej AS (
+    SELECT u.conv_id,
+           coalesce(r.n_recent, 0) AS n_recent,
+           coalesce(c.n_long_total, 0) AS n_long_total,
+           coalesce(c.n_long_old, 0) AS n_long_old,
+           greatest(coalesce(fr.metric_resolution, 60), 60) AS res,
+           lf.metric_resolution AS full_res
+    FROM aeuni u
+    LEFT JOIN aerec r USING (conv_id)
+    LEFT JOIN aelc c USING (conv_id)
+    LEFT JOIN aefres fr USING (conv_id)
+    LEFT JOIN aelres lf USING (conv_id)),
+aecount AS (
+    SELECT conv_id,
+           (CASE WHEN n_long_total > 1 AND full_res IS NOT NULL
+                 THEN n_long_old *
+                      (CASE WHEN full_res > res
+                            THEN CAST(floor(CAST(full_res AS DOUBLE)
+                                            / res) AS BIGINT)
+                            ELSE 1 END)
+                 ELSE 0 END) + n_recent AS analyzer
+    FROM aej)
+SELECT conv_id AS base_name, CAST(analyzer AS BIGINT) AS analyzer,
+       CASE WHEN {_ae_boundary_sql('conv_id')}
+            THEN CAST(analyzer AS BIGINT) END AS boundary,
+       CAST(CASE WHEN {_ae_boundary_sql('conv_id')}
+                 THEN analyzer * 2 ELSE analyzer END AS BIGINT) AS total
+FROM aecount
+WHERE analyzer > 0
+ORDER BY base_name
+""")
+
+
 REGISTRY.update({
     "inactive_metrics": (q_inactive_metrics, SQL_INACTIVE_METRICS),
     "namespace_metric_counts": (q_namespace_metric_counts,
                                 SQL_NAMESPACE_METRIC_COUNTS),
+    "analysed_events": (q_analysed_events, SQL_ANALYSED_EVENTS),
 })
 
 

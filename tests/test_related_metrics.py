@@ -371,3 +371,56 @@ def test_inactive_metrics_and_namespace_counts(spark):
     assert list(counts.total_metrics) == [2, 2]
     assert list(counts.active_metrics) == [1, 1]
     assert list(counts.inactive_metrics) == [1, 1]
+
+
+def test_metric_analysed_events(spark):
+    """get_metric_analysed_events.py:18-166 — realtime last-day points
+    count once; long-store points older than the boundary count
+    int(full_resolution/resolution) times when the long store is
+    coarser; the >1-point long guard; boundary metrics double the
+    total; zero-count series emit no row."""
+    from skyline_spark.operators.webapp import metric_analysed_events
+    now, window = 100_000.0, 1000
+    rt_rows, long_rows = [], []
+    # conv-error-a: 5 recent points at 100 s cadence (res 100), long
+    # store at 400 s (weight 4) with 3 points older than the boundary
+    for i in range(5):
+        rt_rows.append(("conv-error-a", 99_100 + i * 100, 1.0))
+    for e in (98_000, 98_400, 98_800, 99_200):
+        long_rows.append(("conv-error-a", float(e)))
+    # conv-view-b: recent-only (no long rows)
+    for i in range(4):
+        rt_rows.append(("conv-view-b", 99_200 + i * 150, 1.0))
+    # conv-old-c: nothing recent; long store at the SAME 100 s cadence
+    # as realtime (weight 1), 3 old points
+    for i in range(6):
+        rt_rows.append(("conv-old-c", 90_000 + i * 100, 1.0))
+    for e in (98_000, 98_100, 98_200):
+        long_rows.append(("conv-old-c", float(e)))
+    # conv-one-d: a single old long point and nothing recent -> the
+    # len(long) > 1 guard keeps it at zero -> dropped
+    rt_rows.append(("conv-one-d", 90_000, 1.0))
+    long_rows.append(("conv-one-d", 98_000.0))
+    rt = spark.createDataFrame(
+        pd.DataFrame(rt_rows, columns=["conv_id", "e", "value"])
+        .assign(ts=lambda d: pd.to_datetime(d.e, unit="s"))
+        [["conv_id", "ts", "value"]])
+    long_store = spark.createDataFrame(
+        pd.DataFrame(long_rows, columns=["conv_id", "e"]))
+    out = metric_analysed_events(
+        rt, long_store, now, last_day_window=window,
+        boundary_namespaces=("conv-error",)) \
+        .toPandas().set_index("base_name")
+    # error-a: 3 old * 4 + 5 recent = 17; boundary doubles the total
+    assert out.loc["conv-error-a"].analyzer == 17
+    assert out.loc["conv-error-a"].boundary == 17
+    assert out.loc["conv-error-a"].total == 34
+    # view-b: 4 recent, no long store, not boundary
+    assert out.loc["conv-view-b"].analyzer == 4
+    assert pd.isna(out.loc["conv-view-b"].boundary)
+    assert out.loc["conv-view-b"].total == 4
+    # old-c: weight 1 (same cadence), 3 old points, nothing recent
+    assert out.loc["conv-old-c"].analyzer == 3
+    assert out.loc["conv-old-c"].total == 3
+    # one-d: guarded to zero -> no row
+    assert "conv-one-d" not in out.index
