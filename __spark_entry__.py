@@ -19,7 +19,9 @@ driver-hash verification — round 7 rotated in classify_metrics,
 related_metrics, thunder_rolling and cloudburst_related for four
 oracles dominated by in-window siblings. Past the window sit the
 rows-only queries (numerics not ANSI-expressible — the full
-9-algorithm vote needs KS-p+ADF — or approximate/sequential-state
+9-algorithm vote needs ADF, though its KS-p gate is now value-oracled
+via consensus_vote_sql9k's kolmogorov_isf(0.05) literal — or
+approximate/sequential-state
 variants of an oracled exact twin, pinned by the golden-fixture +
 property pytest suite) and the dominated oracles (the _sql5 kernel
 twins, tail_avg, mad_prefilter, fill_forward_1h,

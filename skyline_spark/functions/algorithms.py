@@ -35,7 +35,9 @@ from functools import lru_cache
 import numpy as np
 import pandas as pd
 
-from skyline_spark.functions.stats import adfuller_pvalue, ks_2samp, t_isf
+from skyline_spark.functions.stats import (_kolmogorov_sf,
+                                           adfuller_pvalue, ks_2samp,
+                                           t_isf)
 
 
 @lru_cache(maxsize=65536)
@@ -324,6 +326,32 @@ def ks_d_stat(ts: np.ndarray, values: np.ndarray, ref_span: int,
     return int(reference.size), int(probe.size), float(d)
 
 
+def ks_test_d_gate(ts: np.ndarray, values: np.ndarray,
+                   full_duration: int = FULL_DURATION_DEFAULT
+                   ) -> bool | None:
+    """A9 restricted to its KS core — the consensus_vote_sql9k form:
+    ``p < 0.05 and D > 0.5`` (skyline/mirage/mirage_algorithms.py:
+    543-556) WITHOUT the trailing ADF stationarity confirmation
+    (adfuller + the MacKinnon surface is the one genuinely non-ANSI
+    numeric left in the vote; the full ks_test stays golden-pytest
+    pinned). Because the asymptotic p is
+    kolmogorov_sf((en + 0.12 + 0.11/en) * D) with en depending only on
+    the two window sizes, ``p < 0.05`` is the deterministic comparison
+    ``(en + 0.12 + 0.11/en) * D > kolmogorov_isf(0.05)`` — a single
+    literal in the SQL twin, exactly like the grubbs t-ISF thresholds.
+
+    Windows rescaled to the corpus cadence like ks_d_stat's callers:
+    reference [last - full_duration, last - full_duration/3), probe the
+    trailing full_duration/3 (hour/10-min -> FULL_DURATION/STALE)."""
+    res = ks_d_stat(ts, values, full_duration, full_duration // 3)
+    if res is None:
+        return False
+    n1, n2, d = res
+    en = math.sqrt(n1 * n2 / (n1 + n2))
+    p = _kolmogorov_sf((en + 0.12 + 0.11 / en) * d)
+    return bool(p < 0.05 and d > 0.5)
+
+
 def negatives_present(ts: np.ndarray, values: np.ndarray) -> bool:
     """Whether the series contains negative values (untrainable-metric
     flag). Ref: skyline/analyzer/algorithms.py:1083-1110 (min < 0)."""
@@ -340,6 +368,7 @@ ALGORITHM_FUNCS = {
     "stddev_from_average": stddev_from_average,
     "grubbs": grubbs,
     "ks_test": ks_test,
+    "ks_test_d_gate": ks_test_d_gate,
     "mean_subtraction_cumulation": mean_subtraction_cumulation,
     "median_absolute_deviation": median_absolute_deviation,
     "stddev_from_moving_average": stddev_from_moving_average,

@@ -170,6 +170,25 @@ def _kolmogorov_sf(x: float) -> float:
     return min(max(total, 0.0), 1.0)
 
 
+def kolmogorov_isf(q: float) -> float:
+    """Inverse survival of the Kolmogorov distribution by bisection on
+    :func:`_kolmogorov_sf` (strictly decreasing for x > 0): the x with
+    sf(x) = q, to double precision. kolmogorov_isf(0.05) is the
+    critical constant that turns ks_2samp's ``p < 0.05`` into the
+    deterministic comparison ``(en + 0.12 + 0.11/en) * D > K`` — the
+    same literal-injection trick as the grubbs t-ISF thresholds."""
+    lo, hi = 1e-8, 10.0
+    for _ in range(200):
+        mid = (lo + hi) / 2.0
+        if mid == lo or mid == hi:
+            break
+        if _kolmogorov_sf(mid) > q:
+            lo = mid
+        else:
+            hi = mid
+    return (lo + hi) / 2.0
+
+
 def ks_2samp(a: np.ndarray, b: np.ndarray) -> tuple[float, float]:
     """Two-sample KS statistic D and asymptotic two-sided p-value."""
     a = np.sort(np.asarray(a, dtype=np.float64))

@@ -1737,6 +1737,101 @@ FROM final8
 """).replace("__GRUBBS_LUT__", _grubbs_lut_literals())
 
 
+SQL9K_ALGS = SQL8_ALGS + ("ks_test_d_gate",)
+
+
+def q_consensus_sql9k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.5/2.6 — the analyze kernel at the FULL nine-slot ensemble and
+    the reference's production CONSENSUS=6, with slot 9 as
+    ks_test_d_gate: ks_test's KS core (p < 0.05 via the
+    kolmogorov_isf(0.05) literal, D > 0.5, the size/constant guards)
+    without the ADF stationarity confirmation — the only remaining
+    non-ANSI numeric in the vote (OLS + MacKinnon surface, documented
+    terminal; the full ks_test is pinned by golden pytest and the
+    consensus_verdicts rows-only query). Every other branch of the
+    9-slot vote — including the 6-of-9 consensus arithmetic itself —
+    is value-checked here."""
+    *_, v = _restricted_analyze(spark, sf_dir, SQL9K_ALGS, 6)
+
+    def e(i):
+        return F.get(F.col("ensemble"), i)
+    return v.select(
+        "conv_id", "exception",
+        e(0).alias("fha"), e(1).alias("sfa"), e(2).alias("msc"),
+        e(3).alias("mad"), e(4).alias("lsq"), e(5).alias("grb"),
+        e(6).alias("hist"), e(7).alias("ewm"), e(8).alias("ks"),
+        "anomalous", _R6("datapoint").alias("datapoint"))
+
+
+def _ks9k_sql_block() -> str:
+    """The ks_test_d_gate vote as CTEs over the vote8 block's trimmed
+    ``series`` (the SQL_KS_D ECDF shape), plus the 9-slot 6-of-9
+    consensus. The p < 0.05 gate is the literal comparison
+    scaled > kolmogorov_isf(0.05) — sf is strictly decreasing, so the
+    forms are equivalent away from the measure-zero exact boundary."""
+    from skyline_spark.functions.stats import kolmogorov_isf
+    kcrit = repr(kolmogorov_isf(0.05))
+    probe = FD // 3
+    en = ("sqrt(CAST(n_ref * n_probe AS DOUBLE) / (n_ref + n_probe))")
+    return f""", k9b AS (
+    SELECT conv_id, y AS value, x AS te,
+           max(x) OVER (PARTITION BY conv_id) AS last_ts
+    FROM series),
+k9t AS (
+    SELECT conv_id, value,
+           CASE WHEN te >= last_ts - {probe} THEN 'p' ELSE 'r' END AS s
+    FROM k9b WHERE te >= last_ts - {FD}),
+k9c AS (
+    SELECT conv_id,
+           count(CASE WHEN s = 'r' THEN 1 END) AS n_ref,
+           count(CASE WHEN s = 'p' THEN 1 END) AS n_probe,
+           min(CASE WHEN s = 'r' THEN value END) AS rmin,
+           max(CASE WHEN s = 'r' THEN value END) AS rmax
+    FROM k9t GROUP BY conv_id),
+k9e AS (
+    SELECT t.conv_id, c.n_ref, c.n_probe,
+           count(CASE WHEN t.s = 'r' THEN 1 END) OVER
+               (PARTITION BY t.conv_id ORDER BY t.value
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_ref,
+           count(CASE WHEN t.s = 'p' THEN 1 END) OVER
+               (PARTITION BY t.conv_id ORDER BY t.value
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c_probe
+    FROM k9t t JOIN k9c c ON t.conv_id = c.conv_id
+    WHERE c.n_ref >= 20 AND c.n_probe >= 20 AND c.rmin <> c.rmax),
+k9d AS (
+    SELECT conv_id, n_ref, n_probe,
+           max(abs(CAST(c_ref AS DOUBLE) / n_ref
+                   - CAST(c_probe AS DOUBLE) / n_probe)) AS d
+    FROM k9e GROUP BY conv_id, n_ref, n_probe),
+k9v AS (
+    SELECT conv_id,
+           (d > 0.5 AND ({en} + 0.12 + 0.11 / {en}) * d > {kcrit}) AS ks
+    FROM k9d),
+final9k AS (
+    SELECT v.conv_id, v.exception, v.datapoint,
+           v.fha, v.sfa, v.msc, v.mad, v.lsq, v.grb, v.hist, v.ewm,
+           CASE WHEN v.exception IS NULL
+                THEN coalesce(k.ks, FALSE) END AS ks,
+           CASE WHEN v.exception IS NOT NULL THEN FALSE
+                ELSE (CAST(NOT v.fha AS INT) + CAST(NOT v.sfa AS INT)
+                      + CAST(NOT v.msc AS INT) + CAST(NOT v.mad AS INT)
+                      + CAST(NOT v.lsq AS INT) + CAST(NOT v.grb AS INT)
+                      + CAST(NOT v.hist AS INT) + CAST(NOT v.ewm AS INT)
+                      + CAST(NOT coalesce(k.ks, FALSE) AS INT)) <= 3
+           END AS anomalous
+    FROM votes8 v LEFT JOIN k9v k USING (conv_id))
+"""
+
+
+SQL_CONSENSUS_SQL9K = (_sql("__V8__")
+    .replace("__V8__", _vote8_sql_block(FD, "") + _ks9k_sql_block())
+    + """
+SELECT conv_id, exception, fha, sfa, msc, mad, lsq, grb, hist, ewm, ks,
+       anomalous, datapoint
+FROM final9k
+""").replace("__GRUBBS_LUT__", _grubbs_lut_literals())
+
+
 def q_sigma_vote_sql8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.10 — the sigma custom algorithm's run_sigma_algorithms
     ensemble (custom_algorithm_sources/sigma/sigma.py:622-818)
@@ -2161,6 +2256,7 @@ REGISTRY: dict[str, tuple] = {
     "consensus_verdicts": (q_consensus_verdicts, None),
     "consensus_vote_sql5": (q_consensus_sql5, SQL_CONSENSUS_SQL5),
     "consensus_vote_sql8": (q_consensus_sql8, SQL_CONSENSUS_SQL8),
+    "consensus_vote_sql9k": (q_consensus_sql9k, SQL_CONSENSUS_SQL9K),
     "sigma_vote_sql8": (q_sigma_vote_sql8, SQL_SIGMA_VOTE_SQL8),
     "sigma_oneshot_sql": (q_sigma_oneshot_sql, SQL_SIGMA_ONESHOT),
     "alert_throttle_sql": (q_alert_throttle_sql, SQL_ALERT_THROTTLE),

@@ -191,6 +191,46 @@ def test_ks_test_deterministic():
     assert alg.ks_test(ts, v3) is False
 
 
+def test_ks_test_d_gate_and_literal_equivalence():
+    """ks_test_d_gate — the ADF-free KS core the consensus_vote_sql9k
+    oracle pins: the True path on a distribution shift, guard paths,
+    and the equivalence of `p < 0.05` with the SQL twin's literal form
+    `(en + 0.12 + 0.11/en) * d > kolmogorov_isf(0.05)` across a dense
+    sweep of (d, n1, n2)."""
+    import math
+
+    from skyline_spark.functions.stats import _kolmogorov_sf, kolmogorov_isf
+
+    rng = np.random.RandomState(7)
+    n = 3600
+    fd = n  # windows: reference [last-3600, last-1200), probe 1200
+    ts = np.arange(n, dtype=np.float64)
+    v = rng.normal(10, 1, n)
+    v[-1200:] = rng.normal(50, 1, 1200)
+    assert alg.ks_test_d_gate(ts, v, full_duration=fd) is True
+    # no shift -> False; constant reference -> guard False
+    assert alg.ks_test_d_gate(ts, rng.normal(10, 1, n),
+                              full_duration=fd) is False
+    v3 = np.ones(n)
+    v3[-1200:] = rng.normal(50, 1, 1200)
+    assert alg.ks_test_d_gate(ts, v3, full_duration=fd) is False
+    # tiny windows -> size guard False
+    assert alg.ks_test_d_gate(ts[:30], v[:30], full_duration=30) is False
+
+    # literal-form equivalence: sf strictly decreasing, so p < 0.05
+    # iff scaled > K — checked over a dense grid incl. values straddling
+    # the critical region
+    K = kolmogorov_isf(0.05)
+    assert abs(_kolmogorov_sf(K) - 0.05) < 1e-12
+    for n1 in (20, 21, 100, 337, 504):
+        for n2 in (20, 33, 144, 504):
+            en = math.sqrt(n1 * n2 / (n1 + n2))
+            scale = en + 0.12 + 0.11 / en
+            for d in np.linspace(0.01, 0.99, 197):
+                p = _kolmogorov_sf(scale * d)
+                assert (p < 0.05) == (scale * d > K), (n1, n2, d, p)
+
+
 def test_negatives_present():
     ts = np.arange(5, dtype=np.float64)
     assert alg.negatives_present(ts, np.array([1.0, -2.0, 3.0, 1.0, 1.0])) is True
