@@ -7727,16 +7727,29 @@ prtm AS MATERIALIZED (
     FROM prd d CROSS JOIN (VALUES (0), (1), (2), (3)) AS tf(f)
     WHERE d.f <> tf.f
     GROUP BY 1, 2, 3, 4, 5),
+prtmb AS MATERIALIZED (
+    -- the SAME midpoint-threshold routing as the python kernel
+    -- (ppscore.cart_1d_predict): boundary_i = (x_i + x_{i+1}) / 2 in
+    -- IEEE doubles, test point routed to the FIRST train mean whose
+    -- boundary >= it (searchsorted side='left'; the last mean has no
+    -- boundary and catches the rest). A nearest-x rule agrees except
+    -- when the computed midpoint rounds toward one endpoint — the
+    -- cross-engine straddle this formulation removes.
+    SELECT *, (x + lead(x) OVER (PARTITION BY source_conv, cand_conv,
+                                              dir, test_f
+                                 ORDER BY x)) / 2.0 AS bnd
+    FROM prtm),
 prpred AS MATERIALIZED (
     SELECT te.source_conv, te.cand_conv, te.dir, te.f, te.i, te.y,
            tm.my AS pred
-    FROM prd te JOIN prtm tm
+    FROM prd te JOIN prtmb tm
       ON tm.source_conv = te.source_conv
      AND tm.cand_conv = te.cand_conv
      AND tm.dir = te.dir AND tm.test_f = te.f
+    WHERE te.x <= tm.bnd OR tm.bnd IS NULL
     QUALIFY row_number() OVER (
         PARTITION BY te.source_conv, te.cand_conv, te.dir, te.i
-        ORDER BY abs(te.x - tm.x) ASC, tm.x ASC) = 1),
+        ORDER BY tm.x ASC) = 1),
 prmodel AS MATERIALIZED (
     SELECT source_conv, cand_conv, dir, avg(mae) AS model_mae
     FROM (SELECT source_conv, cand_conv, dir, f,

@@ -175,3 +175,35 @@ def test_ppscore_single_unique_x():
     assert np.allclose(pred, 2.5)
     s, case = ppscore_1d(np.full(12, 3.0), np.arange(12.0))
     assert case == "ok" and s == 0.0
+
+
+def test_cart_degenerate_midpoint_rounding_matches_sql_rule():
+    """Degenerate-float probe: train x {0.1, 0.2} — the IEEE midpoint
+    fl((0.1+0.2)/2) = 0.15000000000000002 rounds ABOVE the true
+    midpoint of the stored doubles, so a test point equal to it is
+    nearer to 0.2 (nearest-x would route RIGHT) but sits on the
+    boundary (midpoint-threshold routes LEFT, side='left'). Pins the
+    kernel AND the DuckDB twin's routing rule (the prtmb/prpred shape
+    in SQL_CLOUDBURST_RELATED: bnd = (x + lead(x))/2, first mean with
+    test_x <= bnd) to the SAME midpoint-threshold formulation — the
+    cross-engine straddle this removes."""
+    import duckdb
+
+    x = np.array([0.1, 0.2])
+    y = np.array([10.0, 30.0])
+    bnd = (0.1 + 0.2) / 2.0
+    assert repr(bnd) == "0.15000000000000002"  # not the true midpoint
+    pred = cart_1d_predict(x, y, np.array([bnd]))
+    assert list(pred) == [10.0]  # midpoint rule: LEFT (nearest-x: 30)
+    got = duckdb.sql("""
+        WITH tm AS (SELECT * FROM (VALUES (0.1::DOUBLE, 10.0::DOUBLE),
+                                          (0.2::DOUBLE, 30.0::DOUBLE))
+                    t(x, my)),
+        tmb AS (SELECT *, (x + lead(x) OVER (ORDER BY x)) / 2.0 AS bnd
+                FROM tm),
+        te AS (SELECT 0.15000000000000002::DOUBLE AS x)
+        SELECT tm.my FROM te JOIN tmb tm
+          ON (te.x <= tm.bnd OR tm.bnd IS NULL)
+        QUALIFY row_number() OVER (ORDER BY tm.x ASC) = 1
+    """).fetchall()
+    assert [float(r[0]) for r in got] == [10.0]
