@@ -288,3 +288,31 @@ def test_related_metrics_aggregation_no_extra_shuffle(spark):
     # the raw-row exchange is the FINEST keying; the other two re-key
     # aggregated outputs only
     assert sum("shift_seconds" in e for e in ex) == 1, ex
+
+
+def test_pearson_closest_targets_path_broadcasts(spark):
+    """The production shape of pearson_closest_matrix: with ``targets``
+    supplied, the target list is BROADCAST onto the filled grid (an
+    equi-join on target_conv, never a shuffle of the fact side on it)
+    and the stats join is target x population — output cardinality
+    |targets| * |series|, not |S|^2. The series x grid fill lattice is
+    the ONLY cross-shaped join either way (inherent to the fill
+    semantics)."""
+    import pandas as pd
+
+    from skyline_spark.operators.correlate import pearson_closest_matrix
+    rows = [(c, i, pd.Timestamp(1_700_000_000 + i * 60, unit="s"),
+             float((i * (k + 1)) % 11))
+            for k, c in enumerate("abc") for i in range(15)]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts", "value"]))
+    targets = spark.createDataFrame([("a",)], "conv_id string")
+    out = pearson_closest_matrix(df, 60, targets=targets)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the targets join broadcasts the target list (small side)
+    assert "BroadcastHashJoin" in plan and "target_conv" in plan
+    # target x population, not |S|^2
+    res = out.toPandas()
+    assert set(res.target_conv) == {"a"} and len(res) == 3
+    full = pearson_closest_matrix(df, 60).toPandas()
+    assert len(full) == 9  # the documented oracle/utilities matrix
