@@ -256,6 +256,51 @@ _CLASSIFY_METRICS_SCHEMA = (
     "volatility_shift boolean, volatility_shift_timestamp bigint")
 
 
+def classify_series(e: np.ndarray, v: np.ndarray, window: int = 10,
+                    c: float = 9.9, persist_window: int = 60,
+                    persist_c: float = 9.9, volatility_window: int = 5,
+                    volatility_c: float = 9.9,
+                    sig_len: int = 10) -> dict:
+    """The pure per-series classify_metrics decision (sorted, deduped
+    epoch/value arrays in, one result record out) — shared by the batch
+    kernel below and the streaming twin
+    (skyline_spark.streaming.classify)."""
+    n = int(v.size)
+    res = metric_resolution(e)
+
+    level_ts = _iqr_flag_ts(e, v, window, window, c, "median",
+                            2 * window + 1)
+    # PersistAD only runs after LevelShiftAD found anomalies
+    # (adtk_level_shift.py:924: `if len(anomalies) > 0 and
+    # run_PersistAD`)
+    persist_ts: list[int] = []
+    if level_ts:
+        persist_ts = _iqr_flag_ts(e, v, persist_window, 1, persist_c,
+                                  "median", persist_window + 1)
+    level_sig, level_trig, n_level_periods = significant_level_shift(
+        level_ts, persist_ts, res, sig_len)
+
+    vol_ts = _std_shift_flag_ts(e, v, volatility_window, volatility_c,
+                                2 * volatility_window + 1)
+    vol_periods = continuous_periods(vol_ts, res)
+    vol_sig = bool(vol_ts) and len(vol_periods) <= 2
+    vol_trig = vol_periods[-1][0] if vol_sig else None
+
+    return {
+        "n_points": n,
+        "resolution": int(res),
+        "n_level_anomalies": len(level_ts),
+        "n_level_periods": int(n_level_periods),
+        "n_persist_anomalies": len(persist_ts),
+        "level_shift": bool(level_sig),
+        "level_shift_timestamp": level_trig,
+        "n_volatility_anomalies": len(vol_ts),
+        "n_volatility_periods": len(vol_periods),
+        "volatility_shift": bool(vol_sig),
+        "volatility_shift_timestamp": vol_trig,
+    }
+
+
 def classify_metrics(parsed: DataFrame, window: int = 10, c: float = 9.9,
                      persist_window: int = 60, persist_c: float = 9.9,
                      volatility_window: int = 5,
@@ -269,41 +314,12 @@ def classify_metrics(parsed: DataFrame, window: int = 10, c: float = 9.9,
         pdf = _prep(pdf)
         e = pdf["__e"].to_numpy(np.int64)
         v = pdf["value"].to_numpy(np.float64)
-        n = int(v.size)
-        res = metric_resolution(e)
-
-        level_ts = _iqr_flag_ts(e, v, window, window, c, "median",
-                                2 * window + 1)
-        # PersistAD only runs after LevelShiftAD found anomalies
-        # (adtk_level_shift.py:924: `if len(anomalies) > 0 and
-        # run_PersistAD`)
-        persist_ts: list[int] = []
-        if level_ts:
-            persist_ts = _iqr_flag_ts(e, v, persist_window, 1, persist_c,
-                                      "median", persist_window + 1)
-        level_sig, level_trig, n_level_periods = significant_level_shift(
-            level_ts, persist_ts, res, sig_len)
-
-        vol_ts = _std_shift_flag_ts(e, v, volatility_window, volatility_c,
-                                    2 * volatility_window + 1)
-        vol_periods = continuous_periods(vol_ts, res)
-        vol_sig = bool(vol_ts) and len(vol_periods) <= 2
-        vol_trig = vol_periods[-1][0] if vol_sig else None
-
+        rec = classify_series(e, v, window, c, persist_window, persist_c,
+                              volatility_window, volatility_c, sig_len)
         return pd.DataFrame([{
             "conv_id": pdf["conv_id"].iloc[0],
             "metric": pdf["metric"].max(),
-            "n_points": n,
-            "resolution": int(res),
-            "n_level_anomalies": len(level_ts),
-            "n_level_periods": int(n_level_periods),
-            "n_persist_anomalies": len(persist_ts),
-            "level_shift": bool(level_sig),
-            "level_shift_timestamp": level_trig,
-            "n_volatility_anomalies": len(vol_ts),
-            "n_volatility_periods": len(vol_periods),
-            "volatility_shift": bool(vol_sig),
-            "volatility_shift_timestamp": vol_trig,
+            **rec,
         }])
 
     cols = set(parsed.columns)

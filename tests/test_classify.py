@@ -231,3 +231,82 @@ def test_classify_anomalies_constant_window(spark):
         .toPandas().iloc[0]
     assert out.anomaly_types == ""
     assert not out.adtk_seasonal
+
+
+def test_streaming_classify_matches_batch(spark, tmp_path):
+    """applyInPandasWithState classify twin: the planted level-shift /
+    volatility corpus split over THREE chronological micro-batches —
+    every series straddles the boundaries, and one out-of-order
+    duplicate epoch with a LOWER turn_idx arrives in the last batch so
+    the first-per-epoch rule must resolve across state. The LAST
+    emission per series must equal the batch classify_metrics output
+    on the full input."""
+    import os
+
+    from skyline_spark.operators.classify import classify_metrics
+    from skyline_spark.streaming.classify import (
+        streaming_classify_metrics,
+    )
+
+    rng = np.random.RandomState(23)
+    n = 180
+    base = 1_700_000_000
+    rows = []
+    v = rng.normal(100, 0.5, n)
+    v[110:] += 400.0
+    for i in range(n):
+        rows.append(("shifted", i, base + i * 60, float(v[i])))
+    w = rng.normal(50, 0.2, n)
+    w[100:115] = 50 + rng.normal(0, 30, 15)  # one contained burst
+    for i in range(n):
+        rows.append(("bursty", i, base + i * 60, float(w[i])))
+    # a late duplicate of an EARLY epoch with a smaller turn_idx: the
+    # batch sort prefers it, so streaming state must let it win too
+    late_dup = ("shifted", -1, base + 5 * 60, 9999.0)
+
+    pp = (pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts",
+                                      "value"])
+          .assign(ts=lambda d: pd.to_datetime(d.ts, unit="s"),
+                  metric="m.test")
+          .sort_values("ts", kind="stable", ignore_index=True))
+    cuts = [0, len(pp) // 3, 2 * len(pp) // 3, len(pp)]
+    parts = [pp.iloc[cuts[i]:cuts[i + 1]] for i in range(3)]
+    parts[2] = pd.concat([parts[2], pd.DataFrame(
+        [late_dup], columns=["conv_id", "turn_idx", "ts", "value"])
+        .assign(ts=lambda d: pd.to_datetime(d.ts, unit="s"),
+                metric="m.test")], ignore_index=True)
+    srcdir = str(tmp_path / "turns")
+    os.makedirs(srcdir, exist_ok=True)
+    for i, part in enumerate(parts):
+        spark.createDataFrame(part).coalesce(1) \
+            .write.parquet(f"{srcdir}/b{i}")
+
+    kw = dict(c=4.0, persist_c=4.0, volatility_c=4.0)
+    stream = (spark.readStream
+              .schema("conv_id string, turn_idx long, ts timestamp, "
+                      "value double, metric string")
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false").parquet(f"{srcdir}/b*"))
+    out = streaming_classify_metrics(stream, **kw)
+    q = (out.writeStream.format("memory").queryName("stream_classify")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_cl"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    emitted = spark.sql("SELECT * FROM stream_classify").toPandas()
+    assert len(emitted) > 2  # multiple emissions per series
+    last = (emitted.sort_values("n_points", kind="stable")
+            .drop_duplicates("conv_id", keep="last")
+            .sort_values("conv_id", ignore_index=True))
+
+    batch_in = spark.createDataFrame(pd.concat(parts, ignore_index=True))
+    want = (classify_metrics(batch_in, **kw).toPandas()
+            .sort_values("conv_id", ignore_index=True))
+    pd.testing.assert_frame_equal(
+        last[want.columns].reset_index(drop=True), want,
+        check_dtype=False)
+    # the planted behaviours survive the streaming path
+    byc = last.set_index("conv_id")
+    assert byc.loc["shifted"].level_shift
+    assert byc.loc["bursty"].volatility_shift
