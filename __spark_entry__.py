@@ -3,10 +3,12 @@
 ``entry(spark)`` runs the flagship parse -> enrich -> analyze -> route
 pipeline over transcripts derived deterministically from the sf0.001
 events table. ``queries()``/``oracle_sql()`` expose the operator registry
-(skyline_spark.queries.REGISTRY): 92 of 105 queries carry a full DuckDB
-value oracle — including the analyze kernel itself restricted to the 8
-SQL-expressible algorithms (consensus_vote_sql8 with grubbs t-ISF
-thresholds injected as literals), the per-turn routed-row sets
+(skyline_spark.queries.REGISTRY): 95 of 108 queries carry a full DuckDB
+value oracle — including the analyze kernel itself at the FULL
+nine-slot production vote (consensus_vote_sql9k: the 8 SQL-expressible
+algorithms with grubbs t-ISF thresholds injected as literals plus the
+KS D+p gate via the kolmogorov_isf(0.05) literal; only the ADF
+confirmation stays non-ANSI), the per-turn routed-row sets
 (routed_turns_sql8), the KS statistic D (ks_d_sql), the luminol
 correlator at zero shift (correlate_luminol_sql), MinHash/SimHash/LSH
 in engine-portable md5 hash mode, the ionosphere feature basket, and
@@ -16,8 +18,10 @@ cloudburst_related). The registry leads with the 50 non-dominated
 oracles (the driver's correctness gate reads the first 50 entries);
 the window is rotated per round so newly ported surfaces get
 driver-hash verification — round 7 rotated in classify_metrics,
-related_metrics, thunder_rolling and cloudburst_related for four
-oracles dominated by in-window siblings. Past the window sit the
+related_metrics, thunder_rolling, cloudburst_related and the new r7
+ports consensus_vote_sql9k, related_metrics_confidence and
+analysed_events for seven oracles dominated by in-window siblings
+(each demotion annotated at queries._DRIVER_WINDOW). Past the window sit the
 rows-only queries (numerics not ANSI-expressible — the full
 9-algorithm vote needs ADF, though its KS-p gate is now value-oracled
 via consensus_vote_sql9k's kolmogorov_isf(0.05) literal — or
@@ -25,7 +29,8 @@ approximate/sequential-state
 variants of an oracled exact twin, pinned by the golden-fixture +
 property pytest suite) and the dominated oracles (the _sql5 kernel
 twins, tail_avg, mad_prefilter, fill_forward_1h,
-run_summary/illuminance_sql8, panorama_count_sql8), all green via
+run_summary/illuminance_sql8, panorama_count_sql8, ks_d_sql,
+consensus_vote_sql8, anomaly_breakdown_sql8), all green via
 scripts/check_oracles.py — the full per-query record is committed per
 round as ORACLES_rNN.json.
 """

@@ -8217,7 +8217,12 @@ _DRIVER_WINDOW = [
     # oracles: classify_metrics, related_metrics, pearson_closest,
     # thunder_rolling.)
     "classify_anomalies",
-    "ks_d_sql", "sigma_vote_sql8", "sigma_oneshot_sql",
+    # (ks_d_sql demoted r7: the same SQL_KS_D ECDF shape now runs
+    # in-window inside consensus_vote_sql9k's slot-9 gate, and the
+    # exact per-series D equality stays green via check_oracles —
+    # displaced by analysed_events so the webapp analysed-events
+    # inventory read lands in the driver artifact)
+    "analysed_events", "sigma_vote_sql8", "sigma_oneshot_sql",
     "alert_throttle_sql",
     # aggregation / correlation
     "flux_aggregate_1h", "correlate_pearson", "correlate_luminol_sql",
@@ -8235,7 +8240,17 @@ _DRIVER_WINDOW = [
     # Displaced by related_metrics + thunder_rolling so the r6
     # luminosity relationships gate and the thunder rolling checks land
     # in the driver artifact.)
-    "consensus_vote_sql8", "anomaly_breakdown_sql8", "routed_turns_sql8",
+    # (consensus_vote_sql8 demoted r7 in favor of consensus_vote_sql9k:
+    # the nine-slot form value-checks the SAME eight per-algorithm
+    # numerics per series PLUS the KS D+p gate at the production
+    # CONSENSUS=6 arithmetic; the 8-restricted form stays green via
+    # check_oracles. anomaly_breakdown_sql8 demoted r7: the breakdown
+    # is an aggregate of the per-series per-algorithm flags the vote
+    # twins value-check directly — displaced by
+    # related_metrics_confidence so the r7 webapp confidence read path
+    # lands in the driver artifact.)
+    "consensus_vote_sql9k", "related_metrics_confidence",
+    "routed_turns_sql8",
     "related_metrics", "thunder_rolling",
     # (ionosphere_match_sql8 demoted: ionosphere_disposition composes
     # the SAME echo flow — identical SQL blocks and fp kernel — as its
