@@ -316,3 +316,59 @@ def test_pearson_closest_targets_path_broadcasts(spark):
     assert set(res.target_conv) == {"a"} and len(res) == 3
     full = pearson_closest_matrix(df, 60).toPandas()
     assert len(full) == 9  # the documented oracle/utilities matrix
+
+
+def test_related_metrics_confidence_plan_broadcasts_names(spark):
+    """related_metrics_confidence: the metrics dimension joins in as
+    TWO broadcasts (base + candidate name lookups); everything after
+    is windows over the base-metric partition of group-cardinality
+    rows — no cartesian, no shuffle of the relationship rows beyond
+    the base partition."""
+    import pandas as pd
+
+    from skyline_spark.operators.correlate import (
+        related_metrics_confidence,
+    )
+    rel = spark.createDataFrame(pd.DataFrame(
+        [("b", f"c{i}", 10 + i, 0.9) for i in range(6)],
+        columns=["base_conv", "cand_conv", "cross_correlations_count",
+                 "avg_coefficient"]))
+    names = spark.createDataFrame(pd.DataFrame(
+        [("b", "app.svc.req.rate")]
+        + [(f"c{i}", f"app.svc.m{i}.x") for i in range(6)],
+        columns=["conv_id", "metric"]))
+    plan = related_metrics_confidence(rel, names)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+    ex = set(re.findall(r"Exchange hashpartitioning\(([^,)#]+)", plan))
+    # the only hash exchanges key on the base-metric partition
+    assert ex <= {"base_conv"}, ex
+
+
+def test_analysed_events_plan_is_aggregate_only(spark):
+    """metric_analysed_events: per-series aggregates (map-side
+    combinable groupBys on the series key) joined on that same key —
+    no cartesian, no broadcast of fact rows, no Python kernel."""
+    import pandas as pd
+
+    from skyline_spark.operators.webapp import metric_analysed_events
+    rt = spark.createDataFrame(pd.DataFrame(
+        [("a", pd.Timestamp(99_000 + i * 100, unit="s"), 1.0)
+         for i in range(5)],
+        columns=["conv_id", "ts", "value"]))
+    ls = spark.createDataFrame(pd.DataFrame(
+        [("a", float(98_000 + i * 400)) for i in range(4)],
+        columns=["conv_id", "e"]))
+    plan = metric_analysed_events(rt, ls, 100_000.0)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapGroupsInPandas" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    import re
+    ex = set(re.findall(r"Exchange hashpartitioning\(([^,)#]+)",
+                        plan))
+    assert ex <= {"conv_id"}, ex  # only the series key is ever shuffled
