@@ -367,6 +367,38 @@ _CLASSIFY_ANOMALIES_SCHEMA = (
     "adtk_persist boolean, adtk_seasonal boolean, anomaly_types string")
 
 
+def classify_anomaly_slice(v: np.ndarray, window: int = 5,
+                           c: float = 6.0) -> dict:
+    """The pure per-anomaly type decision over the (sorted, deduped)
+    training-window values at or before the anomaly — shared by the
+    batch kernel below and the streaming twin
+    (skyline_spark.streaming.classify)."""
+    n = int(v.size)
+
+    def hit(flags: np.ndarray | None) -> bool:
+        if flags is None:
+            return False
+        return bool(flags[-window:].any())
+
+    results = {
+        "adtk_level_shift": False, "adtk_volatility_shift": False,
+        "adtk_persist": False, "adtk_seasonal": False,
+    }
+    if n >= 2 * window + 1:
+        results["adtk_level_shift"] = hit(_double_rolling_iqr_detect(
+            v, window, window, c, "both", "median"))
+        results["adtk_volatility_shift"] = hit(
+            _std_shift_flags(v, window, c))
+    if n >= window + 1:
+        results["adtk_persist"] = hit(_double_rolling_iqr_detect(
+            v, window, 1, c, "both", "median"))
+    if n >= 20:
+        results["adtk_seasonal"] = hit(_acf_seasonal_flags(v, c))
+    types = ",".join(a for a in CLASSIFY_ANOMALY_ALGORITHMS
+                     if results[a])
+    return {"n_points": n, **results, "anomaly_types": types}
+
+
 def classify_anomalies(parsed: DataFrame, anomalies: DataFrame,
                        window: int = 5, c: float = 6.0) -> DataFrame:
     """Per-anomaly type classification: for each (conv_id, anomaly_e)
@@ -378,37 +410,11 @@ def classify_anomalies(parsed: DataFrame, anomalies: DataFrame,
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = _prep(pdf)
-        anomaly_e = int(pdf["anomaly_e"].iloc[0])
-        v = pdf["value"].to_numpy(np.float64)
-        n = int(v.size)
-
-        def hit(flags: np.ndarray | None) -> bool:
-            if flags is None:
-                return False
-            return bool(flags[-window:].any())
-
-        results = {
-            "adtk_level_shift": False, "adtk_volatility_shift": False,
-            "adtk_persist": False, "adtk_seasonal": False,
-        }
-        if n >= 2 * window + 1:
-            results["adtk_level_shift"] = hit(_double_rolling_iqr_detect(
-                v, window, window, c, "both", "median"))
-            results["adtk_volatility_shift"] = hit(
-                _std_shift_flags(v, window, c))
-        if n >= window + 1:
-            results["adtk_persist"] = hit(_double_rolling_iqr_detect(
-                v, window, 1, c, "both", "median"))
-        if n >= 20:
-            results["adtk_seasonal"] = hit(_acf_seasonal_flags(v, c))
-        types = ",".join(a for a in CLASSIFY_ANOMALY_ALGORITHMS
-                         if results[a])
         return pd.DataFrame([{
             "conv_id": pdf["conv_id"].iloc[0],
-            "anomaly_e": anomaly_e,
-            "n_points": n,
-            **results,
-            "anomaly_types": types,
+            "anomaly_e": int(pdf["anomaly_e"].iloc[0]),
+            **classify_anomaly_slice(
+                pdf["value"].to_numpy(np.float64), window, c),
         }])
 
     proj = parsed.where(F.col("value").isNotNull()).select(

@@ -24,6 +24,13 @@ Batch twin: operators.classify.classify_metrics — the pytest
 (test_classify.py::test_streaming_classify_matches_batch) splits the
 input over three chronological micro-batches and asserts the LAST
 emission per series equals the batch output on the full input.
+
+``streaming_classify_anomalies`` below is the same construction for
+the per-anomaly type suite (classify_anomalies): the static anomaly
+list broadcasts onto the stream, each (conv_id, anomaly_e) group keeps
+its training slice in state, and the last emission per anomaly equals
+the batch classification
+(test_classify.py::test_streaming_classify_anomalies_matches_batch).
 """
 
 from __future__ import annotations
@@ -117,5 +124,84 @@ def streaming_classify_metrics(parsed_stream: DataFrame,
                      volatility_window, volatility_c, sig_len),
         outputStructType=_CLASSIFY_METRICS_SCHEMA,
         stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+ANOM_STATE_SCHEMA = "e array<bigint>, turn array<bigint>, vals array<double>"
+
+
+def _classify_anom_fn(window: int, c: float):
+    from skyline_spark.operators.classify import classify_anomaly_slice
+
+    def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        conv_id, anomaly_e = key
+        if state.exists:
+            se, stn, sv = state.get
+            e = np.asarray(se, dtype=np.int64)
+            turn = np.asarray(stn, dtype=np.int64)
+            vals = np.asarray(sv, dtype=np.float64)
+        else:
+            e = np.empty(0, dtype=np.int64)
+            turn = np.empty(0, dtype=np.int64)
+            vals = np.empty(0)
+
+        for pdf in pdfs:
+            e = np.concatenate([e, pdf["__e"].to_numpy(np.int64)])
+            turn = np.concatenate(
+                [turn, pdf["turn_idx"].to_numpy(np.int64)])
+            vals = np.concatenate(
+                [vals, pdf["value"].to_numpy(np.float64)])
+        if e.size == 0:
+            return
+        order = np.lexsort((turn, e))
+        e, turn, vals = e[order], turn[order], vals[order]
+        keep = np.ones(e.size, dtype=bool)
+        if e.size > 1:
+            keep[1:] = e[1:] != e[:-1]
+        e, turn, vals = e[keep], turn[keep], vals[keep]
+        state.update((e.tolist(), turn.tolist(), vals.tolist()))
+
+        yield pd.DataFrame([{
+            "conv_id": conv_id, "anomaly_e": int(anomaly_e),
+            **classify_anomaly_slice(vals, window, c),
+        }])
+
+    return fn
+
+
+def streaming_classify_anomalies(parsed_stream: DataFrame,
+                                 anomalies: DataFrame,
+                                 window: int = 5,
+                                 c: float = 6.0) -> DataFrame:
+    """Stateful streaming twin of classify_anomalies: the anomaly list
+    is a STATIC (batch) DataFrame — anomaly-cardinality, broadcast onto
+    the stream exactly like the batch fan-out — and each (conv_id,
+    anomaly_e) group's training slice (points at or before the anomaly)
+    accumulates in state, re-classified per micro-batch. The LAST
+    emission per (conv_id, anomaly_e) equals the batch output on the
+    full input under any chronological split; per-anomaly state
+    duplication is the same anomaly-cardinality cost the batch fan-out
+    pays (the reference re-reads the training window per anomaly the
+    same way)."""
+    from skyline_spark.operators.classify import _CLASSIFY_ANOMALIES_SCHEMA
+    cols = set(parsed_stream.columns)
+    proj = parsed_stream.where(F.col("value").isNotNull()).select(
+        "conv_id",
+        (F.col("turn_idx") if "turn_idx" in cols
+         else F.lit(0)).cast("long").alias("turn_idx"),
+        F.floor(F.col("ts").cast("timestamp").cast("double"))
+        .cast("long").alias("__e"),
+        "value")
+    anoms = anomalies.select("conv_id",
+                             F.col("anomaly_e").cast("long")
+                             .alias("anomaly_e"))
+    sliced = proj.join(F.broadcast(anoms), "conv_id") \
+        .where(F.col("__e") <= F.col("anomaly_e"))
+    return sliced.groupBy("conv_id", "anomaly_e").applyInPandasWithState(
+        _classify_anom_fn(window, c),
+        outputStructType=_CLASSIFY_ANOMALIES_SCHEMA,
+        stateStructType=ANOM_STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout)

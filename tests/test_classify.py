@@ -310,3 +310,68 @@ def test_streaming_classify_matches_batch(spark, tmp_path):
     byc = last.set_index("conv_id")
     assert byc.loc["shifted"].level_shift
     assert byc.loc["bursty"].volatility_shift
+
+
+def test_streaming_classify_anomalies_matches_batch(spark, tmp_path):
+    """applyInPandasWithState classify_anomalies twin: the static
+    anomaly list broadcasts onto a stream split over THREE
+    chronological micro-batches; each (conv_id, anomaly_e) training
+    slice accumulates in group state. The LAST emission per anomaly
+    must equal the batch classify_anomalies on the full input."""
+    import os
+
+    rng = np.random.RandomState(3)
+    n = 60
+    base = 1_700_000_000
+    v = rng.normal(10, 0.1, n)
+    v[-3:] += 80.0
+    rows = [("a", i, base + i * 60, float(v[i])) for i in range(n)]
+    rows += [("b", i, base + i * 60, float(i % 3)) for i in range(7)]
+    anoms_rows = [("a", base + (n - 1) * 60), ("a", base + 30 * 60),
+                  ("b", base + 6 * 60)]
+
+    pp = (pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts",
+                                      "value"])
+          .assign(ts=lambda d: pd.to_datetime(d.ts, unit="s"))
+          .sort_values("ts", kind="stable", ignore_index=True))
+    cuts = [0, len(pp) // 3, 2 * len(pp) // 3, len(pp)]
+    srcdir = str(tmp_path / "turns")
+    os.makedirs(srcdir, exist_ok=True)
+    for i in range(3):
+        spark.createDataFrame(pp.iloc[cuts[i]:cuts[i + 1]]) \
+            .coalesce(1).write.parquet(f"{srcdir}/b{i}")
+    anoms = spark.createDataFrame(anoms_rows,
+                                  "conv_id string, anomaly_e long")
+
+    from skyline_spark.streaming.classify import (
+        streaming_classify_anomalies,
+    )
+    stream = (spark.readStream
+              .schema("conv_id string, turn_idx long, ts timestamp, "
+                      "value double")
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false").parquet(f"{srcdir}/b*"))
+    out = streaming_classify_anomalies(stream, anoms)
+    q = (out.writeStream.format("memory").queryName("stream_canoms")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_ca"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    emitted = spark.sql("SELECT * FROM stream_canoms").toPandas()
+    # mid-series anomaly's slice completes in batch 1; the series-head
+    # anomalies keep growing -> multiple emissions per group
+    assert len(emitted) > 3
+    last = (emitted.sort_values("n_points", kind="stable")
+            .drop_duplicates(["conv_id", "anomaly_e"], keep="last")
+            .sort_values(["conv_id", "anomaly_e"], ignore_index=True))
+
+    want = (classify_anomalies(spark.createDataFrame(pp), anoms)
+            .toPandas()
+            .sort_values(["conv_id", "anomaly_e"], ignore_index=True))
+    pd.testing.assert_frame_equal(
+        last[want.columns].reset_index(drop=True), want,
+        check_dtype=False)
+    byk = last.set_index(["conv_id", "anomaly_e"])
+    assert byk.loc[("a", base + (n - 1) * 60)].adtk_persist
+    assert byk.loc[("a", base + 30 * 60)].anomaly_types == ""
