@@ -83,6 +83,20 @@ def _portable_hash(col, seed: int):
                               1, 15), 16, 10).cast("long")
 
 
+def _minhash_sig(num_hashes: int, hash_mode: str):
+    """The minhash signature expression over a ``shingles`` column."""
+    if hash_mode == "md5":
+        def hfn(s, i):
+            return _portable_hash(s, i)
+    else:
+        def hfn(s, i):
+            return F.xxhash64(s, F.lit(i))
+    return F.array(*[
+        F.array_min(F.transform("shingles", lambda s, i=i: hfn(s, i)))
+        for i in range(num_hashes)
+    ])
+
+
 def with_minhash(df: DataFrame, num_hashes: int = 32,
                  shingle_k: int = 3, text_col: str = "text",
                  hash_mode: str = "xxhash64") -> DataFrame:
@@ -92,16 +106,7 @@ def with_minhash(df: DataFrame, num_hashes: int = 32,
     'md5' (engine-portable — the oracle twin computes the identical
     signatures in ANSI SQL)."""
     df = with_shingles(df, k=shingle_k, text_col=text_col)
-    if hash_mode == "md5":
-        def hfn(s, i):
-            return _portable_hash(s, i)
-    else:
-        def hfn(s, i):
-            return F.xxhash64(s, F.lit(i))
-    sig = F.array(*[
-        F.array_min(F.transform("shingles", lambda s, i=i: hfn(s, i)))
-        for i in range(num_hashes)
-    ])
+    sig = _minhash_sig(num_hashes, hash_mode)
     return df.withColumn("minhash", sig).drop("tokens", "shingles")
 
 
@@ -150,11 +155,25 @@ def minhash_near_duplicates(docs: DataFrame, num_hashes: int = 32,
                             hash_mode: str = "xxhash64") -> DataFrame:
     """shingle -> minhash -> band -> bucket-join -> verify with exact
     Jaccard over shingle sets. Returns (id_a, id_b, jaccard) pairs with
-    jaccard >= threshold."""
-    sigs = with_minhash(docs, num_hashes, shingle_k, text_col, hash_mode)
-    cands = lsh_candidate_pairs(sigs, num_hashes, bands, id_col, hash_mode)
+    jaccard >= threshold.
+
+    r08 recompute elimination (guide §1.2/§5): the banded signatures
+    feed BOTH sides of the candidate self-join and the shingle sets
+    feed BOTH verify joins; without persists the shingling ran 3x and
+    the 32-hash minhash sweep 2x over the corpus. Shingles are computed
+    once (persisted, doc-cardinality), the banded keys once (persisted,
+    bands x docs tiny rows). Values are bit-identical — the expressions
+    are unchanged, only their evaluation count drops."""
     sh = with_shingles(docs, k=shingle_k, text_col=text_col) \
-        .select(F.col(id_col), "shingles")
+        .select(F.col(id_col), "shingles").persist()
+    sigs = sh.withColumn("minhash", _minhash_sig(num_hashes, hash_mode))
+    banded = band_explode(sigs, num_hashes, bands, hash_mode,
+                          keep_cols=(id_col,)).persist()
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "band_sig")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "band_sig")
+    cands = (left.join(right, ["band", "band_sig"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
     j = (cands
          .join(sh.select(F.col(id_col).alias("id_a"),
                          F.col("shingles").alias("sh_a")), "id_a")

@@ -80,7 +80,14 @@ def rules_from_config(alert_config: DataFrame) -> list[dict]:
     if "priority" not in alert_config.columns:
         alert_config = alert_config.withColumn(
             "priority", F.monotonically_increasing_id())
-    rows = alert_config.orderBy("priority").collect()
+    # r08: sort the config-sized rows driver-side. A Spark orderBy on a
+    # non-deterministic column (monotonically_increasing_id) cannot be
+    # folded to a local sort and runs a full range-partitioning job
+    # (sampling pass + sort) per pipeline construction — ~0.5 s of pure
+    # overhead for a handful of rows. Same order: ascending priority,
+    # nulls first (the orderBy default).
+    rows = alert_config.collect()
+    rows.sort(key=lambda r: (r["priority"] is not None, r["priority"]))
     return [r.asDict() for r in rows]
 
 

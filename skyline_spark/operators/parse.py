@@ -36,10 +36,23 @@ def parse_events(transcripts: DataFrame) -> DataFrame:
     metric/value (needed downstream for the EmptyTimeseries route,
     skyline/analyzer/analyzer.py:4884-4893).
     """
-    # nullif keeps each regexp to a single evaluation per row
-    metric = F.nullif(F.regexp_extract("text", EVENT_RE, 1), F.lit(""))
-    value = F.nullif(F.regexp_extract("text", EVENT_RE, 2), F.lit(""))
-    err = F.nullif(F.regexp_extract("text", EVENT_RE, 3), F.lit(""))
+    # ONE regexp execution per row (r08, guide §1.2 per-task work):
+    # extract the full match (group 0) once, then recover the three
+    # groups with cheap split/substr string ops. Exact equivalence to
+    # per-group regexp_extract: the match is "metric=<g1><ws>value=<g2>
+    # [<ws>err=<g3>]" where g1/g2/g3 contain no whitespace and the
+    # separators are \s+ runs, so splitting group 0 on \s+ yields the
+    # key=value tokens verbatim; a non-matching text gives m0 = '' ->
+    # split -> [''] -> null metric/value/err (the nullif/get paths).
+    # The m0 subtree is shared by all three columns, so codegen's
+    # subexpression elimination runs the regex (and the split) once —
+    # previously three regexp_extract calls each ran the full match.
+    m0 = F.regexp_extract("text", EVENT_RE, 0)
+    toks = F.split(m0, r"\s+")
+    metric = F.nullif(F.get(toks, 0).substr(F.lit(8), F.length(F.get(toks, 0))),
+                      F.lit(""))
+    value = F.get(toks, 1).substr(F.lit(7), F.length(F.get(toks, 1)))
+    err = F.get(toks, 2).substr(F.lit(5), F.length(F.get(toks, 2)))
     return (
         transcripts
         .withColumn("metric", metric)

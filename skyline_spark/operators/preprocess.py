@@ -227,7 +227,14 @@ def normalized_variance(df: DataFrame, key_cols=("conv_id", "metric"),
     v = F.col(value_col)
     d = (df.withColumn("__mx", F.max(v).over(w))
          .withColumn("__mn", F.min(v).over(w)))
-    norm = (v - F.col("__mn")) / (F.col("__mx") - F.col("__mn"))
+    # try_divide: a constant series is 0/0 — the reference's nan, and
+    # the CASE guard below nulls its output anyway, but under Spark 4
+    # ANSI a plain `/` ABORTS the whole query when any constant series
+    # exists in the input (inherited r07 defect, seen at sf0.001 where
+    # the Boring conv is all-constant). NULL rows feed var_pop
+    # identically to the guarded path wherever the query succeeded
+    # before, so defined results are unchanged.
+    norm = F.try_divide(v - F.col("__mn"), F.col("__mx") - F.col("__mn"))
     return (d.groupBy(*key_cols)
             .agg((F.round(F.var_pop(norm), 4) + F.lit(0.0))
                  .alias("normalized_variance"),

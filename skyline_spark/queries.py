@@ -79,10 +79,18 @@ def _valid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _parsed(spark, sf_dir).where(F.col("value").isNotNull())
 
 
-def _now_col(df: DataFrame, ts_col: str = "ts") -> DataFrame:
+def _now_col(df: DataFrame, ts_col: str = "ts",
+             scalar_from: DataFrame | None = None) -> DataFrame:
     """Attach the batch watermark as a column via a broadcast scalar —
-    no driver-side collect, no single-partition window."""
-    scalar = df.agg(F.max(epoch_seconds(F.col(ts_col))).alias("now"))
+    no driver-side collect, no single-partition window.
+
+    ``scalar_from`` (r08): the oracle's ``batch`` CTE is
+    max(epoch(ts)) over *transcripts*; passing the unparsed transcripts
+    here matches that definition exactly AND lets Catalyst prune the
+    whole regex-parse subtree out of the scalar branch (the valid
+    filter forced a parse of every row just to take max(ts))."""
+    src = df if scalar_from is None else scalar_from
+    scalar = src.agg(F.max(epoch_seconds(F.col(ts_col))).alias("now"))
     return df.crossJoin(F.broadcast(scalar))
 
 
@@ -191,7 +199,8 @@ SELECT conv_id, turn_idx, value FROM (
 
 def q_retention_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 — keep ts > now - FULL_DURATION (roomba.py:300-307)."""
-    df = _now_col(_valid(spark, sf_dir))
+    df = _now_col(_valid(spark, sf_dir),
+                  scalar_from=transcripts_from_events(spark, sf_dir))
     return (df.where(epoch_seconds(F.col("ts")) > F.col("now") - FD)
             .select("conv_id", "turn_idx", "value"))
 
@@ -410,7 +419,8 @@ FROM valid GROUP BY 1, 2
 def q_exceptions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1-E4 — the exception-filter routing predicates
     (algorithms.py:1289-1347), computed natively per series."""
-    df = _now_col(_valid(spark, sf_dir))
+    df = _now_col(_valid(spark, sf_dir),
+                  scalar_from=transcripts_from_events(spark, sf_dir))
     df = df.where(epoch_seconds(F.col("ts")) > F.col("now") - FD)
     w = Window.partitionBy("conv_id").orderBy(F.col("ts").desc(),
                                               F.col("turn_idx").desc())
@@ -585,6 +595,13 @@ def q_least_squares(spark: SparkSession, sf_dir: str) -> DataFrame:
     native regr_slope/regr_intercept aggregates."""
     df = _valid(spark, sf_dir).withColumn(
         "x", epoch_seconds(F.col("ts")))
+    # r08: the fit aggregate and the residual pass both consume the same
+    # parsed/derived rows; without a persist the whole events->transcripts
+    # derivation + parse subtree executes twice (two full scans, two
+    # window sorts). Persist the 5-column projection (guide §5: reused
+    # AND expensive to recompute); values are bit-identical — caching
+    # changes nothing about the computation.
+    df = df.select("conv_id", "turn_idx", "ts", "x", "value").persist()
     fit = df.groupBy("conv_id").agg(
         F.regr_slope("value", "x").alias("m"),
         F.regr_intercept("value", "x").alias("c"))
@@ -1033,6 +1050,12 @@ def q_correlate(spark: SparkSession, sf_dir: str) -> DataFrame:
     (luminosity/process_correlations.py:1073-1521, F.corr variant) on
     hourly-downsampled series pairs sharing >= 20 buckets."""
     b = preprocess.downsample(_valid(spark, sf_dir), 3600, method="mean")
+    # r08: the self-join otherwise executes the derivation + parse +
+    # hourly aggregation subtree once per join side; persisting the
+    # (series x hour)-cardinality buckets runs it once, and AQE
+    # broadcast-joins the cached side (guide §3.1 — replaces both
+    # bucket_start exchanges and the SMJ sorts).
+    b = b.persist()
     left = b.select(F.col("conv_id").alias("conv_a"), "bucket_start",
                     F.col("value").alias("va"))
     right = b.select(F.col("conv_id").alias("conv_b"), "bucket_start",

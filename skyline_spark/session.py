@@ -56,6 +56,17 @@ def get_spark(app_name: str = "skyline_spark", master: str | None = None,
         # split large files finer so scan/parse parallelism matches the
         # core count rather than the writer's file layout
         .config("spark.sql.files.maxPartitionBytes", "32m")
+        # AQE partition coalescing floor (guide §2.2): with
+        # parallelismFirst the coalesce target is max(total/parallelism,
+        # minPartitionSize); the 1 MB default floor collapses small
+        # shuffles (dimension aggregations, window stages over
+        # series-cardinality data) to 1-2 tasks, serializing whole
+        # post-shuffle stages while the rest of the cluster idles. 64k
+        # keeps those stages at cluster width; large shuffles are sized
+        # by total/parallelism and never touch the floor. Overridable
+        # per deployment via SPARK_GRAFT_MIN_PARTITION_SIZE.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+                os.environ.get("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -101,21 +101,28 @@ def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("user_id") % split).cast("string"))
     df = ev.withColumn("conv_id", conv)
 
-    # row filter for the Stale / DeletedByRoomba convs (per-conv epoch
-    # offsets — a partitioned window, no single-partition bottleneck)
+    # All three per-conv window passes share ONE ordering spec
+    # (conv_id, ts asc, event_id asc) so the physical plan is a single
+    # Exchange + a single Sort (r08: previously min-over-partition +
+    # an extra DESC row_number forced three sorts of the full input):
+    # - t0 is first(epoch) over the running frame (== min, ts-ordered);
+    # - turn_idx is the ASC row_number after the keep-filter;
+    # - __rnd (the DESC rank) is count-over-partition - turn_idx, exact
+    #   because (ts, event_id) totally orders rows within a conv.
+    w = Window.partitionBy("conv_id").orderBy(F.col("ts").asc(),
+                                              F.col("event_id").asc())
     te = epoch_seconds(F.col("ts"))
-    t0 = F.min(te).over(Window.partitionBy("conv_id"))
+    t0 = F.first(te).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
     keep = ~(
         ((F.col("conv_id") == STALE_CONV) & (te >= t0 + STALE_KEEP_S))
         | ((F.col("conv_id") == ROOMBA_CONV) & (te >= t0 + ROOMBA_KEEP_S)))
     df = df.withColumn("__keep", keep).where(F.col("__keep")).drop("__keep")
 
-    w = Window.partitionBy("conv_id").orderBy(F.col("ts").asc(),
-                                              F.col("event_id").asc())
-    wd = Window.partitionBy("conv_id").orderBy(F.col("ts").desc(),
-                                               F.col("event_id").desc())
+    cnt = F.count(F.lit(1)).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
     df = df.withColumn("turn_idx", (F.row_number().over(w) - 1).cast("int"))
-    df = df.withColumn("__rnd", F.row_number().over(wd))
+    df = df.withColumn("__rnd", cnt - F.col("turn_idx"))
     role = F.element_at(F.array(F.lit("user"), F.lit("assistant"), F.lit("tool")),
                         (F.col("turn_idx") % 3) + 1)
     tool = F.when(

@@ -54,10 +54,17 @@ STATE_SCHEMA = ("e array<bigint>, turn array<bigint>, "
 
 def _classify_fn(window: int, c: float, persist_window: int,
                  persist_c: float, volatility_window: int,
-                 volatility_c: float, sig_len: int):
+                 volatility_c: float, sig_len: int,
+                 full_duration: int, stale_period: int):
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         conv_id = key[0]
+        if state.hasTimedOut:
+            # no new data within stale_period: the reference sweep only
+            # classifies metrics that still update (roomba removes dead
+            # series); drop the group state instead of holding it forever
+            state.remove()
+            return
         if state.exists:
             se, stn, sv, metric = state.get
             e = np.asarray(se, dtype=np.int64)
@@ -76,9 +83,14 @@ def _classify_fn(window: int, c: float, persist_window: int,
             vals = np.concatenate(
                 [vals, pdf["value"].to_numpy(np.float64)])
             if len(pdf):
-                m = pdf["metric"].max()
-                metric = m if metric is None else max(metric, m)
+                # NaN-safe fold: a batch whose metric values are all
+                # null would yield float NaN from .max() and poison a
+                # later max(str, nan) comparison (ADVICE r07)
+                m = pdf["metric"].dropna().max()
+                if not pd.isna(m):
+                    metric = m if metric is None else max(metric, m)
         if e.size == 0:
+            state.setTimeoutDuration(int(stale_period * 1000))
             return
         # the batch _prep rule on the accumulated series: stable sort
         # by (epoch, turn), first point per epoch wins
@@ -88,7 +100,15 @@ def _classify_fn(window: int, c: float, persist_window: int,
         if e.size > 1:
             keep[1:] = e[1:] != e[:-1]
         e, turn, vals = e[keep], turn[keep], vals[keep]
+        # retention trim behind the series head (the roomba
+        # FULL_DURATION window the batch sweep reads, r08: bounds group
+        # state on a long-running stream — same rule as
+        # streaming/analyze.py)
+        head = int(e[-1])
+        win = e > head - full_duration
+        e, turn, vals = e[win], turn[win], vals[win]
         state.update((e.tolist(), turn.tolist(), vals.tolist(), metric))
+        state.setTimeoutDuration(int(stale_period * 1000))
 
         rec = classify_series(e, vals, window, c, persist_window,
                               persist_c, volatility_window,
@@ -105,10 +125,17 @@ def streaming_classify_metrics(parsed_stream: DataFrame,
                                persist_c: float = 9.9,
                                volatility_window: int = 5,
                                volatility_c: float = 9.9,
-                               significant_length: int | None = None
+                               significant_length: int | None = None,
+                               full_duration: int = 21 * 86400,
+                               stale_period: int = 7 * 86400
                                ) -> DataFrame:
     """parsed turn stream -> one classify_metrics row per series per
-    micro-batch, the accumulated-series state surviving triggers."""
+    micro-batch, the accumulated-series state surviving triggers.
+
+    State is BOUNDED (r08): each group keeps at most ``full_duration``
+    of points behind its series head (the roomba-trimmed window the
+    batch sweep reads) and a group idle past ``stale_period`` of
+    processing time is removed."""
     sig_len = window if significant_length is None else significant_length
     cols = set(parsed_stream.columns)
     proj = parsed_stream.where(F.col("value").isNotNull()).select(
@@ -121,22 +148,30 @@ def streaming_classify_metrics(parsed_stream: DataFrame,
         "value")
     return proj.groupBy("conv_id").applyInPandasWithState(
         _classify_fn(window, c, persist_window, persist_c,
-                     volatility_window, volatility_c, sig_len),
+                     volatility_window, volatility_c, sig_len,
+                     full_duration, stale_period),
         outputStructType=_CLASSIFY_METRICS_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout)
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout)
 
 
 ANOM_STATE_SCHEMA = "e array<bigint>, turn array<bigint>, vals array<double>"
 
 
-def _classify_anom_fn(window: int, c: float):
+def _classify_anom_fn(window: int, c: float, stale_period: int):
     from skyline_spark.operators.classify import classify_anomaly_slice
 
     def fn(key: tuple, pdfs: Iterator[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
         conv_id, anomaly_e = key
+        if state.hasTimedOut:
+            # the training slice stops growing once the stream passes
+            # anomaly_e; after stale_period with no new points the
+            # classification is final — drop the state (r08: without
+            # this every historical anomaly's slice lived forever)
+            state.remove()
+            return
         if state.exists:
             se, stn, sv = state.get
             e = np.asarray(se, dtype=np.int64)
@@ -154,6 +189,7 @@ def _classify_anom_fn(window: int, c: float):
             vals = np.concatenate(
                 [vals, pdf["value"].to_numpy(np.float64)])
         if e.size == 0:
+            state.setTimeoutDuration(int(stale_period * 1000))
             return
         order = np.lexsort((turn, e))
         e, turn, vals = e[order], turn[order], vals[order]
@@ -162,6 +198,7 @@ def _classify_anom_fn(window: int, c: float):
             keep[1:] = e[1:] != e[:-1]
         e, turn, vals = e[keep], turn[keep], vals[keep]
         state.update((e.tolist(), turn.tolist(), vals.tolist()))
+        state.setTimeoutDuration(int(stale_period * 1000))
 
         yield pd.DataFrame([{
             "conv_id": conv_id, "anomaly_e": int(anomaly_e),
@@ -174,7 +211,8 @@ def _classify_anom_fn(window: int, c: float):
 def streaming_classify_anomalies(parsed_stream: DataFrame,
                                  anomalies: DataFrame,
                                  window: int = 5,
-                                 c: float = 6.0) -> DataFrame:
+                                 c: float = 6.0,
+                                 stale_period: int = 7 * 86400) -> DataFrame:
     """Stateful streaming twin of classify_anomalies: the anomaly list
     is a STATIC (batch) DataFrame — anomaly-cardinality, broadcast onto
     the stream exactly like the batch fan-out — and each (conv_id,
@@ -200,8 +238,8 @@ def streaming_classify_anomalies(parsed_stream: DataFrame,
     sliced = proj.join(F.broadcast(anoms), "conv_id") \
         .where(F.col("__e") <= F.col("anomaly_e"))
     return sliced.groupBy("conv_id", "anomaly_e").applyInPandasWithState(
-        _classify_anom_fn(window, c),
+        _classify_anom_fn(window, c, stale_period),
         outputStructType=_CLASSIFY_ANOMALIES_SCHEMA,
         stateStructType=ANOM_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout)
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout)

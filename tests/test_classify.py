@@ -375,3 +375,71 @@ def test_streaming_classify_anomalies_matches_batch(spark, tmp_path):
     byk = last.set_index(["conv_id", "anomaly_e"])
     assert byk.loc[("a", base + (n - 1) * 60)].adtk_persist
     assert byk.loc[("a", base + 30 * 60)].anomaly_types == ""
+
+
+def test_streaming_classify_state_bounded_by_retention(spark, tmp_path):
+    """r08: the classify twin's group state trims to full_duration
+    behind the series head (streaming/analyze.py rule). A long
+    multi-batch feed spanning 3x the retention window must classify
+    like the batch sweep over ONLY the head window — points older than
+    full_duration behind the head no longer influence the result,
+    which is exactly the state-length bound (state holds <= the window's
+    points, never the whole history)."""
+    import os
+
+    from skyline_spark.operators.classify import classify_metrics
+    from skyline_spark.streaming.classify import (
+        streaming_classify_metrics,
+    )
+
+    rng = np.random.RandomState(7)
+    n = 180  # 3 hours at 60 s cadence
+    fd = 3600  # 1 h retention -> the last ~60 points
+    base = 1_700_000_000
+    v = rng.normal(100, 0.5, n)
+    # a level shift INSIDE the head window so the trimmed classification
+    # is non-trivial, plus an early burst OUTSIDE it that would flip the
+    # result if stale points leaked through the trim
+    v[:40] += 500.0
+    v[150:] += 400.0
+    rows = [("trimmed", i, base + i * 60, float(v[i])) for i in range(n)]
+    pp = (pd.DataFrame(rows, columns=["conv_id", "turn_idx", "ts",
+                                      "value"])
+          .assign(ts=lambda d: pd.to_datetime(d.ts, unit="s"),
+                  metric="m.test")
+          .sort_values("ts", kind="stable", ignore_index=True))
+    cuts = [0, len(pp) // 3, 2 * len(pp) // 3, len(pp)]
+    srcdir = str(tmp_path / "turns")
+    os.makedirs(srcdir, exist_ok=True)
+    for i in range(3):
+        spark.createDataFrame(pp.iloc[cuts[i]:cuts[i + 1]]) \
+            .coalesce(1).write.parquet(f"{srcdir}/b{i}")
+
+    kw = dict(c=4.0, persist_c=4.0, volatility_c=4.0)
+    stream = (spark.readStream
+              .schema("conv_id string, turn_idx long, ts timestamp, "
+                      "value double, metric string")
+              .option("maxFilesPerTrigger", 1)
+              .option("latestFirst", "false").parquet(f"{srcdir}/b*"))
+    out = streaming_classify_metrics(stream, full_duration=fd, **kw)
+    q = (out.writeStream.format("memory").queryName("stream_cl_trim")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt_trim"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    emitted = spark.sql("SELECT * FROM stream_cl_trim").toPandas()
+    last = (emitted.sort_values("n_points", kind="stable")
+            .drop_duplicates("conv_id", keep="last")
+            .sort_values("conv_id", ignore_index=True))
+    # state length bound: the head window holds < 62 points, and the
+    # last emission's n_points is the state length at the final trigger
+    assert int(last["n_points"].iloc[0]) <= fd // 60 + 1
+
+    head = base + (n - 1) * 60
+    window_in = pp[pp.ts > pd.Timestamp(head - fd, unit="s")]
+    want = (classify_metrics(spark.createDataFrame(window_in), **kw)
+            .toPandas().sort_values("conv_id", ignore_index=True))
+    pd.testing.assert_frame_equal(
+        last[want.columns].reset_index(drop=True), want,
+        check_dtype=False)
