@@ -66,6 +66,37 @@ def main() -> int:
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return minhash_near_duplicates(docs, threshold=0.4)
 
+    # q8r (VERDICT r07 item 4): the dedup chain end-to-end at 20x docs —
+    # minhash -> LSH pairs -> connected components. Documents replicated
+    # with a per-replica token prefix so replicas do NOT collapse into
+    # one giant near-dup bucket (each replica set has its own clusters).
+    def dedup_chain_scaled():
+        from skyline_spark.operators.dedup import (
+            minhash_near_duplicates,
+            near_duplicate_clusters,
+        )
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        r = spark.range(replicas).select(
+            F.col("id").cast("int").alias("rep"))
+        big = (docs.crossJoin(r)
+               .withColumn("doc_id",
+                           F.col("doc_id") * replicas + F.col("rep"))
+               .withColumn("text", F.concat(F.lit("rep"),
+                                            F.col("rep").cast("string"),
+                                            F.lit("x "), F.col("text")))
+               .drop("rep"))
+        pairs = minhash_near_duplicates(big, threshold=0.4)
+        return near_duplicate_clusters(big, pairs)
+
+    # q1s (VERDICT r07 item 5): hot-key skew — one synthetic conv_id
+    # holding ~30% of all turns through the full pipeline.
+    def pipeline_skewed():
+        hot = tR.withColumn(
+            "conv_id",
+            F.when(F.xxhash64("conv_id", "turn_idx") % 10 < 3,
+                   F.lit("conv-hot-0")).otherwise(F.col("conv_id")))
+        return pipeline_turns(hot)
+
     makers = {
         "q1_pipeline_end_to_end": lambda: pipeline_turns(t1),
         f"q1r_pipeline_replicated_{replicas}x": lambda: pipeline_turns(tR),
@@ -77,6 +108,8 @@ def main() -> int:
         "q7_correlate_pearson": lambda: Q.q_correlate(spark, sf_dir),
         "q8_minhash_near_dups": minhash_production,
         "q9_cosine_topk": lambda: Q.q_cosine_topk(spark, sf_dir),
+        f"q8r_dedup_chain_{replicas}x": dedup_chain_scaled,
+        "q1s_pipeline_hot_key": pipeline_skewed,
     }
     only = {q.strip() for q in args.queries.split(",") if q.strip()}
     if only:

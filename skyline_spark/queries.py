@@ -1212,8 +1212,15 @@ def _events_alert_config(spark: SparkSession) -> DataFrame:
         ("signup", "smtp", 3600, None, False, None),
         # 'view' left unmatched -> low-priority metric
     ]
-    df = spark.createDataFrame(rows, schema=ALERT_CONFIG_SCHEMA)
-    return df.withColumn("priority", F.monotonically_increasing_id())
+    # r08: literal row-order priorities. monotonically_increasing_id is
+    # non-deterministic, which blocks ConvertToLocalRelation — every
+    # rules_from_config collect became a distributed job on a 5-row
+    # table. Only the ORDER is consumed downstream; same ascending order.
+    import pyspark.sql.types as T
+    schema = T.StructType(list(ALERT_CONFIG_SCHEMA.fields)
+                          + [T.StructField("priority", T.LongType(), False)])
+    return spark.createDataFrame([(*r, i) for i, r in enumerate(rows)],
+                                 schema=schema)
 
 
 def q_sink_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
