@@ -35,6 +35,7 @@ from skyline_spark.operators import preprocess
 from skyline_spark.operators.parse import EVENT_RE, parse_events
 from skyline_spark.sources.transcripts import (
     DUCKDB_TRANSCRIPTS_SQL,
+    events_watermark_scalar,
     transcripts_from_events,
 )
 
@@ -80,17 +81,22 @@ def _valid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _now_col(df: DataFrame, ts_col: str = "ts",
-             scalar_from: DataFrame | None = None) -> DataFrame:
-    """Attach the batch watermark as a column via a broadcast scalar —
-    no driver-side collect, no single-partition window.
+             now: float | None = None) -> DataFrame:
+    """Attach the batch watermark as a column.
 
-    ``scalar_from`` (r08): the oracle's ``batch`` CTE is
-    max(epoch(ts)) over *transcripts*; passing the unparsed transcripts
-    here matches that definition exactly AND lets Catalyst prune the
-    whole regex-parse subtree out of the scalar branch (the valid
-    filter forced a parse of every row just to take max(ts))."""
-    src = df if scalar_from is None else scalar_from
-    scalar = src.agg(F.max(epoch_seconds(F.col(ts_col))).alias("now"))
+    ``now`` (r08): the literal watermark from
+    sources.transcripts.events_watermark_scalar, which computes the
+    oracle's ``batch`` CTE value (max(epoch(ts)) over the kept
+    transcripts) WITHOUT the derivation's full-table Exchange + Sort +
+    Window (two pruned aggregate scans; see its docstring for the exact
+    decomposition proof). As a literal it constant-folds into the
+    retention predicate instead of riding a scalar-join branch.
+    Without ``now``, the scalar is computed in-plan from ``df`` via a
+    broadcast crossJoin (no driver collect, no single-partition
+    window)."""
+    if now is not None:
+        return df.withColumn("now", F.lit(float(now)))
+    scalar = df.agg(F.max(epoch_seconds(F.col(ts_col))).alias("now"))
     return df.crossJoin(F.broadcast(scalar))
 
 
@@ -161,9 +167,9 @@ def q_validate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1-P3 — metric-name shape + timestamp sanity + old-datapoint drop
     (flux/listen.py:607,662; horizon/worker.py:431)."""
     from skyline_spark.operators.parse import validate_events
-    from skyline_spark.plans.pipeline import batch_now
     tdf = transcripts_from_events(spark, sf_dir)
-    now = batch_now(tdf)
+    # r08: shuffle-free watermark (see events_watermark_scalar docstring)
+    now = events_watermark_scalar(spark, sf_dir)
     out = validate_events(parse_events(tdf), now_epoch=now,
                           max_age_seconds=14 * 86400)
     return out.select("conv_id", "turn_idx", "metric")
@@ -200,7 +206,7 @@ SELECT conv_id, turn_idx, value FROM (
 def q_retention_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T3 — keep ts > now - FULL_DURATION (roomba.py:300-307)."""
     df = _now_col(_valid(spark, sf_dir),
-                  scalar_from=transcripts_from_events(spark, sf_dir))
+                  now=events_watermark_scalar(spark, sf_dir))
     return (df.where(epoch_seconds(F.col("ts")) > F.col("now") - FD)
             .select("conv_id", "turn_idx", "value"))
 
@@ -350,9 +356,9 @@ def q_stale_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     series excluded — every surviving stale row value-checked."""
     from skyline_spark.operators.parse import parse_events as _pe
     from skyline_spark.operators.thunder import thunder_stale_metrics
-    from skyline_spark.plans.pipeline import batch_now
     tdf = transcripts_from_events(spark, sf_dir)
-    now = batch_now(tdf)
+    # r08: shuffle-free watermark (see events_watermark_scalar docstring)
+    now = events_watermark_scalar(spark, sf_dir)
     v = _pe(tdf).where(F.col("value").isNotNull())
     return thunder_stale_metrics(
         v, now, STALE, FD, custom_stale_periods=CUSTOM_STALE_PERIODS,
@@ -420,7 +426,7 @@ def q_exceptions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E1-E4 — the exception-filter routing predicates
     (algorithms.py:1289-1347), computed natively per series."""
     df = _now_col(_valid(spark, sf_dir),
-                  scalar_from=transcripts_from_events(spark, sf_dir))
+                  now=events_watermark_scalar(spark, sf_dir))
     df = df.where(epoch_seconds(F.col("ts")) > F.col("now") - FD)
     w = Window.partitionBy("conv_id").orderBy(F.col("ts").desc(),
                                               F.col("turn_idx").desc())
@@ -1242,10 +1248,10 @@ def _restricted_analyze(spark: SparkSession, sf_dir: str,
     oracle twin — one place for the kernel settings so the Spark sides
     of all restricted twins cannot drift apart."""
     from skyline_spark.operators.analyze import analyze
-    from skyline_spark.plans.pipeline import batch_now
     tdf = transcripts_from_events(spark, sf_dir)
     parsed = parse_events(tdf)
-    now = batch_now(tdf)
+    # r08: shuffle-free watermark (see events_watermark_scalar docstring)
+    now = events_watermark_scalar(spark, sf_dir)
     cfg = PipelineConfig(full_duration=FD, stale_period=STALE,
                          consensus=consensus, run_optimized_workflow=False,
                          analyze_derivatives=False, algorithms=algorithms)
@@ -1881,10 +1887,10 @@ def q_sigma_vote_sql8(spark: SparkSession, sf_dir: str) -> DataFrame:
         SIGMA_SQL8_ALGORITHMS,
         sigma_vote_flags,
     )
-    from skyline_spark.plans.pipeline import batch_now
     tdf = transcripts_from_events(spark, sf_dir)
     parsed = parse_events(tdf)
-    now = batch_now(tdf)
+    # r08: shuffle-free watermark (see events_watermark_scalar docstring)
+    now = events_watermark_scalar(spark, sf_dir)
     cfg = PipelineConfig(full_duration=FD, stale_period=STALE,
                          analyze_derivatives=False)
     key_map = (("t_hist", "histogram_bins"), ("t_fha", "first_hour_average"),
@@ -2037,10 +2043,10 @@ def q_sigma_oneshot_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     from skyline_spark.functions.custom_algorithms import (
         oneshot_score_vectors,
     )
-    from skyline_spark.plans.pipeline import batch_now
     tdf = transcripts_from_events(spark, sf_dir)
     parsed = parse_events(tdf)
-    now = batch_now(tdf)
+    # r08: shuffle-free watermark (see events_watermark_scalar docstring)
+    now = events_watermark_scalar(spark, sf_dir)
     cfg = PipelineConfig(full_duration=FD, stale_period=STALE,
                          analyze_derivatives=False)
     cols = ["conv_id", "rn", "s_hist", "s_sfa", "s_grb", "s_msc",
@@ -6764,9 +6770,9 @@ def q_cloudbursts(spark: SparkSession, sf_dir: str) -> DataFrame:
     cloudburst and a two-engine flag-invariance check)."""
     from skyline_spark.operators.cloudburst import cloudbursts
     from skyline_spark.operators.parse import parse_events as _pe
-    from skyline_spark.plans.pipeline import batch_now
     tdf = transcripts_from_events(spark, sf_dir)
-    now = batch_now(tdf)
+    # r08: shuffle-free watermark (see events_watermark_scalar docstring)
+    now = events_watermark_scalar(spark, sf_dir)
     v = _pe(tdf).where(F.col("value").isNotNull())
     # corpus-scaled config (the FULL_DURATION-style rescale used
     # throughout): the reference's minute-cadence constants (900 s
@@ -7595,9 +7601,9 @@ def q_thunder_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per series."""
     from skyline_spark.operators.parse import parse_events as _pe
     from skyline_spark.operators.thunder import thunder_rolling_checks
-    from skyline_spark.plans.pipeline import batch_now
     tdf = transcripts_from_events(spark, sf_dir)
-    now = batch_now(tdf)
+    # r08: shuffle-free watermark (see events_watermark_scalar docstring)
+    now = events_watermark_scalar(spark, sf_dir)
     v = _pe(tdf).where(F.col("value").isNotNull())
     return thunder_rolling_checks(
         v, now, up_expiry=TR_UP_EXPIRY,
@@ -7694,9 +7700,9 @@ def q_cloudburst_related(spark: SparkSession, sf_dir: str) -> DataFrame:
         cloudburst_related_metrics,
     )
     from skyline_spark.operators.parse import parse_events as _pe
-    from skyline_spark.plans.pipeline import batch_now
     tdf = transcripts_from_events(spark, sf_dir)
-    now = batch_now(tdf)
+    # r08: shuffle-free watermark (see events_watermark_scalar docstring)
+    now = events_watermark_scalar(spark, sf_dir)
     v = _pe(tdf).where(F.col("value").isNotNull())
     e = F.floor(F.col("ts").cast("timestamp").cast("double")).cast("long")
     sources = v.groupBy("conv_id").agg(F.min(e).alias("t0")) \
@@ -7982,9 +7988,9 @@ def q_inactive_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     stand-in."""
     from skyline_spark.operators.parse import parse_events as _pe
     from skyline_spark.operators.webapp import inactive_metrics
-    from skyline_spark.plans.pipeline import batch_now
     tdf = transcripts_from_events(spark, sf_dir)
-    now = batch_now(tdf)
+    # r08: shuffle-free watermark (see events_watermark_scalar docstring)
+    now = events_watermark_scalar(spark, sf_dir)
     v = _pe(tdf).where(F.col("value").isNotNull())
     e = F.col("ts").cast("timestamp").cast("double")
     known = v.select(F.col("conv_id").alias("metric"))
@@ -8022,9 +8028,9 @@ def q_namespace_metric_counts(spark: SparkSession, sf_dir: str
     the matched_or_regexed predicate."""
     from skyline_spark.operators.parse import parse_events as _pe
     from skyline_spark.operators.webapp import namespace_metric_counts
-    from skyline_spark.plans.pipeline import batch_now
     tdf = transcripts_from_events(spark, sf_dir)
-    now = batch_now(tdf)
+    # r08: shuffle-free watermark (see events_watermark_scalar docstring)
+    now = events_watermark_scalar(spark, sf_dir)
     v = _pe(tdf).where(F.col("value").isNotNull())
     e = F.col("ts").cast("timestamp").cast("double")
     known = v.select(F.col("conv_id").alias("metric"))
@@ -8084,9 +8090,9 @@ def q_analysed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from skyline_spark.operators import preprocess as _pp
     from skyline_spark.operators.parse import parse_events as _pe
     from skyline_spark.operators.webapp import metric_analysed_events
-    from skyline_spark.plans.pipeline import batch_now
     tdf = transcripts_from_events(spark, sf_dir)
-    now = batch_now(tdf)
+    # r08: shuffle-free watermark (see events_watermark_scalar docstring)
+    now = events_watermark_scalar(spark, sf_dir)
     v = _pe(tdf).where(F.col("value").isNotNull())
     long_store = _pp.downsample(v, AE_LONG_STEP, method="mean") \
         .select("conv_id",

@@ -93,13 +93,75 @@ def synthetic_transcripts(spark: SparkSession, seed: int = 42,
     return spark.read.schema(TRANSCRIPTS_SCHEMA).parquet(path)
 
 
-def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+def _conv_expr() -> F.Column:
+    """conv_id derivation expression over the raw events columns."""
     split = F.when(F.col("event_type") == "view",
                    F.lit(VIEW_SPLIT)).otherwise(F.lit(5))
-    conv = F.concat(F.lit("conv-"), F.col("event_type"), F.lit("-"),
+    return F.concat(F.lit("conv-"), F.col("event_type"), F.lit("-"),
                     (F.col("user_id") % split).cast("string"))
-    df = ev.withColumn("conv_id", conv)
+
+
+def events_watermark_scalar(spark: SparkSession, sf_dir: str) -> float:
+    """The batch watermark — max(epoch(ts)) over the KEPT transcript
+    rows (the oracle's ``batch`` CTE) — computed WITHOUT the per-conv
+    window shuffle the derivation pays (r08, guide §2.4).
+
+    ``max(te | kept)`` decomposes exactly: the keep-filter only drops
+    rows of the two planted convs (STALE_CONV rows with
+    te >= t0 + STALE_KEEP_S, ROOMBA_CONV rows with
+    te >= t0 + ROOMBA_KEEP_S, t0 = per-conv min(te)), so
+
+        max_kept = max(max(te | conv not special),
+                       max(te | conv special, te < t0_conv + K_conv))
+
+    Job 1 is one partial-aggregated groupBy on a 3-value key (special
+    conv name or '__rest') collected driver-side (<= 3 rows —
+    config-sized, like the alert-rule collect). A special conv whose
+    tmax < t0 + K has no dropped rows, so its kept max is tmax and no
+    second pass is needed; otherwise job 2 re-scans only that conv's
+    rows under te < t0 + K. Two pruned aggregate scans replace a
+    full-table Exchange + Sort + Window. Doubles all the way (epoch
+    cast, + K, <) with IEEE-identical Python arithmetic, and ``max`` is
+    fold-order-exact, so the value is bit-identical to
+    ``transcripts_from_events(...).agg(max(epoch(ts)))``; drop-in for
+    ``batch_now(transcripts_from_events(spark, sf_dir))``."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    conv = _conv_expr()
+    te = epoch_seconds(F.col("ts"))
+    k = (F.when(conv == STALE_CONV, F.lit(STALE_CONV))
+         .when(conv == ROOMBA_CONV, F.lit(ROOMBA_CONV))
+         .otherwise(F.lit("__rest")))
+    by_k = {r["k"]: r for r in
+            ev.groupBy(k.alias("k"))
+              .agg(F.min(te).alias("t0"), F.max(te).alias("tmax"))
+              .collect()}
+    cand = []
+    if "__rest" in by_k:
+        cand.append(by_k["__rest"]["tmax"])
+    trimmed = []  # special convs with dropped rows -> need the real max
+    for name, keep_s in ((STALE_CONV, STALE_KEEP_S),
+                         (ROOMBA_CONV, ROOMBA_KEEP_S)):
+        if name not in by_k:
+            continue
+        lim = by_k[name]["t0"] + keep_s
+        if by_k[name]["tmax"] < lim:
+            cand.append(by_k[name]["tmax"])
+        else:
+            trimmed.append((name, lim))
+    if trimmed:
+        cond = None
+        for name, lim in trimmed:
+            c = (conv == name) & (te < F.lit(lim))
+            cond = c if cond is None else (cond | c)
+        m = ev.where(cond).agg(F.max(te)).first()[0]
+        if m is not None:
+            cand.append(m)
+    return float(max(cand))
+
+
+def transcripts_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = ev.withColumn("conv_id", _conv_expr())
 
     # All three per-conv window passes share ONE ordering spec
     # (conv_id, ts asc, event_id asc) so the physical plan is a single

@@ -338,3 +338,48 @@ def test_golden_verdict_values(result):
     assert row.datapoint == 1000.0
     assert sum(1 for x in row.ensemble if x is True) >= 6
     assert row.metric == "app.server.turns.rate"
+
+
+def test_events_watermark_matches_derivation_max(spark, tmp_path):
+    """r08: the shuffle-free events-level watermark must be bit-equal
+    to max(epoch(ts)) over the derived (keep-filtered) transcripts.
+    The sf0.001 events plant BOTH special convs with trimmed tails, so
+    the decomposition's trimmed branch (second aggregate pass) is
+    exercised for real; the synthesized parquet covers the untrimmed
+    shortcut (special conv entirely inside its keep window, max taken
+    from the pass-1 aggregate without a second scan) and the
+    special-conv-is-global-max case."""
+    import struct
+
+    from pyspark.sql import functions as F
+
+    from skyline_spark.functions.spark_utils import epoch_seconds
+    from skyline_spark.sources.transcripts import (
+        events_watermark_scalar,
+        transcripts_from_events,
+    )
+
+    def both(sf_dir):
+        old = float(transcripts_from_events(spark, sf_dir)
+                    .agg(F.max(epoch_seconds(F.col("ts")))).first()[0])
+        new = events_watermark_scalar(spark, sf_dir)
+        assert struct.pack("<d", old) == struct.pack("<d", new), \
+            (sf_dir, old, new)
+
+    both("/root/testdata/sf0.001")
+    # untrimmed special convs: click user 3 spans < 21d, signup user 3
+    # spans < 5d, and the signup-3 conv holds the global max ts
+    base = "2024-01-01 00:00:00"
+    rows = [(i, base, uid, et, 1.0) for i, (uid, et) in enumerate(
+        [(1, "view"), (3, "click"), (3, "click"), (8, "purchase"),
+         (3, "signup")])]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string,"
+              " value double").select(
+        "event_id",
+        (F.to_timestamp("ts") + F.make_interval(
+            hours=F.col("event_id") * 24)).cast("timestamp_ntz").alias("ts"),
+        "user_id", "event_type", "value")
+    d = str(tmp_path / "sfx")
+    ev.write.mode("overwrite").parquet(f"{d}/events.parquet")
+    both(d)
